@@ -1,0 +1,133 @@
+"""Regularization + gap-fill — missing buckets become NULL rows.
+
+Reference semantics (load-bearing, SURVEY.md §1.3): missing days are
+MATERIALIZED as all-NaN rows, not absent rows — `_read_empty` fabricates
+NaN arrays for every missing timestamp on the dense daily grid
+(/root/reference/src/smos/interface.py:222-254, :502-525); the pinned
+golden is `[0.198517, nan, nan]` for a 3-day range with days 2-3 missing
+(/root/reference/tests/test_ICreshuffle.py:39-52).
+
+Spark shape: dense per-key bucket grid (`sequence` + `explode`, the
+S4 timestamp-grid generator) LEFT JOIN the tier table (J3). The join
+keys are exactly the tier's grouping keys, so with both sides
+partitioned on conv_id this is a co-partitioned join; the grid side is
+generated, never scanned.
+
+Fill strategies on top of the NULL rows:
+* ``forward_fill`` — `last(col, ignorenulls=True)` over
+  (conv_id × bucket order) — pure window, JVM-side.
+* ``interpolate_linear`` — per-conv Arrow-batched `applyInPandas`
+  kernel (the one place the semantics genuinely need per-group
+  imperative code).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from smos_spark.schema import TIER_PARTIAL_COLS, TIERS
+
+__all__ = ["dense_grid", "gap_fill", "forward_fill", "interpolate_linear"]
+
+
+def dense_grid(
+    tier_df: DataFrame,
+    tier: str,
+    start=None,
+    end=None,
+) -> DataFrame:
+    """Dense (conv_id, bucket_start) grid spanning each conv's observed
+    [min, max] bucket range (or an explicit [start, end]) — the
+    tstamps_for_daterange analog (interface.py:502-525)."""
+    unit = TIERS[tier]["unit"]
+    if start is not None and end is not None:
+        bounds = tier_df.select("conv_id").distinct().select(
+            "conv_id",
+            F.date_trunc(unit, F.lit(start).cast("timestamp")).alias("_lo"),
+            F.date_trunc(unit, F.lit(end).cast("timestamp")).alias("_hi"),
+        )
+    else:
+        bounds = tier_df.groupBy("conv_id").agg(
+            F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi")
+        )
+    step = f"interval 1 {unit}"
+    return bounds.select(
+        "conv_id",
+        F.explode(F.expr(f"sequence(_lo, _hi, {step})")).alias("bucket_start"),
+    )
+
+
+def gap_fill(tier_df: DataFrame, tier: str, start=None, end=None) -> DataFrame:
+    """LEFT JOIN the dense grid against the tier → gap buckets exist as
+    rows with NULL partials (never dropped, never zero-filled: a gap
+    bucket's n_turns is NULL, matching the reference's NaN rows —
+    count 0 would lie about observed-but-empty vs unobserved)."""
+    grid = dense_grid(tier_df, tier, start=start, end=end)
+    return grid.join(tier_df, ["conv_id", "bucket_start"], "left")
+
+
+def forward_fill(
+    df: DataFrame,
+    cols: Sequence[str],
+    key: str = "conv_id",
+    order: str = "bucket_start",
+) -> DataFrame:
+    """Forward-fill NULLs per key in bucket order via
+    `last(ignorenulls=True)` — no UDF, stays in whole-stage codegen."""
+    w = Window.partitionBy(key).orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out
+
+
+def interpolate_linear(
+    df: DataFrame,
+    cols: Sequence[str],
+    key: str = "conv_id",
+    order: str = "bucket_start",
+) -> DataFrame:
+    """Linear interpolation of interior NULL runs per key (leading /
+    trailing NULLs stay NULL). Grouped-map pandas kernel — vectorized
+    per conversation; one shuffle on the key."""
+    import pandas as pd
+
+    schema = df.schema
+    out_cols = [f.name for f in schema.fields]
+    cols = list(cols)
+
+    def _interp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        for c in cols:
+            s = pdf[c].astype("float64")
+            pdf[c] = s.interpolate(method="linear", limit_area="inside")
+        return pdf[out_cols]
+
+    # cast target cols to double so interpolated values fit the schema
+    casted = df
+    new_fields = []
+    for f in schema.fields:
+        if f.name in cols:
+            casted = casted.withColumn(f.name, F.col(f.name).cast("double"))
+            new_fields.append(f"{f.name} double")
+        else:
+            new_fields.append(f"{f.name} {f.dataType.simpleString()}")
+    out_schema = ", ".join(new_fields)
+    return casted.groupBy(key).applyInPandas(_interp, schema=out_schema)
+
+
+def gap_filled_tier(tier_df: DataFrame, tier: str, fill: str = "none") -> DataFrame:
+    """Convenience: gap_fill + optional fill strategy over the partials."""
+    filled = gap_fill(tier_df, tier)
+    if fill == "none":
+        return filled
+    value_cols = [c for c in TIER_PARTIAL_COLS if c in filled.columns]
+    if fill == "ffill":
+        return forward_fill(filled, value_cols)
+    if fill == "linear":
+        return interpolate_linear(filled, value_cols)
+    raise ValueError(f"unknown fill strategy: {fill}")

@@ -1,0 +1,150 @@
+"""Retention-tier rollup cascade — the engine's core aggregation.
+
+The reference's core operation is the img2ts pivot: time-major daily
+images → location-major per-point series, clustered into 5°×5° cell
+files (/root/reference/src/smos/smos_ic/reshuffle_ic.py:85-91,
+docs/img2ts.rst:8-16). Our analog is a keyed windowed aggregation:
+raw turns → per-(conv_id, bucket) partial aggregates at the 1m tier,
+then *exact* re-aggregation 1m→1h→1d (sums/counts/min/max re-aggregate
+losslessly; rates and means are derived views, never stored).
+
+Scale notes (100 TB / 1000 executors):
+* One wide shuffle on (conv_id, bucket) per tier build; coarser tiers
+  re-aggregate the much smaller finer tier, never the raw table.
+* Spark's partial (map-side) HashAggregate already absorbs most key
+  skew for these algebraic aggregates; for pathological hot conv_ids
+  `salted_rollup_from_raw` does an explicit two-phase
+  (conv_id, bucket, salt) pre-aggregation then merges — see north rule.
+* All expressions are built-in (whole-stage codegen); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from smos_spark.schema import TIERS
+
+__all__ = [
+    "rollup_from_raw",
+    "reaggregate",
+    "with_derived",
+    "salted_rollup_from_raw",
+]
+
+
+def _bucket(col: Column, tier: str) -> Column:
+    return F.date_trunc(TIERS[tier]["unit"], col)
+
+
+def _partial_aggs() -> list[Column]:
+    """Partial aggregates over raw turns. All algebraic → exact reagg."""
+    length = F.length("text")
+    return [
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count(F.when(F.col("role") == "user", 1)).alias("n_role_user"),
+        F.count(F.when(F.col("role") == "assistant", 1)).alias("n_role_assistant"),
+        F.count(F.when(F.col("role") == "tool", 1)).alias("n_role_tool"),
+        F.count(F.when(F.col("role") == "system", 1)).alias("n_role_system"),
+        F.count(F.col("tool")).alias("n_tool_calls"),
+        F.sum(length).alias("len_sum"),
+        F.count(length).alias("len_cnt"),
+        F.min(length).cast("long").alias("len_min"),
+        F.max(length).cast("long").alias("len_max"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    ]
+
+
+_MERGE = {
+    "n_turns": "sum",
+    "n_role_user": "sum",
+    "n_role_assistant": "sum",
+    "n_role_tool": "sum",
+    "n_role_system": "sum",
+    "n_tool_calls": "sum",
+    "len_sum": "sum",
+    "len_cnt": "sum",
+    "len_min": "min",
+    "len_max": "max",
+    "first_ts": "min",
+    "last_ts": "max",
+}
+
+
+def _merge_aggs() -> list[Column]:
+    out = []
+    for name, how in _MERGE.items():
+        agg = getattr(F, how)(F.col(name))
+        if how == "sum":
+            agg = agg.cast("long")
+        out.append(agg.alias(name))
+    return out
+
+
+def rollup_from_raw(df: DataFrame, tier: str) -> DataFrame:
+    """raw turns → tier partials at `tier` ('1m'|'1h'|'1d').
+
+    One shuffle on (conv_id, bucket_start); map-side combine does the
+    heavy lifting.
+    """
+    return df.groupBy(
+        F.col("conv_id"), _bucket(F.col("ts"), tier).alias("bucket_start")
+    ).agg(*_partial_aggs())
+
+
+def reaggregate(tier_df: DataFrame, to_tier: str) -> DataFrame:
+    """finer tier partials → coarser tier partials, exactly.
+
+    1h is built from 1m, 1d from 1h — the continuous-aggregate cascade
+    (reference analog: daily images ARE the 1d tier; SURVEY.md §2.4 A2).
+    """
+    return tier_df.groupBy(
+        F.col("conv_id"), _bucket(F.col("bucket_start"), to_tier).alias("bucket_start")
+    ).agg(*_merge_aggs())
+
+
+def with_derived(tier_df: DataFrame, round_to: int | None = None) -> DataFrame:
+    """Attach derived rate/mean columns (views over partials).
+
+    Gap rows (n_turns NULL from gap-fill) yield NULL rates — the
+    reference's all-NaN missing-day row semantics
+    (/root/reference/src/smos/interface.py:50-52, :222-254).
+    """
+    n = F.col("n_turns").cast("double")
+
+    def rt(c: str) -> Column:
+        r = F.col(c).cast("double") / n
+        return F.round(r, round_to) if round_to is not None else r
+
+    len_mean = F.when(
+        F.col("len_cnt") > 0, F.col("len_sum").cast("double") / F.col("len_cnt")
+    )
+    if round_to is not None:
+        len_mean = F.round(len_mean, round_to)
+    return tier_df.select(
+        "*",
+        rt("n_role_user").alias("rate_user"),
+        rt("n_role_assistant").alias("rate_assistant"),
+        rt("n_role_tool").alias("rate_tool"),
+        rt("n_role_system").alias("rate_system"),
+        rt("n_tool_calls").alias("tool_rate"),
+        len_mean.alias("len_mean"),
+    )
+
+
+def salted_rollup_from_raw(df: DataFrame, tier: str, n_salts: int = 16) -> DataFrame:
+    """Explicit two-phase rollup for hot-key skew (north rule).
+
+    Phase 1 groups on (conv_id, bucket, salt) — a deterministic salt
+    from the row's own (ts, turn_idx) spreads one hot conversation's
+    bucket over `n_salts` reducers; phase 2 merges the partials.
+    Results are identical to `rollup_from_raw` (asserted in tests).
+    """
+    salt = F.pmod(F.xxhash64("ts", "turn_idx"), F.lit(n_salts)).alias("_salt")
+    phase1 = df.groupBy(
+        F.col("conv_id"),
+        _bucket(F.col("ts"), tier).alias("bucket_start"),
+        salt,
+    ).agg(*_partial_aggs())
+    return phase1.groupBy("conv_id", "bucket_start").agg(*_merge_aggs())

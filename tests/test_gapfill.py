@@ -1,0 +1,93 @@
+"""Gap-fill semantics: missing buckets exist as NULL rows (never absent,
+never zero), ffill and linear interpolation behave.
+
+Reference analog: [0.198517, nan, nan] for a 3-day read with days 2-3
+missing (/root/reference/tests/test_ICreshuffle.py:39-52).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from smos_spark.operators.gapfill import (
+    forward_fill,
+    gap_fill,
+    interpolate_linear,
+)
+from smos_spark.operators.rollup import rollup_from_raw
+
+
+def test_gap_buckets_materialized_as_null_rows(spark, transcripts, transcripts_pdf):
+    tier = rollup_from_raw(transcripts, "1h")
+    filled = gap_fill(tier, "1h").toPandas()
+
+    # dense: every conv covers every hour between its min and max bucket
+    for cid, g in filled.groupby("conv_id"):
+        hours = g.bucket_start.sort_values()
+        assert (hours.diff().dropna() == pd.Timedelta(hours=1)).all()
+
+    # the forced >2h holes (conv_idx % 10 == 0) produce NULL rows
+    gaps = filled[filled.n_turns.isna()]
+    assert len(gaps) > 0
+    hole_convs = {f"conv{i:06d}" for i in range(0, 60, 10)}
+    assert hole_convs & set(gaps.conv_id.unique())
+
+    # NULL means NULL everywhere: no zero-filled counters
+    assert gaps[["n_turns", "len_sum", "len_cnt"]].isna().all().all()
+
+    # observed buckets are untouched by the join
+    obs = filled[filled.n_turns.notna()]
+    base = tier.toPandas()
+    assert len(obs) == len(base)
+
+
+def test_explicit_range_gapfill(spark, transcripts):
+    """Explicit [start,end] → every conv padded to the same span
+    (the reference's unconditional tstamps_for_daterange grid)."""
+    tier = rollup_from_raw(transcripts, "1d")
+    filled = gap_fill(tier, "1d", start="2025-01-01", end="2025-01-04").toPandas()
+    per_conv = filled.groupby("conv_id").bucket_start.count()
+    assert (per_conv == 4).all()
+
+
+def test_forward_fill(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10.0),
+            ("a", 2, None),
+            ("a", 3, None),
+            ("a", 4, 40.0),
+            ("b", 1, None),
+            ("b", 2, 7.0),
+        ],
+        "conv_id string, bucket_start int, v double",
+    )
+    got = (
+        forward_fill(df, ["v"])
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"])
+        .v.tolist()
+    )
+    assert got[:4] == [10.0, 10.0, 10.0, 40.0]
+    assert pd.isna(got[4]) and got[5] == 7.0  # leading NULL stays
+
+
+def test_interpolate_linear(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10.0),
+            ("a", 2, None),
+            ("a", 3, None),
+            ("a", 4, 40.0),
+            ("a", 5, None),  # trailing stays NULL
+        ],
+        "conv_id string, bucket_start int, v double",
+    )
+    got = (
+        interpolate_linear(df, ["v"])
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"])
+        .v.tolist()
+    )
+    assert got[:4] == [10.0, 20.0, 30.0, 40.0]
+    assert pd.isna(got[4])

@@ -1,0 +1,100 @@
+"""Tier rollup correctness vs a pandas oracle + cascade invariants.
+
+Archetype mirror of the reference's golden end-to-end reshuffle tests
+(/root/reference/tests/test_ICreshuffle.py:34-85): exact point values
+at each tier, dtype contracts, tier-consistency (partial+final).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from smos_spark.operators.rollup import (
+    reaggregate,
+    rollup_from_raw,
+    salted_rollup_from_raw,
+    with_derived,
+)
+
+FLOOR = {"1m": "min", "1h": "h", "1d": "D"}
+
+
+def oracle_tier(pdf: pd.DataFrame, tier: str) -> pd.DataFrame:
+    p = pdf.copy()
+    p["bucket_start"] = p["ts"].dt.floor(FLOOR[tier])
+    p["_len"] = p["text"].str.len().astype("float64")
+    g = p.groupby(["conv_id", "bucket_start"])
+    out = pd.DataFrame(
+        {
+            "n_turns": g.size(),
+            "n_role_user": g.apply(lambda x: (x.role == "user").sum(), include_groups=False),
+            "n_role_assistant": g.apply(lambda x: (x.role == "assistant").sum(), include_groups=False),
+            "n_role_tool": g.apply(lambda x: (x.role == "tool").sum(), include_groups=False),
+            "n_role_system": g.apply(lambda x: (x.role == "system").sum(), include_groups=False),
+            "n_tool_calls": g["tool"].count(),
+            "len_sum": g["_len"].sum(min_count=1),
+            "len_cnt": g["_len"].count(),
+            "len_min": g["_len"].min(),
+            "len_max": g["_len"].max(),
+            "first_ts": g["ts"].min(),
+            "last_ts": g["ts"].max(),
+        }
+    ).reset_index()
+    return out.sort_values(["conv_id", "bucket_start"]).reset_index(drop=True)
+
+
+def spark_tier_pdf(df) -> pd.DataFrame:
+    return (
+        df.toPandas().sort_values(["conv_id", "bucket_start"]).reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("tier", ["1m", "1h", "1d"])
+def test_rollup_matches_pandas_oracle(transcripts, transcripts_pdf, tier):
+    got = spark_tier_pdf(rollup_from_raw(transcripts, tier))
+    exp = oracle_tier(transcripts_pdf, tier)
+    assert len(got) == len(exp)
+    assert (got.conv_id.values == exp.conv_id.values).all()
+    assert (got.bucket_start.values == exp.bucket_start.values).all()
+    for c in ["n_turns", "n_role_user", "n_role_assistant", "n_role_tool",
+              "n_role_system", "n_tool_calls", "len_cnt"]:
+        np.testing.assert_array_equal(got[c].values, exp[c].values, err_msg=c)
+    for c in ["len_sum", "len_min", "len_max"]:
+        np.testing.assert_allclose(
+            got[c].astype("float64").values, exp[c].values, err_msg=c
+        )
+    assert (got.first_ts.values == exp.first_ts.values).all()
+    assert (got.last_ts.values == exp.last_ts.values).all()
+
+
+@pytest.mark.parametrize("pair", [("1m", "1h"), ("1h", "1d")])
+def test_tier_cascade_exact(transcripts, pair):
+    """1h from 1m partials == 1h from raw; 1d from 1h likewise —
+    the partial+final exactness invariant (FIXTURES.md §2)."""
+    fine, coarse = pair
+    from_fine = spark_tier_pdf(reaggregate(rollup_from_raw(transcripts, fine), coarse))
+    from_raw = spark_tier_pdf(rollup_from_raw(transcripts, coarse))
+    pd.testing.assert_frame_equal(from_fine, from_raw, check_dtype=True)
+
+
+def test_salted_rollup_identical(transcripts):
+    plain = spark_tier_pdf(rollup_from_raw(transcripts, "1h"))
+    salted = spark_tier_pdf(salted_rollup_from_raw(transcripts, "1h", n_salts=8))
+    pd.testing.assert_frame_equal(plain, salted, check_dtype=True)
+
+
+def test_derived_rates(transcripts, transcripts_pdf):
+    got = spark_tier_pdf(with_derived(rollup_from_raw(transcripts, "1d")))
+    # rates sum to 1 per bucket; tool_rate within [0,1]; len_mean sane
+    rates = got[["rate_user", "rate_assistant", "rate_tool", "rate_system"]].sum(axis=1)
+    np.testing.assert_allclose(rates.values, 1.0, rtol=1e-12)
+    assert ((got.tool_rate >= 0) & (got.tool_rate <= 1)).all()
+    has_len = got.len_cnt > 0
+    np.testing.assert_allclose(
+        got.loc[has_len, "len_mean"].values,
+        (got.loc[has_len, "len_sum"] / got.loc[has_len, "len_cnt"]).values,
+    )
+    # buckets with no non-null text → len_mean NULL (0 vs null contract)
+    assert got.loc[~has_len, "len_mean"].isna().all()
