@@ -1,0 +1,299 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design:
+* exact     — one shuffle on the content hash; map-side combine.
+* minhash   — shingle→signature is a scan-side expression; LSH banding
+              turns O(n²) into per-band groupBys (shuffle keyed by
+              band hash, AQE handles bucket skew); only candidate
+              pairs get the exact Jaccard verify.
+* simhash   — signature scan-side; near-dup via banding on signature
+              chunks, verify with bit_count(xor) ≤ d.
+* embedding — blocked cross join (block key = label/LSH bucket) with
+              vectorized cosine; never an unblocked cross join.
+
+All hashes use the portable md5-based hash64 (functions.texthash) so
+each operator has an exact DuckDB oracle at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from smos_spark.functions.texthash import (
+    hash_params,
+    md5_hash64,
+    universal_hash,
+)
+
+__all__ = [
+    "dedup_exact",
+    "char_shingles",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "minhash_dedup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_pairs",
+    "embedding_near_dup",
+]
+
+
+# ---------------------------------------------------------------- exact
+def dedup_exact(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Exact dedup: one survivor (min key) per distinct content hash.
+    Returns (content_hash, keep_id, n_dupes)."""
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(md5_hash64(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(key).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
+# -------------------------------------------------------------- minhash
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Distinct k-char shingles (whole short text = single shingle)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: col.substr(i, F.lit(k))))
+
+
+def minhash_signature(
+    col: Column, n_hashes: int = 32, k: int = 5, seed: int = 42
+) -> Column:
+    """MinHash signature: per hash function, min over shingle hashes.
+    Pure array expressions — computed during the scan, no shuffle."""
+    shingle_hashes = F.transform(char_shingles(col, k), md5_hash64)
+
+    def _uh(a: int, b: int):
+        return lambda h: universal_hash(h, a, b)
+
+    sig = [
+        F.array_min(F.transform(shingle_hashes, _uh(a, b)))
+        for a, b in hash_params(n_hashes, seed)
+    ]
+    return F.array(*sig)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    key: str = "doc_id",
+    sig_col: str = "sig",
+    bands: int = 8,
+) -> DataFrame:
+    """Band the signature, group by (band_idx, band_hash), emit
+    candidate pairs (a < b). The groupBy is the only shuffle; the
+    self-join happens inside buckets only."""
+    banded = df.select(
+        F.col(key),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice(
+                    F.col(sig_col),
+                    b * (F.size(sig_col) / bands).cast("int") + 1,
+                    (F.size(sig_col) / bands).cast("int"),
+                ),
+            )
+        ).alias("band_idx", "band"),
+    ).select(key, "band_idx", F.xxhash64(F.col("band").cast("string")).alias("bh"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{key}") < F.col(f"r.{key}")),
+        )
+        .select(F.col(f"l.{key}").alias("id_a"), F.col(f"r.{key}").alias("id_b"))
+        .distinct()
+    )
+
+
+def exact_jaccard(sh_a: Column, sh_b: Column, round_to: int = 6) -> Column:
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    return F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), round_to)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signature → banded candidate
+    pairs → exact shingle-Jaccard verify ≥ threshold.
+    Returns (id_a, id_b, jaccard)."""
+    base = df.select(
+        F.col(key),
+        char_shingles(F.col(text_col), k).alias("_sh"),
+        minhash_signature(F.col(text_col), n_hashes, k, seed).alias("sig"),
+    ).where(F.col(text_col).isNotNull())
+    cand = lsh_candidate_pairs(base, key=key, sig_col="sig", bands=bands)
+    a = base.select(F.col(key).alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = base.select(F.col(key).alias("id_b"), F.col("_sh").alias("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", exact_jaccard("sh_a", "sh_b").alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------- n-gram jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Word n-gram Jaccard similarity on (optionally blocked) pairs.
+    Without a block column this is O(n²) — callers must block at scale
+    (the sf-test oracle uses `source` as the block)."""
+    toks = F.split(F.lower(F.col(text_col)), "\\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(key), grams.alias("_g"), *( [F.col(block_col)] if block_col else [] )
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col(f"a.{key}") < F.col(f"b.{key}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{key}").alias("id_a"),
+            F.col(f"b.{key}").alias("id_b"),
+            exact_jaccard(F.col("a._g"), F.col("b._g")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# -------------------------------------------------------------- simhash
+def simhash(col: Column, nbits: int = 64) -> Column:
+    """64-bit SimHash from whitespace tokens, built-in expressions only:
+    per bit, sign of Σ±1 over token hashes → bit. aggregate() folds
+    JVM-side; no shuffle, no Python."""
+    toks = F.regexp_extract_all(F.lower(col), F.lit("[a-z0-9]+"), 0)
+    th = F.transform(toks, md5_hash64)
+
+    def _bitfold(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = [
+        F.when(F.aggregate(th, F.lit(0), _bitfold(j)) > 0, F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias(f"b{j}")
+        for j in range(nbits)
+    ]
+    sig = F.lit(0).cast("long")
+    for j, b in enumerate(bits):
+        sig = sig + F.shiftleft(b, j)
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit signature into
+    n_chunks 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical
+    chunk), bucket-join on chunks, verify bit_count(xor) ≤ max_hamming."""
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(key), simhash(F.col(text_col)).alias("sh")
+    )
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    chunked = base.select(
+        key,
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), i * width).bitwiseAND(F.lit(mask))
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(
+            F.col(f"a.{key}").alias("id_a"),
+            F.col(f"b.{key}").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------------------------ embedding
+def cosine(a: Column, b: Column, round_to: int | None = 6) -> Column:
+    """Cosine similarity of two float arrays via zip_with/aggregate —
+    JVM-side, no UDF."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    c = F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+    return F.round(c, round_to) if round_to is not None else c
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate vectors: blocked pairwise cosine ≥ threshold.
+    Block by a coarse key (label here; LSH bucket in similarity.py for
+    unlabeled data) so the join is bucket-local, never all-pairs."""
+    cols = [F.col(key), F.col(vec_col).cast("array<double>").alias("_v")]
+    if block_col:
+        cols.append(F.col(block_col))
+    base = df.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col(f"a.{key}") < F.col(f"b.{key}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{key}").alias("id_a"),
+            F.col(f"b.{key}").alias("id_b"),
+            cosine(F.col("a._v"), F.col("b._v")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

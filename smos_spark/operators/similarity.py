@@ -1,0 +1,143 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Three strategies, one API (query by an existing vec_id, so both sides
+of the oracle resolve the same query vector):
+
+* brute-force cosine top-k — the correctness baseline; broadcast the
+  (single) query vector, one pass, JVM-side arithmetic.
+* IVF (inverted-file): coarse-partition vectors by a centroid
+  assignment (precomputed label or k-means-lite buckets), rank
+  centroids by query distance, probe only the best n_probe partitions
+  — at 100 TB this is the difference between a full scan and touching
+  ~n_probe/n_cells of the data (partition pruning on the bucket col).
+* Hyperplane LSH — seeded random hyperplanes → bit signature; probe
+  the query's bucket (+ optional multi-probe neighbors).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from smos_spark.operators.dedup import cosine
+
+__all__ = ["cosine_topk", "ivf_topk", "lsh_bucket", "lsh_topk"]
+
+
+def _query_vec(df: DataFrame, key: str, vec_col: str, query_id: int) -> Column:
+    """The query vector as a literal array (tiny collect → broadcast-
+    as-literal: no join at all in the scan)."""
+    row = df.where(F.col(key) == query_id).select(vec_col).collect()
+    if not row:
+        raise KeyError(f"{key}={query_id} not found")
+    return F.array(*[F.lit(float(x)) for x in row[0][0]])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine: one scan + a k-row sort (TakeOrderedAndProject
+    physical op — no full sort, no shuffle of the data)."""
+    q = _query_vec(df, key, vec_col, query_id)
+    scored = df.where(F.col(key) != query_id).select(
+        F.col(key),
+        cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(key)).limit(k)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF ANN: cells are the precomputed coarse partition (`label`
+    here; any clustering works). Rank cells by cosine(query, centroid),
+    scan only the top n_probe cells. Approximate by design — returns
+    exact top-k *within* the probed cells."""
+    dfd = df.withColumn("_v", F.col(vec_col).cast("array<double>"))
+    dim = len(dfd.select(vec_col).limit(1).collect()[0][0])
+    centroids = dfd.groupBy(cell_col).agg(
+        F.array(*[F.avg(F.col("_v")[i]) for i in range(dim)]).alias("_centroid")
+    )
+    q = _query_vec(df, key, vec_col, query_id)
+    probe_cells = [
+        r[cell_col]
+        for r in centroids.select(
+            cell_col, cosine(F.col("_centroid"), q, round_to=None).alias("d")
+        )
+        .orderBy(F.desc("d"), F.asc(cell_col))
+        .limit(n_probe)
+        .collect()
+    ]
+    # literal IN-list on the cell column → partition pruning when the
+    # table is physically partitioned by cell
+    scored = (
+        dfd.where(F.col(cell_col).isin(probe_cells) & (F.col(key) != query_id))
+        .select(F.col(key), cosine(F.col("_v"), q).alias("cos_sim"))
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(key)).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket(
+    vec: Column, planes: np.ndarray
+) -> Column:
+    """Sign-of-projection bit signature → integer bucket id. The plane
+    matrix is seeded & embedded as literals (identical on every
+    executor and every run)."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(w)) for w in plane]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.shiftleft(F.when(dot > 0, F.lit(1).cast("long")).otherwise(0), j)
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """LSH ANN: bucket all vectors by hyperplane signature, scan the
+    query's bucket plus buckets within `multiprobe_hamming` bit flips.
+    At scale the bucket id is a partition/cluster column → pruning."""
+    dfd = df.withColumn("_v", F.col(vec_col).cast("array<double>"))
+    dim = len(dfd.select(vec_col).limit(1).collect()[0][0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucketed = dfd.withColumn("_bucket", lsh_bucket(F.col("_v"), planes))
+    qb = bucketed.where(F.col(key) == query_id).select("_bucket").collect()[0][0]
+    probe = {qb}
+    if multiprobe_hamming >= 1:
+        probe |= {qb ^ (1 << j) for j in range(n_planes)}
+    q = _query_vec(df, key, vec_col, query_id)
+    scored = (
+        bucketed.where(F.col("_bucket").isin(list(probe)) & (F.col(key) != query_id))
+        .select(F.col(key), cosine(F.col("_v"), q).alias("cos_sim"))
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(key)).limit(k)

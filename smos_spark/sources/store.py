@@ -1,0 +1,228 @@
+"""Partitioned table store — the engine's cell-file/catalog analog.
+
+Layout (parquet + manifest; an Iceberg runtime jar isn't available in
+this sandbox, so snapshots are modeled by an atomic JSON overview +
+an append-only checkpoint table — the logical semantics are identical
+and the substitution is documented in BENCH/BASELINE.md):
+
+    root/
+      transcripts/ts_date=YYYY-MM-DD/...   raw turns, days(ts) pruning
+      tiers/{1m,1h,1d}/bucket_id=K/...     tier partials, key-bucketed
+      _checkpoint/                         per-batch lineage+metrics rows
+      overview.json                        last_day / parameters state
+
+* `ts_date` partitioning ≙ the reference's yearly-subdir + date-coded
+  filename layout (/root/reference/src/smos/interface.py:436-444):
+  time predicates prune whole directories.
+* `bucket_id = pmod(xxhash64(conv_id), n_buckets)` ≙ the 5°×5° cell
+  assignment `lonlat2cell` (/root/reference/src/smos/grid.py:100-105);
+  a point read touches exactly one bucket directory the way the
+  reference reads one cell file (docs/img2ts.rst:13-16).
+* `overview.json` ≙ overview.yml (smos_l2/reshuffle.py:71-94): written
+  only after a successful batch, read back for the monotonic guard.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smos_spark.schema import TIERS
+
+DEFAULT_N_BUCKETS = 64
+
+CHECKPOINT_SCHEMA = (
+    "run_id string, batch_id long, tier string, partition_key string, "
+    "rows_in long, rows_out long, min_ts timestamp, max_ts timestamp, "
+    "committed_seq long"
+)
+
+
+def bucket_expr(col: str = "conv_id", n_buckets: int = DEFAULT_N_BUCKETS):
+    """Deterministic key→bucket assignment (J4, the lonlat2cell analog)."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class Overview:
+    """State sidecar (overview.yml analog, misc.py:82-90)."""
+
+    last_day: str | None = None  # max ts seen, ISO string
+    last_batch_id: int = -1
+    parameters: dict | None = None
+
+    @classmethod
+    def load(cls, path: Path) -> "Overview":
+        if not path.exists():
+            return cls()
+        d = json.loads(path.read_text())
+        return cls(
+            last_day=d.get("last_day"),
+            last_batch_id=d.get("last_batch_id", -1),
+            parameters=d.get("parameters"),
+        )
+
+    def save(self, path: Path) -> None:
+        tmp = path.with_suffix(".tmp")
+        tmp.write_text(
+            json.dumps(
+                {
+                    "comment": "smos_spark store state (overview.yml analog)",
+                    "last_day": self.last_day,
+                    "last_batch_id": self.last_batch_id,
+                    "parameters": self.parameters,
+                }
+            )
+        )
+        os.replace(tmp, path)  # atomic commit
+
+
+class TranscriptStore:
+    def __init__(self, root: str | Path, n_buckets: int = DEFAULT_N_BUCKETS):
+        self.root = Path(root)
+        self.n_buckets = n_buckets
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # --- paths ---
+    @property
+    def transcripts_path(self) -> str:
+        return str(self.root / "transcripts")
+
+    def tier_path(self, tier: str) -> str:
+        assert tier in TIERS
+        return str(self.root / "tiers" / tier)
+
+    @property
+    def checkpoint_path(self) -> str:
+        return str(self.root / "_checkpoint")
+
+    @property
+    def overview_path(self) -> Path:
+        return self.root / "overview.json"
+
+    # --- raw table ---
+    def append_transcripts(self, df: DataFrame) -> None:
+        (
+            df.withColumn("ts_date", F.to_date("ts"))
+            .repartition("ts_date")  # one writer wave per day partition
+            .write.partitionBy("ts_date")
+            .mode("append")
+            .parquet(self.transcripts_path)
+        )
+
+    def read_transcripts(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.transcripts_path).drop("ts_date")
+
+    # --- tier tables ---
+    # Layout: bucket_date=YYYY-MM-DD/bucket_id=K/part-*.parquet
+    # time-major first so incremental merges rewrite only the dates a
+    # batch touches; key-bucketed second for point-read locality.
+    def _with_partition_cols(self, tier_df: DataFrame) -> DataFrame:
+        return tier_df.withColumn("bucket_date", F.to_date("bucket_start")).withColumn(
+            "bucket_id", bucket_expr("conv_id", self.n_buckets)
+        )
+
+    def write_tier(self, tier_df: DataFrame, tier: str, mode: str = "overwrite") -> None:
+        (
+            self._with_partition_cols(tier_df)
+            .repartition("bucket_date", "bucket_id")
+            .sortWithinPartitions("conv_id", "bucket_start")
+            .write.partitionBy("bucket_date", "bucket_id")
+            .mode(mode)
+            .parquet(self.tier_path(tier))
+        )
+
+    def overwrite_tier_partitions(self, tier_df: DataFrame, tier: str) -> None:
+        """Dynamic partition overwrite — rewrites only the
+        (bucket_date, bucket_id) partitions present in tier_df
+        (the Iceberg-MERGE substitute)."""
+        spark = tier_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                self._with_partition_cols(tier_df)
+                .repartition("bucket_date", "bucket_id")
+                .sortWithinPartitions("conv_id", "bucket_start")
+                .write.partitionBy("bucket_date", "bucket_id")
+                .mode("overwrite")
+                .parquet(self.tier_path(tier))
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def read_tier(self, spark: SparkSession, tier: str) -> DataFrame:
+        return spark.read.parquet(self.tier_path(tier)).drop("bucket_id", "bucket_date")
+
+    def read_tier_since(self, spark: SparkSession, tier: str, day_lo) -> DataFrame:
+        """Tier rows with bucket_date >= day_lo — the filter hits the
+        bucket_date PARTITION column, so older directories are pruned
+        from the scan entirely."""
+        df = spark.read.parquet(self.tier_path(tier))
+        return df.where(F.col("bucket_date") >= F.to_date(F.lit(str(day_lo)))).drop(
+            "bucket_id", "bucket_date"
+        )
+
+    def read_tier_for_conv(self, spark: SparkSession, tier: str, conv_id: str) -> DataFrame:
+        """Point read with bucket pruning: the partition filter on
+        bucket_id restricts the scan to one directory — the read-one-
+        cell-file locality of the reference (J2)."""
+        # resolve the key's bucket to a LITERAL so the partition filter
+        # actually prunes directories (a column-vs-column predicate
+        # would scan every bucket)
+        b = spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(conv_id)), F.lit(self.n_buckets)).cast("int").alias("b")
+        ).collect()[0].b
+        df = spark.read.parquet(self.tier_path(tier))
+        return df.where(
+            (F.col("bucket_id") == F.lit(b)) & (F.col("conv_id") == conv_id)
+        ).drop("bucket_id")
+
+    def tier_bucket_count(self, tier: str) -> int:
+        """Number of distinct key buckets on disk (the 2,449-cell-files
+        assertion analog, tests/test_ICreshuffle.py:47)."""
+        p = Path(self.tier_path(tier))
+        buckets = set()
+        for date_dir in p.glob("bucket_date=*"):
+            for b in date_dir.glob("bucket_id=*"):
+                buckets.add(b.name)
+        return len(buckets)
+
+    # --- state ---
+    def load_overview(self) -> Overview:
+        return Overview.load(self.overview_path)
+
+    def save_overview(self, ov: Overview) -> None:
+        ov.save(self.overview_path)
+
+    # --- checkpoint lineage ---
+    def append_checkpoint(self, spark: SparkSession, rows: list[dict]) -> None:
+        if not rows:
+            return
+        spark.createDataFrame(
+            [
+                (
+                    r["run_id"],
+                    r["batch_id"],
+                    r["tier"],
+                    r["partition_key"],
+                    r["rows_in"],
+                    r["rows_out"],
+                    r["min_ts"],
+                    r["max_ts"],
+                    r["committed_seq"],
+                )
+                for r in rows
+            ],
+            CHECKPOINT_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(self.checkpoint_path)
+
+    def read_checkpoint(self, spark: SparkSession) -> DataFrame | None:
+        if not Path(self.checkpoint_path).exists():
+            return None
+        return spark.read.parquet(self.checkpoint_path)

@@ -1,0 +1,157 @@
+"""Incremental, resumable tier maintenance — the extend_ts analog.
+
+Reference semantics (/root/reference/src/smos/smos_l2/reshuffle.py:96-155):
+  * `overview.yml` records last_day; extend starts there (:121-122)
+  * prepend/overwrite is REFUSED (:75-77) — late data is an error, not
+    a merge (our quarantine routes it to a side table instead of dying)
+  * the state file is written only after a successful repurpose
+    (:147-152) — commit follows data
+
+Our engine upgrades that to per-batch lineage rows and idempotent
+resume: a batch already present in the checkpoint table is skipped, so
+re-running an interrupted job converges to the identical store (tested
+byte-for-byte at the tier level in tests/test_incremental.py).
+
+Merge strategy on parquet (no Iceberg MERGE in sandbox): tier buckets
+straddling the batch boundary are re-aggregated from (existing tier ∪
+new partials) and rewritten via dynamic partition overwrite — the
+write-then-commit-manifest pattern; the overview commit is the atomic
+rename at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smos_spark.operators.rollup import reaggregate, rollup_from_raw
+from smos_spark.sources.store import Overview, TranscriptStore
+
+
+class MonotonicAppendError(ValueError):
+    """New batch starts at or before the store's last_day — the
+    reference's prepend guard (smos_l2/reshuffle.py:75-77)."""
+
+
+def split_late_rows(batch: DataFrame, last_day: str | None):
+    """Route rows at/before the checkpoint to quarantine (late-data
+    policy, SURVEY.md §2.8). Returns (on_time, late)."""
+    if last_day is None:
+        return batch, batch.limit(0)
+    cut = F.lit(last_day).cast("timestamp")
+    return batch.where(F.col("ts") > cut), batch.where(F.col("ts") <= cut)
+
+
+def ingest_batch(
+    store: TranscriptStore,
+    batch: DataFrame,
+    run_id: str,
+    batch_id: int,
+    strict: bool = False,
+    quarantine: bool = True,
+) -> dict:
+    """Append one batch of raw turns and incrementally maintain all
+    three tiers. Idempotent per (run_id, batch_id)."""
+    spark = batch.sparkSession
+    ov = store.load_overview()
+
+    # --- resume / idempotence: skip an already-committed batch ---
+    cp = store.read_checkpoint(spark)
+    if cp is not None:
+        done = (
+            cp.where((F.col("run_id") == run_id) & (F.col("batch_id") == batch_id))
+            .limit(1)
+            .count()
+        )
+        if done:
+            return {"skipped": True, "batch_id": batch_id}
+
+    if batch_id <= ov.last_batch_id:
+        # overview says committed but checkpoint row missing → the
+        # previous run died between data write and lineage append;
+        # overview is the commit point, so treat as done.
+        return {"skipped": True, "batch_id": batch_id}
+
+    # --- monotonic guard / late-data routing ---
+    bounds = batch.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    lo, hi = bounds.lo, bounds.hi
+    if ov.last_day is not None and lo is not None and str(lo) <= ov.last_day:
+        if strict:
+            raise MonotonicAppendError(
+                f"batch starts at {lo} but store last_day is {ov.last_day}"
+            )
+        batch, late = split_late_rows(batch, ov.last_day)
+        if quarantine:
+            late.write.mode("append").parquet(str(store.root / "_quarantine"))
+        bounds = batch.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+        lo, hi = bounds.lo, bounds.hi
+    n_in = batch.count()
+    if n_in == 0:
+        ov.last_batch_id = batch_id
+        store.save_overview(ov)
+        return {"skipped": False, "batch_id": batch_id, "rows_in": 0}
+
+    batch = batch.cache()
+    store.append_transcripts(batch)
+
+    # --- tier maintenance: re-aggregate only affected buckets ---
+    stats: list[dict] = []
+    new_1m = rollup_from_raw(batch, "1m")
+    affected = {"1m": new_1m}
+    affected["1h"] = reaggregate(new_1m, "1h")
+    affected["1d"] = reaggregate(affected["1h"], "1d")
+
+    from pathlib import Path
+
+    for tier in ("1m", "1h", "1d"):
+        new_partials = affected[tier]
+        tier_exists = Path(store.tier_path(tier)).exists()
+        if not tier_exists:
+            store.write_tier(new_partials, tier, mode="overwrite")
+        else:
+            # only date partitions the batch touches need rewriting;
+            # the boundary is day-aligned because the physical layout
+            # partitions on bucket_date — everything before it is final
+            # and is neither read (partition pruning) nor written.
+            min_b = new_partials.agg(F.min("bucket_start").alias("b")).collect()[0].b
+            overlap = store.read_tier_since(spark, tier, str(min_b)[:10])
+            merged = reaggregate(overlap.unionByName(new_partials), tier)
+            store.overwrite_tier_partitions(merged, tier)
+        # rows_out: count only the partitions this batch wrote (metrics
+        # must not trigger a full-table scan per batch)
+        out_rows = store.read_tier_since(spark, tier, str(lo)[:10]).count()
+        stats.append(
+            {
+                "run_id": run_id,
+                "batch_id": batch_id,
+                "tier": tier,
+                "partition_key": "all",
+                "rows_in": n_in,
+                "rows_out": out_rows,
+                "min_ts": lo,
+                "max_ts": hi,
+                "committed_seq": batch_id * 10 + {"1m": 0, "1h": 1, "1d": 2}[tier],
+            }
+        )
+
+    # --- commit: lineage rows, then overview (atomic rename last) ---
+    store.append_checkpoint(spark, stats)
+    ov.last_day = max(str(hi), ov.last_day or "")
+    ov.last_batch_id = batch_id
+    store.save_overview(ov)
+    batch.unpersist()
+    return {"skipped": False, "batch_id": batch_id, "rows_in": n_in}
+
+
+def ingest_batches(
+    store: TranscriptStore,
+    batches: list[DataFrame],
+    run_id: str,
+    start_batch: int = 0,
+) -> list[dict]:
+    """Drive a sequence of time-ordered micro-batches (the imgbuffer
+    loop analog, Trigger.AvailableNow shape)."""
+    return [
+        ingest_batch(store, b, run_id, i)
+        for i, b in enumerate(batches[start_batch:], start=start_batch)
+    ]

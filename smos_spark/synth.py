@@ -69,8 +69,12 @@ def synth_transcripts(
     )
 
     u_gap = _u(seed, "gap", F.col("conv_id"), F.col("turn_idx"))
-    # heavy-tailed inter-turn gap: 1 s .. 6 h  (log-uniform)
-    gap = F.floor(F.pow(F.lit(21600.0), u_gap)).cast("long")
+    # heavy-tailed inter-turn gap: 1 s .. 6 h (log-uniform). Hot convs
+    # are DENSE (1-61 s gaps): high turn volume in a bounded window —
+    # that's what makes them a shuffle hot spot rather than just long.
+    gap = F.when(
+        F.col("conv_idx") < n_hot, (1 + F.floor(60 * u_gap)).cast("long")
+    ).otherwise(F.floor(F.pow(F.lit(21600.0), u_gap)).cast("long"))
     # stable-order stressor: turn 3 lands on the same ts as turn 2
     gap = F.when(F.col("turn_idx") == 3, F.lit(0)).otherwise(gap)
     # missing-interval: ~10% of convs get a forced 2h+ hole mid-conv

@@ -1,0 +1,135 @@
+"""Codec roundtrip identity (FIXTURES.md §3): decode(encode(x)) == x
+bit-exactly, for constant/ramp/noise/NaN/single/empty/large inputs,
+plus hypothesis property tests and a Spark-side block roundtrip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from smos_spark.functions.codecs import (
+    dod_decode,
+    dod_encode,
+    gorilla_decode,
+    gorilla_encode,
+)
+
+RNG = np.random.default_rng(42)
+
+FLOAT_CASES = {
+    "empty": np.array([], dtype="float64"),
+    "single": np.array([3.14159], dtype="float64"),
+    "constant": np.full(1000, 12.5),
+    "ramp": np.arange(5000, dtype="float64") * 0.1,
+    "noise": RNG.normal(size=10_000),
+    "nan_bearing": np.where(RNG.random(2000) < 0.3, np.nan, RNG.normal(size=2000)),
+    "inf_and_zero": np.array([0.0, -0.0, np.inf, -np.inf, 1e-308, 1e308]),
+    "large_100k": RNG.normal(size=100_000).cumsum(),
+}
+
+
+@pytest.mark.parametrize("name", list(FLOAT_CASES))
+def test_gorilla_roundtrip_bitexact(name):
+    x = FLOAT_CASES[name]
+    got = gorilla_decode(gorilla_encode(x))
+    assert got.dtype == np.float64 and len(got) == len(x)
+    np.testing.assert_array_equal(got.view(np.uint64), x.view(np.uint64))
+
+
+def test_gorilla_compresses_constant_series():
+    x = np.full(10_000, 42.0)
+    blob = gorilla_encode(x)
+    assert len(blob) < 10_000 * 8 / 50  # >50x on constant data
+
+
+TS_CASES = {
+    "empty": np.array([], dtype="int64"),
+    "single": np.array([1_700_000_000_000_000], dtype="int64"),
+    "regular_1m": 1_700_000_000_000_000 + np.arange(5000, dtype="int64") * 60_000_000,
+    "jittered": 1_700_000_000_000_000
+    + np.cumsum(RNG.integers(1, 21_600_000_000, 10_000)).astype("int64"),
+    "with_ties": np.repeat(
+        1_700_000_000_000_000 + np.arange(100, dtype="int64") * 1_000_000, 3
+    ),
+    "negative_epoch": np.cumsum(RNG.integers(1, 1000, 100)).astype("int64") - 10**15,
+}
+
+
+@pytest.mark.parametrize("name", list(TS_CASES))
+def test_dod_roundtrip_exact(name):
+    t = TS_CASES[name]
+    got = dod_decode(dod_encode(t))
+    np.testing.assert_array_equal(got, t)
+
+
+def test_dod_compresses_regular_series():
+    t = TS_CASES["regular_1m"]
+    blob = dod_encode(t)
+    assert len(blob) < len(t)  # ~1 bit per point after the first two
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=True, width=64), max_size=300))
+def test_gorilla_property(xs):
+    x = np.array(xs, dtype="float64")
+    got = gorilla_decode(gorilla_encode(x))
+    np.testing.assert_array_equal(got.view(np.uint64), x.view(np.uint64))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62 - 1), max_size=300
+    ).map(sorted)
+)
+def test_dod_property(ts):
+    t = np.array(ts, dtype="int64")
+    np.testing.assert_array_equal(dod_decode(dod_encode(t)), t)
+
+
+def test_spark_block_roundtrip(spark, transcripts):
+    """Compress each conv's text-length series, decompress, compare to
+    the original (stable (ts, turn_idx) order)."""
+    from pyspark.sql import functions as F
+
+    from smos_spark.operators.compress import compress_series, decompress_series
+
+    src = transcripts.select(
+        "conv_id", "ts", "turn_idx", F.length("text").cast("double").alias("tlen")
+    )
+    comp = compress_series(src, ["tlen"], order_cols=["turn_idx"])
+    back = decompress_series(comp, ["tlen"])
+
+    a = (
+        src.toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    b = (
+        back.toPandas()
+        .sort_values(["conv_id", "ts", "tlen"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    # ties in ts are ordered by turn_idx inside the block; compare as
+    # multisets per (conv_id, ts) for the value column
+    a2 = a.sort_values(["conv_id", "ts", "tlen"], kind="mergesort").reset_index(drop=True)
+    np.testing.assert_array_equal(
+        a2.conv_id.to_numpy(), b.conv_id.to_numpy()
+    )
+    np.testing.assert_array_equal(
+        a2.ts.to_numpy().astype("datetime64[us]"),
+        b.ts.to_numpy().astype("datetime64[us]"),
+    )
+    np.testing.assert_array_equal(a2.tlen.to_numpy(), b.tlen.to_numpy())
+
+    # compression actually compresses
+    sizes = comp.select(
+        F.sum(F.length("ts_blob") + F.length("tlen_blob")).alias("c"),
+        F.sum(F.lit(16)).alias("raw_per_row"),
+    ).collect()[0]
+    n_rows = src.count()
+    assert sizes.c < n_rows * 16

@@ -1,0 +1,182 @@
+"""Store layout, point-read pruning, incremental append + resume.
+
+Archetype mirrors: incremental append advancing last_day with excluded-
+day-absent checks (/root/reference/tests/smos_l2/test_l2_reshuffle.py:15-64),
+cell-file-count assertions (test_ICreshuffle.py:47), resume idempotence.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from smos_spark.operators.rollup import rollup_from_raw
+from smos_spark.sources.store import TranscriptStore
+from smos_spark.streaming.incremental import (
+    MonotonicAppendError,
+    ingest_batch,
+    ingest_batches,
+)
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    """Compact dataset for the (write-heavy) store tests: 2 day span,
+    few convs — keeps the suite's wall time sane while exercising the
+    same batch-boundary/straddling-bucket paths."""
+    from smos_spark.synth import synth_transcripts
+
+    df = synth_transcripts(spark, n_conv=16, seed=43, span_days=2).cache()
+    df.count()
+    return df
+
+
+def day_batches(transcripts, days):
+    return [
+        transcripts.where(F.to_date("ts") == d).cache()
+        for d in days
+    ]
+
+
+@pytest.fixture(scope="module")
+def days(small):
+    rows = small.select(F.to_date("ts").alias("d")).distinct().orderBy("d").collect()
+    return [str(r.d) for r in rows]
+
+
+def tier_pdf(spark, store, tier):
+    return (
+        store.read_tier(spark, tier)
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+
+
+def test_incremental_equals_oneshot(spark, small, days, tmp_path):
+    """Batch-by-day ingest converges to the same tiers as a single
+    full-table rollup."""
+    store = TranscriptStore(tmp_path / "inc", n_buckets=8)
+    res = ingest_batches(store, day_batches(small, days), run_id="r1")
+    assert all(not r["skipped"] for r in res)
+
+    for tier in ("1m", "1h", "1d"):
+        inc = tier_pdf(spark, store, tier)
+        ref = (
+            rollup_from_raw(small, tier)
+            .toPandas()
+            .sort_values(["conv_id", "bucket_start"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(inc[ref.columns], ref, check_dtype=True)
+
+    ov = store.load_overview()
+    assert ov.last_batch_id == len(days) - 1
+    assert ov.last_day is not None
+
+    # lineage rows present for every (batch, tier)
+    cp = store.read_checkpoint(spark).toPandas()
+    assert len(cp) == len(days) * 3
+    assert set(cp.tier.unique()) == {"1m", "1h", "1d"}
+
+
+def test_resume_is_idempotent(spark, small, days, tmp_path):
+    """Re-running already-committed batches changes nothing (the
+    kill-and-rerun contract, FIXTURES.md §4)."""
+    store = TranscriptStore(tmp_path / "res", n_buckets=8)
+    batches = day_batches(small, days)
+    # first run "dies" after 1 batch
+    ingest_batches(store, batches[:1], run_id="r1")
+    before = tier_pdf(spark, store, "1h")
+    # rerun from scratch: batch 0 skips, the rest apply
+    res = ingest_batches(store, batches, run_id="r1")
+    assert res[0]["skipped"]
+    assert not res[1]["skipped"]
+    # batches 0-1 contributed nothing new on the rerun
+    after_full = tier_pdf(spark, store, "1h")
+    oneshot = (
+        rollup_from_raw(small, "1h")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(after_full[oneshot.columns], oneshot)
+    assert len(before) <= len(after_full)
+
+
+def test_monotonic_guard_and_quarantine(spark, small, days, tmp_path):
+    store = TranscriptStore(tmp_path / "guard", n_buckets=8)
+    batches = day_batches(small, days)
+    ingest_batch(store, batches[1], run_id="r1", batch_id=0)
+    # strict: prepending day 0 after day 1 raises (reference guard)
+    with pytest.raises(MonotonicAppendError):
+        ingest_batch(store, batches[0], run_id="r1", batch_id=1, strict=True)
+    # lenient: late rows quarantined, tiers unchanged
+    before = tier_pdf(spark, store, "1d")
+    r = ingest_batch(store, batches[0], run_id="r1", batch_id=1, strict=False)
+    assert r["rows_in"] == 0
+    after = tier_pdf(spark, store, "1d")
+    pd.testing.assert_frame_equal(before, after)
+    q = spark.read.parquet(str(store.root / "_quarantine"))
+    assert q.count() == batches[0].count()
+
+
+def test_point_read_bucket_pruning(spark, transcripts, tmp_path):
+    store = TranscriptStore(tmp_path / "pt", n_buckets=8)
+    store.write_tier(rollup_from_raw(transcripts, "1h"), "1h")
+    assert 1 <= store.tier_bucket_count("1h") <= 8
+
+    got = store.read_tier_for_conv(spark, "1h", "conv000007")
+    assert got.select("conv_id").distinct().collect()[0].conv_id == "conv000007"
+    # the scan's partition filter includes the literal bucket predicate
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "bucket_id" in plan
+
+    exp = (
+        rollup_from_raw(transcripts.where(F.col("conv_id") == "conv000007"), "1h")
+        .toPandas()
+        .sort_values("bucket_start")
+        .reset_index(drop=True)
+    )
+    gp = got.toPandas().sort_values("bucket_start").reset_index(drop=True)
+    pd.testing.assert_frame_equal(gp[exp.columns], exp)
+
+
+def test_readback_semantics(spark, transcripts, tmp_path):
+    from smos_spark.readback import read_conv_series
+
+    store = TranscriptStore(tmp_path / "rb", n_buckets=8)
+    store.write_tier(rollup_from_raw(transcripts, "1h"), "1h")
+
+    # conv000000 is a hole conv (conv_idx%10==0): dense read without
+    # drop keeps NULL gap rows — the [v, nan, nan] shape
+    dense = read_conv_series(
+        spark, store, "conv000000", tier="1h", drop_missing=False, dense=True,
+        downcast_ints=False,
+    ).toPandas()
+    assert dense.n_turns.isna().any()
+
+    # drop_missing=True removes them
+    dropped = read_conv_series(
+        spark, store, "conv000000", tier="1h", drop_missing=True, dense=True,
+        downcast_ints=False,
+    ).toPandas()
+    assert not dropped.n_turns.isna().any()
+    assert len(dropped) < len(dense)
+
+
+def test_int_restoration(spark):
+    """P10 contract: whole-valued float col with no NULLs → long;
+    NULL-bearing stays double (float decay)."""
+    from smos_spark.readback import downcast_whole_floats
+
+    df = spark.createDataFrame(
+        [(1.0, 1.5, 2.0), (3.0, 2.5, None)],
+        "a double, b double, c double",
+    )
+    out = downcast_whole_floats(df, ["a", "b", "c"])
+    dt = dict(out.dtypes)
+    assert dt["a"] == "bigint"  # whole + no nulls → int restored
+    assert dt["b"] == "double"  # fractional stays
+    assert dt["c"] == "double"  # NULL-bearing decays to float

@@ -1,0 +1,238 @@
+"""Text analysis + dedup + similarity operators on driver testdata
+(sf0.001) with DuckDB cross-checks where the oracle is SQL-clean."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"create view {t} as select * from read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def test_token_counts_match_duckdb(docs, ddb):
+    from smos_spark.operators.text import token_count_re, token_count_ws
+
+    got = (
+        docs.select(
+            "doc_id",
+            token_count_ws(F.col("text")).alias("tws"),
+            token_count_re(F.col("text")).alias("tre"),
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    exp = ddb.execute(
+        """
+        select doc_id,
+               case when text is null then null
+                    when trim(text) = '' then 0
+                    else len(regexp_extract_all(trim(text), '\\S+')) end as tws,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+')) as tre
+        from documents order by doc_id
+        """
+    ).fetchdf()
+    np.testing.assert_array_equal(got.tws.values, exp.tws.values)
+    np.testing.assert_array_equal(got.tre.values, exp.tre.values)
+
+
+def test_fingerprint_matches_duckdb(docs, ddb):
+    from smos_spark.operators.text import fingerprint
+
+    got = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", fingerprint(F.col("text"), k=8).alias("fp"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    exp = ddb.execute(
+        """
+        select doc_id,
+          list_min(list_transform(
+            list_transform(generate_series(1, greatest(len(text)-7, 1)),
+                           i -> substr(text, i::int, 8)),
+            sh -> ('0x' || substr(md5(sh), 1, 15))::BIGINT)) as fp
+        from documents where text is not null order by doc_id
+        """
+    ).fetchdf()
+    np.testing.assert_array_equal(got.fp.values, exp.fp.values)
+
+
+def test_lang_id_and_quality_deterministic(docs):
+    from smos_spark.operators.text import text_profile
+
+    prof = text_profile(docs).cache()
+    p = prof.toPandas()
+    assert set(p.lang_pred.unique()) <= {"en", "es", "de", "fr", "und"}
+    q = p.quality.dropna()
+    assert ((q >= 0) & (q <= 1)).all()
+    # deterministic: second run identical
+    p2 = text_profile(docs).toPandas()
+    assert p.sort_values("doc_id").quality.equals(p2.sort_values("doc_id").quality)
+
+
+def test_dedup_exact(spark, docs, ddb):
+    from smos_spark.operators.dedup import dedup_exact
+
+    got = dedup_exact(docs).toPandas().sort_values("content_hash").reset_index(drop=True)
+    exp = ddb.execute(
+        """
+        select ('0x' || substr(md5(text),1,15))::BIGINT as content_hash,
+               min(doc_id) as keep_id, count(*) as n_dupes
+        from documents where text is not null
+        group by 1 order by 1
+        """
+    ).fetchdf()
+    np.testing.assert_array_equal(got.content_hash.values, exp.content_hash.values)
+    np.testing.assert_array_equal(got.keep_id.values, exp.keep_id.values)
+    np.testing.assert_array_equal(got.n_dupes.values, exp.n_dupes.values)
+
+
+def test_minhash_lsh_finds_planted_dupes(spark):
+    from smos_spark.operators.dedup import minhash_dedup_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy dog again and once"),  # near dup
+        (4, "completely different content about spark aggregation pipelines"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_dedup_pairs(df, threshold=0.6).toPandas()
+    got = {tuple(x) for x in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (1, 2) in got
+    assert (1, 3) in got or (2, 3) in got
+    assert not any(4 in p for p in got)
+    # exact dup has jaccard 1.0
+    j12 = pairs[(pairs.id_a == 1) & (pairs.id_b == 2)].jaccard.iloc[0]
+    assert j12 == 1.0
+
+
+def test_simhash_pairs(spark):
+    from smos_spark.operators.dedup import simhash_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # identical → hamming 0
+        (3, "alpha beta gamma delta epsilon zeta eta iota"),  # 1 token off
+        (4, "totally unrelated words describing storage engines here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_pairs(df, max_hamming=8).toPandas()
+    got = {tuple(x) for x in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (1, 2) in got
+    h12 = pairs[(pairs.id_a == 1) & (pairs.id_b == 2)].hamming.iloc[0]
+    assert h12 == 0
+    assert not any(4 in p for p in got)
+
+
+def test_ngram_jaccard_blocked(spark):
+    from smos_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "a b c d e f g h", "s1"),
+        (2, "a b c d e f g h", "s1"),
+        (3, "a b c d e f g h", "s2"),  # same text, other block → not compared
+        (4, "x y z w v u t s", "s1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pairs = ngram_jaccard_pairs(df, threshold=0.9, block_col="source").toPandas()
+    got = {tuple(x) for x in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert got == {(1, 2)}
+
+
+def test_embedding_near_dup_matches_duckdb(embs, ddb):
+    from smos_spark.operators.dedup import embedding_near_dup
+
+    got = (
+        embedding_near_dup(embs, threshold=0.9)
+        .orderBy("id_a", "id_b")
+        .toPandas()
+    )
+    exp = ddb.execute(
+        """
+        select a.vec_id as id_a, b.vec_id as id_b,
+          round(
+            list_sum(list_transform(generate_series(1, len(a.embedding)),
+              i -> a.embedding[i]::double * b.embedding[i]::double))
+            / (sqrt(list_sum(list_transform(a.embedding, x -> x::double*x::double)))
+             * sqrt(list_sum(list_transform(b.embedding, x -> x::double*x::double)))),
+          6) as cos_sim
+        from embeddings a join embeddings b
+          on a.label = b.label and a.vec_id < b.vec_id
+        where cos_sim >= 0.9
+        order by id_a, id_b
+        """
+    ).fetchdf()
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got.id_a.values, exp.id_a.values)
+    np.testing.assert_array_equal(got.id_b.values, exp.id_b.values)
+    np.testing.assert_allclose(got.cos_sim.values, exp.cos_sim.values, atol=1e-6)
+
+
+def test_cosine_topk_and_variants(embs):
+    from smos_spark.operators.similarity import cosine_topk, ivf_topk, lsh_topk
+
+    brute = cosine_topk(embs, query_id=0, k=10).toPandas()
+    assert len(brute) == 10
+    assert brute.cos_sim.is_monotonic_decreasing
+
+    ivf = ivf_topk(embs, query_id=0, k=10, n_probe=3).toPandas()
+    assert len(ivf) == 10
+    # IVF recall vs brute force should be decent with 3/10 cells probed
+    recall = len(set(ivf.vec_id) & set(brute.vec_id)) / 10
+    assert recall >= 0.3
+
+    lsh = lsh_topk(embs, query_id=0, k=10, n_planes=6).toPandas()
+    assert 1 <= len(lsh) <= 10
+    # every LSH hit's score matches the brute-force score for that id
+    merged = lsh.merge(brute, on="vec_id", suffixes=("_l", "_b"))
+    if len(merged):
+        np.testing.assert_allclose(merged.cos_sim_l, merged.cos_sim_b)
+
+
+def test_multimodal_plumbing(spark):
+    from smos_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=48)
+    feats = extract_features(media, dim=16).toPandas()
+    assert len(feats) == 48
+    assert feats.decode_ok.all()
+    assert feats.feat.map(len).eq(16).all()
+    # deterministic
+    feats2 = extract_features(media, dim=16).toPandas()
+    a = np.array(feats.sort_values("media_id").feat.tolist())
+    b = np.array(feats2.sort_values("media_id").feat.tolist())
+    np.testing.assert_array_equal(a, b)
+
+    plan = frame_sample_plan(media, every_ms=1000).toPandas()
+    assert (plan.frame_ms % 1000 == 0).all()
+
+    with pytest.raises(NotImplementedError):
+        extract_features(media, strict=True)
