@@ -18,10 +18,13 @@ each operator has an exact DuckDB oracle at sf0.01.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from smos_spark.functions.texthash import (
+    fast_hash64,
     hash_params,
     md5_hash64,
     universal_hash,
@@ -55,6 +58,42 @@ def dedup_exact(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> D
 
 
 # -------------------------------------------------------------- minhash
+def _minhash_from_hashes_udf(n_hashes: int, seed: int):
+    """Arrow-batched signature kernel: array<long> shingle hashes →
+    array<long> signature. All 32 universal hashes × all shingles of a
+    batch in one (n_hashes, N) numpy broadcast + segment-min."""
+    from pyspark.sql.functions import pandas_udf
+
+    from smos_spark.functions.texthash import MERSENNE_P
+
+    params = np.array(hash_params(n_hashes, seed), dtype=np.int64)  # (n, 2)
+    a = params[:, 0:1]  # (n, 1)
+    b = params[:, 1:2]
+
+    @pandas_udf("array<long>")
+    def _sig(hashes: pd.Series) -> pd.Series:
+        lengths = hashes.map(lambda h: 0 if h is None else len(h)).to_numpy()
+        if lengths.sum() == 0:
+            return pd.Series([[] for _ in range(len(hashes))])
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hashes if h is not None and len(h)]
+        )
+        hp = flat % MERSENNE_P  # pmod: result sign follows divisor
+        hp[hp < 0] += MERSENNE_P
+        all_h = (a * hp[None, :] + b) % MERSENNE_P  # (n_hashes, N)
+        starts = np.zeros(len(lengths), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        out = []
+        for row, (s, ln) in enumerate(zip(starts, lengths)):
+            if ln == 0:
+                out.append([])
+            else:
+                out.append(all_h[:, s : s + ln].min(axis=1).tolist())
+        return pd.Series(out)
+
+    return _sig
+
+
 def char_shingles(col: Column, k: int = 5) -> Column:
     """Distinct k-char shingles (whole short text = single shingle)."""
     idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (k - 1), F.lit(1)))
@@ -62,10 +101,20 @@ def char_shingles(col: Column, k: int = 5) -> Column:
 
 
 def minhash_signature(
-    col: Column, n_hashes: int = 32, k: int = 5, seed: int = 42
+    col: Column, n_hashes: int = 32, k: int = 5, seed: int = 42, portable: bool = True
 ) -> Column:
     """MinHash signature: per hash function, min over shingle hashes.
-    Pure array expressions — computed during the scan, no shuffle."""
+    Pure array expressions — computed during the scan, no shuffle.
+    portable=True hashes shingles with the md5-based hash64 (exact
+    DuckDB twin); portable=False uses xxhash64 — ~10× cheaper, the
+    100 TB hot path."""
+    if not portable:
+        # hot path: one JVM hash pass over the shingles, then the
+        # 32-way universal-hash min runs vectorized in numpy (Catalyst
+        # higher-order lambdas are interpreted per element — 32 of
+        # them over every shingle dominates runtime at scale).
+        shingle_hashes = F.transform(char_shingles(col, k), fast_hash64)
+        return _minhash_from_hashes_udf(n_hashes, seed)(shingle_hashes)
     shingle_hashes = F.transform(char_shingles(col, k), md5_hash64)
 
     def _uh(a: int, b: int):
@@ -129,15 +178,24 @@ def minhash_dedup_pairs(
     k: int = 5,
     threshold: float = 0.8,
     seed: int = 42,
+    portable: bool = True,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signature → banded candidate
     pairs → exact shingle-Jaccard verify ≥ threshold.
-    Returns (id_a, id_b, jaccard)."""
-    base = df.select(
-        F.col(key),
-        char_shingles(F.col(text_col), k).alias("_sh"),
-        minhash_signature(F.col(text_col), n_hashes, k, seed).alias("sig"),
-    ).where(F.col(text_col).isNotNull())
+    Returns (id_a, id_b, jaccard).
+
+    The signature/shingle base is persisted: it feeds three consumers
+    (banding + both verify sides) and recomputing the per-shingle hash
+    cascade 3× dominates runtime otherwise."""
+    base = (
+        df.select(
+            F.col(key),
+            char_shingles(F.col(text_col), k).alias("_sh"),
+            minhash_signature(F.col(text_col), n_hashes, k, seed, portable).alias("sig"),
+        )
+        .where(F.col(text_col).isNotNull())
+        .persist()
+    )
     cand = lsh_candidate_pairs(base, key=key, sig_col="sig", bands=bands)
     a = base.select(F.col(key).alias("id_a"), F.col("_sh").alias("sh_a"))
     b = base.select(F.col(key).alias("id_b"), F.col("_sh").alias("sh_b"))
