@@ -105,6 +105,12 @@ def main() -> None:
         "turns": n_turns,
         "turns_per_sec_rollup": round(n_turns / timings["rollup_cascade"], 1),
     }
+    # scaling evidence (local[8] vs local[32] on the identical job/input,
+    # produced by scripts/bench_scaling.py — see BENCH.md protocol)
+    scaling_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
+    if os.path.exists(scaling_file):
+        with open(scaling_file) as f:
+            out["scaling"] = json.load(f)
     print(json.dumps(out))
 
 

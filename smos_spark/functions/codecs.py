@@ -187,7 +187,7 @@ def dod_encode(ts: np.ndarray) -> bytes:
         return header + struct.pack("<q", int(t[0]))
     first_delta = int(t[1]) - int(t[0])
     out = [header, struct.pack("<qq", int(t[0]), first_delta)]
-    deltas = np.diff(t.astype(object))  # python ints → no overflow
+    deltas = np.diff(t)  # int64; timestamp deltas cannot overflow
     w = _BitWriter()
     prev_delta = first_delta
     for i in range(1, len(deltas)):

@@ -3,15 +3,25 @@
 The reference persists each grid point's series inside a zlib-chunked
 cell file (/root/reference/src/smos/interface.py:341,376 — zlib
 complevel 6, chunksize 1000). Our engine's analog stores one compressed
-block row per (conv_id, value column): delta-of-delta timestamps +
-Gorilla XOR values (smos_spark.functions.codecs), produced by a
-grouped-map Arrow kernel.
+block row per conversation: delta-of-delta timestamps + Gorilla XOR
+values (smos_spark.functions.codecs).
 
-Scale: one shuffle on conv_id (same partitioning the tier rollup uses —
-on a real cluster both read the bucket(conv_id) layout, so this is
-co-partitioned). The Python loop is per group, and groups stream
-through Arrow batches; blobs are orders of magnitude smaller than the
-row form, so the write amplification is negative.
+Scale design (learned the hard way at ~10⁶ conversations):
+
+* NOT `groupBy().applyInPandas` — Spark's grouped-map machinery costs
+  milliseconds per group (one pandas frame per group), which at a
+  million tiny series is hours. Instead: explicit
+  `repartition(N, key)` + `sortWithinPartitions(key, ts)` + a
+  streaming `mapInPandas` kernel that finds group boundaries with
+  numpy and encodes each slice directly — per-group cost is a few
+  tens of microseconds.
+* The repartition carries an EXPLICIT partition count so AQE cannot
+  coalesce the exchange down to a handful of partitions (the encode
+  cost lives in Python workers, which AQE's size-based coalescing
+  cannot see).
+* Groups may straddle Arrow batch boundaries; the kernel carries the
+  tail rows of each batch forward (batches arrive in partition order,
+  so every group is contiguous).
 """
 
 from __future__ import annotations
@@ -21,7 +31,6 @@ from collections.abc import Sequence
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from smos_spark.functions.codecs import (
     dod_decode,
@@ -39,6 +48,7 @@ def compress_series(
     key: str = "conv_id",
     ts_col: str = "ts",
     order_cols: Sequence[str] | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """→ one row per key: (key, n, first_ts, last_ts, ts_blob,
     <col>_blob…). Ordering inside the block is (ts, *order_cols) —
@@ -49,23 +59,66 @@ def compress_series(
         f"{key} string, n long, first_ts timestamp, last_ts timestamp, ts_blob binary, "
         + ", ".join(f"{c}_blob binary" for c in value_cols)
     )
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
+    arranged = df.repartition(n_parts, key).sortWithinPartitions(key, *order)
 
-    def _enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort")
-        ts = pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
-        row = {
-            key: [pdf[key].iloc[0]],
-            "n": [len(pdf)],
-            "first_ts": [pdf[ts_col].iloc[0]],
-            "last_ts": [pdf[ts_col].iloc[-1]],
-            "ts_blob": [dod_encode(ts)],
-        }
-        for c in value_cols:
-            vals = pdf[c].astype("float64").to_numpy()
-            row[f"{c}_blob"] = [gorilla_encode(vals)]
-        return pd.DataFrame(row)
+    def _encode_slice(rows: dict, kv, ts_us, ts_raw, vals) -> None:
+        rows[key].append(kv)
+        rows["n"].append(len(ts_us))
+        rows["first_ts"].append(ts_raw[0])
+        rows["last_ts"].append(ts_raw[-1])
+        rows["ts_blob"].append(dod_encode(ts_us))
+        for c, arr in vals.items():
+            rows[f"{c}_blob"].append(gorilla_encode(arr))
 
-    return df.groupBy(key).applyInPandas(_enc, schema=schema)
+    def _empty_rows() -> dict:
+        cols = [key, "n", "first_ts", "last_ts", "ts_blob"] + [
+            f"{c}_blob" for c in value_cols
+        ]
+        return {c: [] for c in cols}
+
+    def _enc_stream(batches):
+        carry: pd.DataFrame | None = None
+        rows = _empty_rows()
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            keys = pdf[key].to_numpy()
+            change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            # the last group may continue into the next batch → carry
+            carry = pdf.iloc[starts[-1] :]
+            if len(starts) == 1:
+                continue
+            ts_raw = pdf[ts_col].to_numpy()
+            ts_us = ts_raw.astype("datetime64[us]").astype("int64")
+            vals_all = {c: pdf[c].to_numpy(dtype="float64") for c in value_cols}
+            for s, e in zip(starts[:-1], starts[1:]):
+                _encode_slice(
+                    rows,
+                    keys[s],
+                    ts_us[s:e],
+                    ts_raw[s:e],
+                    {c: a[s:e] for c, a in vals_all.items()},
+                )
+            if len(rows[key]) >= 4096:
+                yield pd.DataFrame(rows)
+                rows = _empty_rows()
+        if carry is not None and len(carry):
+            ts_raw = carry[ts_col].to_numpy()
+            _encode_slice(
+                rows,
+                carry[key].iloc[0],
+                ts_raw.astype("datetime64[us]").astype("int64"),
+                ts_raw,
+                {c: carry[c].to_numpy(dtype="float64") for c in value_cols},
+            )
+        if len(rows[key]):
+            yield pd.DataFrame(rows)
+
+    return arranged.mapInPandas(_enc_stream, schema=schema)
 
 
 def decompress_series(
@@ -80,15 +133,18 @@ def decompress_series(
     schema = f"{key} string, {ts_col} timestamp, " + ", ".join(
         f"{c} double" for c in value_cols
     )
+    blob_cols = [f"{c}_blob" for c in value_cols]
 
     def _dec(batches):
         for pdf in batches:
             frames = []
-            for _, r in pdf.iterrows():
-                ts = dod_decode(bytes(r["ts_blob"])).astype("datetime64[us]")
-                data = {key: r[key], ts_col: ts}
-                for c in value_cols:
-                    data[c] = gorilla_decode(bytes(r[f"{c}_blob"]))
+            for kv, ts_blob, *blobs in zip(
+                pdf[key], pdf["ts_blob"], *[pdf[b] for b in blob_cols]
+            ):
+                ts = dod_decode(bytes(ts_blob)).astype("datetime64[us]")
+                data = {key: kv, ts_col: ts}
+                for c, blob in zip(value_cols, blobs):
+                    data[c] = gorilla_decode(bytes(blob))
                 frames.append(pd.DataFrame(data))
             if frames:
                 yield pd.concat(frames, ignore_index=True)

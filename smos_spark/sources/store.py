@@ -128,10 +128,16 @@ class TranscriptStore:
         )
 
     def write_tier(self, tier_df: DataFrame, tier: str, mode: str = "overwrite") -> None:
+        # Hash-repartition on the partition columns (one shuffle, no
+        # sampling pass — repartitionByRange would re-execute the whole
+        # upstream aggregate to sample range boundaries). The sort
+        # leads with the partition columns so the dynamic-partition
+        # writer's required ordering is already satisfied: no hidden
+        # second sort, one open file at a time, conv-clustered rows.
         (
             self._with_partition_cols(tier_df)
             .repartition("bucket_date", "bucket_id")
-            .sortWithinPartitions("conv_id", "bucket_start")
+            .sortWithinPartitions("bucket_date", "bucket_id", "conv_id", "bucket_start")
             .write.partitionBy("bucket_date", "bucket_id")
             .mode(mode)
             .parquet(self.tier_path(tier))
