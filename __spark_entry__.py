@@ -259,6 +259,14 @@ def _q_top1_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min idle timeout): lag-window break
+    flags + running sum, then per-session rollup."""
+    from smos_spark.operators.sessionize import session_stats
+
+    return session_stats(_transcripts(spark, sf_dir), gap_seconds=1800)
+
+
 def _q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla XOR + delta-of-delta codecs: compress each conv's value
     series, decompress, verify bit-exact values & timestamps. Output
@@ -483,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_rollup": _q_calendar_rollup,
         "minmax_ts": _q_minmax_ts,
         "top1_latest": _q_top1_latest,
+        "sessionize_30m": _q_sessionize_30m,
         "codec_roundtrip": _q_codec_roundtrip,
         "incremental_1d": _q_incremental_1d,
         "doc_token_counts": _q_doc_token_counts,
@@ -643,6 +652,27 @@ def oracle_sql() -> dict[str, str]:
         + """
           SELECT conv_id, turn_idx, ts FROM t
           ORDER BY ts DESC, conv_id ASC, turn_idx DESC LIMIT 1
+        """,
+        "sessionize_30m": _T_CTE
+        + """
+          , marked AS (
+            SELECT conv_id, turn_idx, ts, tool, text,
+              CASE WHEN lag(ts) OVER w IS NULL
+                     OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                   THEN 1 ELSE 0 END AS brk
+            FROM t
+            WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)),
+          sess AS (
+            SELECT conv_id, turn_idx, ts, tool, text,
+              CAST(sum(brk) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS session_id
+            FROM marked)
+          SELECT conv_id, session_id,
+                 min(ts) AS session_start, max(ts) AS session_end,
+                 CAST(count(*) AS BIGINT) AS n_turns,
+                 CAST(count(tool) AS BIGINT) AS n_tool_calls,
+                 CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS len_sum
+          FROM sess GROUP BY 1, 2
         """,
         "codec_roundtrip": """
           SELECT CAST(user_id AS VARCHAR) AS conv_id,
