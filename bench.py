@@ -79,7 +79,13 @@ def main() -> None:
     def q_cosine_topk():
         _force(cosine_topk(embs, query_id=0, k=10))
 
+    def q_sessionize():
+        from smos_spark.operators.sessionize import session_stats
+
+        _force(session_stats(t, gap_seconds=1800))
+
     queries = {
+        "sessionize": q_sessionize,
         "rollup_cascade": q_rollup_cascade,
         "gapfill_ffill": q_gapfill_ffill,
         "codec_roundtrip": q_codec_roundtrip,
