@@ -44,8 +44,12 @@ def main() -> None:
     from smos_spark.operators.similarity import cosine_topk
     from smos_spark.operators.text import text_profile
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # the sf parquet files are single row-groups (1 input split); spread
+    # them once so operator timings reflect parallel execution, as they
+    # would on a many-file production table
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(64).cache()
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(64).cache()
+    docs.count(), embs.count()
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         F.col("user_id").cast("string").alias("conv_id"), "ts", "value"
     )
@@ -74,7 +78,7 @@ def main() -> None:
         _force(minhash_dedup_pairs(docs, threshold=0.7, portable=False))
 
     def q_text_profile():
-        _force(text_profile(docs))
+        _force(text_profile(docs, portable=False))
 
     def q_cosine_topk():
         _force(cosine_topk(embs, query_id=0, k=10))

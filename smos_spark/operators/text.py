@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from smos_spark.functions.texthash import fast_hash64, md5_hash64
+from smos_spark.functions.texthash import md5_hash64
 
 TOKEN_RE = "[A-Za-z0-9]+"
 # BPE-ish: letter runs, digit runs, single punctuation marks
@@ -95,19 +95,27 @@ def quality_score(col: Column, round_to: int = 6) -> Column:
 def fingerprint(col: Column, k: int = 8, portable: bool = True) -> Column:
     """Winnowing-style document fingerprint: min hash over all k-char
     shingles (rolling window). portable=True uses the md5 hash with a
-    DuckDB twin; portable=False uses xxhash64 (the 100 TB hot path).
-    Short/NULL docs hash the whole text."""
-    hash_fn = md5_hash64 if portable else fast_hash64
+    DuckDB twin; portable=False runs the vectorized numpy rolling-hash
+    kernel (the 100 TB hot path — Catalyst transform lambdas are
+    interpreted per element). Short/NULL docs hash the whole text."""
+    if not portable:
+        from smos_spark.operators.dedup import _hashed_shingles_udf
+
+        return F.array_min(_hashed_shingles_udf(k)(col))
     n_sh = F.greatest(F.length(col) - (k - 1), F.lit(1))
     idx = F.sequence(F.lit(1), n_sh)
     return F.array_min(
-        F.transform(idx, lambda i: hash_fn(col.substr(i, F.lit(k))))
+        F.transform(idx, lambda i: md5_hash64(col.substr(i, F.lit(k))))
     )
 
 
-def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+def text_profile(
+    df: DataFrame, text_col: str = "text", portable: bool = True
+) -> DataFrame:
     """One row per doc: length, token counts, punct ratio, lang, quality,
-    fingerprint — the full text-analysis pass, single scan."""
+    fingerprint — the full text-analysis pass, single scan.
+    portable=False swaps the fingerprint to the vectorized numpy
+    rolling-hash kernel (hot path)."""
     c = F.col(text_col)
     return df.select(
         *[x for x in df.columns if x != text_col],
@@ -117,5 +125,5 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(punct_ratio(c), 6).alias("punct_ratio"),
         lang_id(c).alias("lang_pred"),
         quality_score(c).alias("quality"),
-        fingerprint(c).alias("fp"),
+        fingerprint(c, portable=portable).alias("fp"),
     )
