@@ -82,3 +82,22 @@ def read_conv_series(
     if downcast_ints:
         df = downcast_whole_floats(df, value_cols)
     return df
+
+
+def read_block_series(
+    spark: SparkSession,
+    blocks_path: str,
+    conv_id: str,
+    value_cols: Sequence[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Point read from the compressed block store (the compact
+    long-retention representation written by the rollup job's
+    --blocks phase): the conv_id predicate pushes down to the parquet
+    scan (key column min/max row-group stats — blocks are written
+    conv-clustered), then ONLY that conversation's blocks are
+    decoded. Returns the long-form series ordered by time."""
+    from smos_spark.operators.compress import decompress_series
+
+    blocks = spark.read.parquet(blocks_path).where(F.col("conv_id") == conv_id)
+    return decompress_series(blocks, list(value_cols), ts_col=ts_col).orderBy(ts_col)

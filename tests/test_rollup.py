@@ -98,3 +98,45 @@ def test_derived_rates(transcripts, transcripts_pdf):
     )
     # buckets with no non-null text → len_mean NULL (0 vs null contract)
     assert got.loc[~has_len, "len_mean"].isna().all()
+
+
+def test_block_store_point_read(spark, transcripts, tmp_path):
+    """Compressed block store round-trips a single conversation's
+    series through the parquet-pushdown point read."""
+    from pyspark.sql import functions as F
+
+    from smos_spark.operators.compress import compress_series
+    from smos_spark.readback import read_block_series
+
+    ser = transcripts.select(
+        "conv_id", "ts", F.length("text").cast("double").alias("tl")
+    )
+    path = str(tmp_path / "blocks")
+    compress_series(ser, ["tl"]).write.parquet(path)
+
+    conv = "conv000003"
+    # sort by (ts, value) on both sides: synth plants duplicate-ts
+    # rows, so a ts-only order is ambiguous for value comparison
+    got = (
+        read_block_series(spark, path, conv, ["tl"])
+        .toPandas()
+        .sort_values(["ts", "tl"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp = (
+        ser.where(F.col("conv_id") == conv)
+        .toPandas()
+        .sort_values(["ts", "tl"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    import numpy as np
+
+    np.testing.assert_array_equal(
+        got.ts.to_numpy().astype("datetime64[us]"),
+        exp.ts.to_numpy().astype("datetime64[us]"),
+    )
+    a = got.tl.to_numpy()
+    b = exp.tl.to_numpy()
+    mask = ~(np.isnan(a) & np.isnan(b))
+    np.testing.assert_array_equal(a[mask], b[mask])
