@@ -320,11 +320,41 @@ def ngram_jaccard_pairs(
 
 
 # -------------------------------------------------------------- simhash
-def simhash(col: Column, nbits: int = 64) -> Column:
-    """64-bit SimHash from whitespace tokens, built-in expressions only:
-    per bit, sign of Σ±1 over token hashes → bit. aggregate() folds
-    JVM-side; no shuffle, no Python."""
+def _simhash_from_hashes_udf():
+    """Arrow-batched SimHash kernel: array<long> token hashes → long
+    signature. Per row, the (n_tokens × 64) bit matrix collapses with
+    one vectorized sum — vs 64 interpreted aggregate() folds per doc
+    in the expression path."""
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def _sh(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, h in enumerate(hashes):
+            if h is None or not len(h):
+                continue
+            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+            bits = (hv[:, None] >> shifts) & np.uint64(1)  # (n, 64)
+            votes = 2 * bits.astype(np.int64).sum(axis=0) - len(hv)
+            sig = np.uint64(0)
+            for j in np.flatnonzero(votes > 0):
+                sig |= np.uint64(1) << np.uint64(j)
+            out[i] = sig.astype(np.int64) if sig < (1 << 63) else np.int64(sig - (1 << 64))
+        return pd.Series(out)
+
+    return _sh
+
+
+def simhash(col: Column, nbits: int = 64, portable: bool = True) -> Column:
+    """64-bit SimHash from whitespace tokens: per bit, sign of Σ±1 over
+    token hashes → bit. portable=True folds with built-in aggregate()
+    expressions (deterministic md5 basis); portable=False hashes tokens
+    with xxhash64 and collapses the bit matrix in numpy (hot path)."""
     toks = F.regexp_extract_all(F.lower(col), F.lit("[a-z0-9]+"), 0)
+    if not portable:
+        return _simhash_from_hashes_udf()(F.transform(toks, fast_hash64))
     th = F.transform(toks, md5_hash64)
 
     def _bitfold(j: int):
@@ -350,12 +380,13 @@ def simhash_pairs(
     key: str = "doc_id",
     max_hamming: int = 3,
     n_chunks: int = 4,
+    portable: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into
     n_chunks 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical
     chunk), bucket-join on chunks, verify bit_count(xor) ≤ max_hamming."""
     base = df.where(F.col(text_col).isNotNull()).select(
-        F.col(key), simhash(F.col(text_col)).alias("sh")
+        F.col(key), simhash(F.col(text_col), portable=portable).alias("sh")
     )
     width = 64 // n_chunks
     mask = (1 << width) - 1
