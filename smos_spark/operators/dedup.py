@@ -433,16 +433,39 @@ def cosine(a: Column, b: Column, round_to: int | None = 6) -> Column:
     return F.round(c, round_to) if round_to is not None else c
 
 
+def _cosine_pairs_udf(round_to: int = 6):
+    """Arrow-batched pairwise cosine: stacks a batch of vector pairs
+    into two matrices and does the whole batch with BLAS row ops —
+    the zip_with/aggregate expression path is interpreted per element."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _c(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        denom = na * nb
+        sims = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), 0.0)
+        return pd.Series(np.round(sims, round_to))
+
+    return _c
+
+
 def embedding_near_dup(
     df: DataFrame,
     vec_col: str = "embedding",
     key: str = "vec_id",
     block_col: str | None = "label",
     threshold: float = 0.95,
+    portable: bool = True,
 ) -> DataFrame:
     """Near-duplicate vectors: blocked pairwise cosine ≥ threshold.
     Block by a coarse key (label here; LSH bucket in similarity.py for
-    unlabeled data) so the join is bucket-local, never all-pairs."""
+    unlabeled data) so the join is bucket-local, never all-pairs.
+    portable=False scores candidate pairs with the Arrow-batched BLAS
+    kernel (hot path)."""
     cols = [F.col(key), F.col(vec_col).cast("array<double>").alias("_v")]
     if block_col:
         cols.append(F.col(block_col))
@@ -451,12 +474,17 @@ def embedding_near_dup(
     cond = F.col(f"a.{key}") < F.col(f"b.{key}")
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    score = (
+        cosine(F.col("a._v"), F.col("b._v"))
+        if portable
+        else _cosine_pairs_udf()(F.col("a._v"), F.col("b._v"))
+    )
     return (
         a.join(b, cond)
         .select(
             F.col(f"a.{key}").alias("id_a"),
             F.col(f"b.{key}").alias("id_b"),
-            cosine(F.col("a._v"), F.col("b._v")).alias("cos_sim"),
+            score.alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
