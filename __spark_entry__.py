@@ -406,7 +406,7 @@ def _q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard pairs blocked by lang. Rows-only check."""
+    """Word-3-gram Jaccard near-dup pairs blocked by lang."""
     from smos_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
@@ -724,6 +724,22 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash": f"""
           SELECT doc_id, {mins}
           FROM documents WHERE text IS NOT NULL
+        """,
+        "doc_ngram_pairs": """
+          WITH toks AS (
+            SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS tk
+            FROM documents WHERE text IS NOT NULL),
+          grams AS (
+            SELECT doc_id, lang,
+              list_distinct(list_transform(
+                generate_series(1, greatest(len(tk) - 2, 1)),
+                i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS g
+            FROM toks)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE round(
+            len(list_intersect(a.g, b.g))::DOUBLE
+            / len(list_distinct(list_concat(a.g, b.g))), 6) >= 0.8
         """,
         "emb_near_dup": """
           SELECT a.vec_id AS id_a, b.vec_id AS id_b
