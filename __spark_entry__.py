@@ -444,6 +444,16 @@ def _q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(_embs(spark, sf_dir), query_id=0, k=10, n_probe=3).select("vec_id")
 
 
+def _q_emb_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over UNLABELED vectors: deterministic k-means-lite
+    coarse cells + probed search. Approximate → rows-only."""
+    from smos_spark.operators.similarity import ivf_topk_auto
+
+    return ivf_topk_auto(
+        _embs(spark, sf_dir).drop("label"), query_id=0, k=10, n_cells=8, n_probe=3
+    ).select("vec_id")
+
+
 def _q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN (multi-probe hamming 1). Approximate →
     rows-only."""
@@ -506,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": _q_emb_near_dup,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_ivf_topk": _q_emb_ivf_topk,
+        "emb_ivf_auto": _q_emb_ivf_auto,
         "emb_lsh_topk": _q_emb_lsh_topk,
         "multimodal_features": _q_multimodal_features,
     }

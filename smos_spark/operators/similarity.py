@@ -17,6 +17,7 @@ of the oracle resolve the same query vector):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -141,3 +142,79 @@ def lsh_topk(
         .select(F.col(key), cosine(F.col("_v"), q).alias("cos_sim"))
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(key)).limit(k)
+
+
+def _assign_cells_udf(centroids: np.ndarray):
+    """Arrow-batched nearest-centroid assignment: batch matrix (n, d)
+    against the driver-held (k, d) centroid matrix in one BLAS
+    product. Centroids are tiny (k×d floats) — they ship inside the
+    UDF closure; the data itself never leaves the executors."""
+    from pyspark.sql.functions import pandas_udf
+
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cn.T, axis=1).astype(np.int32))
+
+    return _assign
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 16,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    seed: int = 42,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Lightweight Lloyd k-means over cosine distance for IVF coarse
+    cells on UNLABELED data. Deterministic seeding (k rows chosen by
+    hash order); per iteration: one distributed assignment pass
+    (BLAS batch kernel) + one groupBy mean; the (k, dim) centroid
+    matrix lives on the driver. Returns df + `cell` column — at scale
+    the table is written partitioned/clustered by this column, so IVF
+    probes become partition pruning."""
+    dfd = df.withColumn("_v", F.col(vec_col).cast("array<double>"))
+    dim = len(dfd.select(vec_col).limit(1).collect()[0][0])
+    seed_rows = (
+        dfd.select("_v", F.xxhash64(F.col(key).cast("string"), F.lit(seed)).alias("_h"))
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    centroids = np.array([r._v for r in seed_rows], dtype=np.float64)
+    for _ in range(n_iters):
+        assigned = dfd.withColumn(cell_col, _assign_cells_udf(centroids)(F.col("_v")))
+        means = (
+            assigned.groupBy(cell_col)
+            .agg(*[F.avg(F.col("_v")[i]).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        for r in means:
+            centroids[r[cell_col]] = [r[f"c{i}"] for i in range(dim)]
+    return dfd.withColumn(cell_col, _assign_cells_udf(centroids)(F.col("_v"))).drop("_v")
+
+
+def ivf_topk_auto(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN over unlabeled vectors: k-means-lite coarse cells +
+    probe-the-nearest-cells search (ivf_topk)."""
+    cells = kmeans_assign(
+        df, k=n_cells, vec_col=vec_col, key=key, seed=seed, cell_col="cell"
+    )
+    return ivf_topk(
+        cells, query_id=query_id, k=k, n_probe=n_probe,
+        vec_col=vec_col, key=key, cell_col="cell",
+    )

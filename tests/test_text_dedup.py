@@ -236,3 +236,20 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         extract_features(media, strict=True)
+
+
+def test_ivf_auto_unlabeled(embs):
+    from smos_spark.operators.similarity import cosine_topk, ivf_topk_auto
+
+    brute = cosine_topk(embs, query_id=0, k=10).toPandas()
+    auto = ivf_topk_auto(
+        embs.drop("label"), query_id=0, k=10, n_cells=8, n_probe=3
+    ).toPandas()
+    assert len(auto) == 10
+    recall = len(set(auto.vec_id) & set(brute.vec_id)) / 10
+    assert recall >= 0.3
+    # deterministic across runs
+    auto2 = ivf_topk_auto(
+        embs.drop("label"), query_id=0, k=10, n_cells=8, n_probe=3
+    ).toPandas()
+    assert auto.vec_id.tolist() == auto2.vec_id.tolist()
