@@ -17,12 +17,43 @@ without depending on either engine's half-up rounding behavior.
 
 from __future__ import annotations
 
+import os
+import sys
 import tempfile
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# Make smos_spark importable regardless of the harness's cwd, both on
+# the driver (sys.path) and on executor Python workers (addPyFile —
+# UDF closures unpickle `smos_spark.*` by reference on the workers).
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+
+def _ensure_dist(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    if getattr(sc, "_smos_dist_added", False):
+        return
+    zpath = os.path.join(tempfile.gettempdir(), "smos_spark_dist.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            pkg = os.path.join(_REPO, "smos_spark")
+            for root, _dirs, files in os.walk(pkg):
+                for fn in sorted(files):
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        zf.write(full, os.path.relpath(full, _REPO))
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # already added in this JVM (e.g. across sessions)
+    sc._smos_dist_added = True
 
 # ---------------------------------------------------------------------------
 # transcripts view over the events table (Spark + DuckDB twins)
@@ -481,10 +512,28 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts → 1m tier → 1h cascade → derived rates."""
     from smos_spark.operators.rollup import with_derived
 
+    _ensure_dist(spark)
     return with_derived(_tier_1h(spark, "/root/testdata/sf0.001"), round_to=6)
 
 
+def _with_dist(fn: Callable) -> Callable:
+    def _wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_dist(spark)
+        return fn(spark, sf_dir)
+
+    _wrapped.__doc__ = fn.__doc__
+    _wrapped.__name__ = fn.__name__
+    return _wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        name: _with_dist(fn)
+        for name, fn in _raw_queries().items()
+    }
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
         "cascade_1h": _q_cascade_1h,
