@@ -55,16 +55,18 @@ class Overview:
     last_day: str | None = None  # max ts seen, ISO string
     last_batch_id: int = -1
     parameters: dict | None = None
+    extra: dict = None  # free-form state (e.g. retention_floor per tier)
 
     @classmethod
     def load(cls, path: Path) -> "Overview":
         if not path.exists():
-            return cls()
+            return cls(extra={})
         d = json.loads(path.read_text())
         return cls(
             last_day=d.get("last_day"),
             last_batch_id=d.get("last_batch_id", -1),
             parameters=d.get("parameters"),
+            extra=d.get("extra") or {},
         )
 
     def save(self, path: Path) -> None:
@@ -76,6 +78,7 @@ class Overview:
                     "last_day": self.last_day,
                     "last_batch_id": self.last_batch_id,
                     "parameters": self.parameters,
+                    "extra": self.extra or {},
                 }
             )
         )
@@ -154,7 +157,7 @@ class TranscriptStore:
             (
                 self._with_partition_cols(tier_df)
                 .repartition("bucket_date", "bucket_id")
-                .sortWithinPartitions("conv_id", "bucket_start")
+                .sortWithinPartitions("bucket_date", "bucket_id", "conv_id", "bucket_start")
                 .write.partitionBy("bucket_date", "bucket_id")
                 .mode("overwrite")
                 .parquet(self.tier_path(tier))
