@@ -30,6 +30,8 @@ __all__ = [
     "reaggregate",
     "with_derived",
     "salted_rollup_from_raw",
+    "detect_hot_convs",
+    "rollup_auto",
 ]
 
 
@@ -148,3 +150,49 @@ def salted_rollup_from_raw(df: DataFrame, tier: str, n_salts: int = 16) -> DataF
         salt,
     ).agg(*_partial_aggs())
     return phase1.groupBy("conv_id", "bucket_start").agg(*_merge_aggs())
+
+
+def detect_hot_convs(
+    df: DataFrame,
+    hot_threshold: int = 1_000_000,
+    sample_fraction: float = 0.001,
+    seed: int = 42,
+) -> list[str]:
+    """Estimate the set of hot conversations from a cheap seeded
+    sample: a conv whose sampled count / fraction exceeds the
+    threshold is hot. At 10^12 turns a 0.1% sample is 10^9 rows —
+    still a distributed count, never a full-key histogram on the
+    driver; only the (tiny) hot list is collected."""
+    est = (
+        df.sample(fraction=sample_fraction, seed=seed)
+        .groupBy("conv_id")
+        .count()
+        .where(F.col("count") >= hot_threshold * sample_fraction)
+    )
+    return [r.conv_id for r in est.collect()]
+
+
+def rollup_auto(
+    df: DataFrame,
+    tier: str,
+    hot_threshold: int = 1_000_000,
+    sample_fraction: float = 0.001,
+    n_salts: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-aware rollup: hot conversations (detected by sampling) go
+    through the two-phase salted aggregation, the cold majority
+    through the plain single-shuffle rollup; results are identical to
+    `rollup_from_raw` (asserted in tests). With no hot keys this is
+    exactly the plain plan plus one cheap sampling job.
+
+    Note Spark's map-side partial aggregation already absorbs moderate
+    skew for these algebraic partials — use a threshold reflecting
+    genuinely pathological keys (default 10^6 turns/conv)."""
+    hot = detect_hot_convs(df, hot_threshold, sample_fraction, seed)
+    if not hot:
+        return rollup_from_raw(df, tier)
+    is_hot = F.col("conv_id").isin(hot)
+    cold_part = rollup_from_raw(df.where(~is_hot), tier)
+    hot_part = salted_rollup_from_raw(df.where(is_hot), tier, n_salts=n_salts)
+    return cold_part.unionByName(hot_part)

@@ -140,3 +140,20 @@ def test_block_store_point_read(spark, transcripts, tmp_path):
     b = exp.tl.to_numpy()
     mask = ~(np.isnan(a) & np.isnan(b))
     np.testing.assert_array_equal(a[mask], b[mask])
+
+
+def test_rollup_auto_equals_plain(spark, transcripts):
+    """Skew-aware auto rollup (sampled hot detection + salted/plain
+    split) must be value-identical to the plain rollup; synth plants
+    hot convs carrying ~50% of turns so the hot branch activates."""
+    from smos_spark.operators.rollup import detect_hot_convs, rollup_auto, rollup_from_raw
+
+    hot = detect_hot_convs(transcripts, hot_threshold=500, sample_fraction=0.2)
+    assert hot, "synth hot convs must be detectable"
+    auto = rollup_auto(
+        transcripts, "1h", hot_threshold=500, sample_fraction=0.2
+    )
+    plain = rollup_from_raw(transcripts, "1h")
+    assert auto.count() == plain.count()
+    assert auto.exceptAll(plain).count() == 0
+    assert plain.exceptAll(auto).count() == 0
