@@ -40,15 +40,31 @@ def _ensure_dist(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_smos_dist_added", False):
         return
-    zpath = os.path.join(tempfile.gettempdir(), "smos_spark_dist.zip")
+    # name the zip by a content hash of the source tree so executors
+    # can never unpickle UDFs against a stale cached build
+    import hashlib
+
+    pkg = os.path.join(_REPO, "smos_spark")
+    sources = []
+    for root, _dirs, files in os.walk(pkg):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                sources.append((os.path.relpath(full, _REPO), full))
+    h = hashlib.sha256()
+    for rel, full in sorted(sources):
+        h.update(rel.encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"smos_spark_dist_{h.hexdigest()[:16]}.zip"
+    )
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
-            pkg = os.path.join(_REPO, "smos_spark")
-            for root, _dirs, files in os.walk(pkg):
-                for fn in sorted(files):
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        zf.write(full, os.path.relpath(full, _REPO))
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for rel, full in sorted(sources):
+                zf.write(full, rel)
+        os.replace(tmp, zpath)
     try:
         sc.addPyFile(zpath)
     except Exception:
@@ -421,19 +437,26 @@ def _q_doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs verified by exact Jaccard.
-    Non-SQL-expressible at reasonable oracle cost → rows-only check."""
+    """MinHash+LSH near-dup pairs verified by exact Jaccard. Exact
+    DuckDB twin: same md5/universal-hash signatures, band slices
+    compared directly, same shingle-Jaccard verify. IDs only."""
     from smos_spark.operators.dedup import minhash_dedup_pairs
 
-    return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5).select(
+        "id_a", "id_b"
+    )
 
 
 def _q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (bucketed by 16-bit chunk, bit_count
-    verify). Rows-only check."""
+    verify). Exact DuckDB twin: md5 token hashes → per-bit vote folds
+    (bits 60-63 provably 0 since md5_hash64 < 2^60, so the signature
+    is overflow-free in both engines)."""
     from smos_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=6)
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=6).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def _q_doc_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,7 +492,9 @@ def _q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (probe top-3 label cells). Approximate → rows-only."""
+    """IVF ANN (probe top-3 label cells). Deterministic: quantized
+    integer-sum centroids are order-independent, so the probed cells
+    and the within-cell ranking have an exact DuckDB twin."""
     from smos_spark.operators.similarity import ivf_topk
 
     return ivf_topk(_embs(spark, sf_dir), query_id=0, k=10, n_probe=3).select("vec_id")
@@ -486,11 +511,14 @@ def _q_emb_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN (multi-probe hamming 1). Approximate →
-    rows-only."""
+    """Hyperplane-LSH ANN (multi-probe hamming 1). portable=True
+    buckets with Catalyst expressions whose fold order matches the
+    DuckDB twin (seeded plane literals identical on both sides)."""
     from smos_spark.operators.similarity import lsh_topk
 
-    return lsh_topk(_embs(spark, sf_dir), query_id=0, k=10, n_planes=8).select("vec_id")
+    return lsh_topk(
+        _embs(spark, sf_dir), query_id=0, k=10, n_planes=8, portable=True
+    ).select("vec_id")
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -611,6 +639,134 @@ def oracle_sql() -> dict[str, str]:
         WHEN fr > 0 AND fr > en AND fr > es AND fr > de THEN 'fr'
         ELSE 'und'
       END
+    """
+
+    # --- minhash+LSH pairs twin: same md5/universal-hash signature
+    # cascade; candidates = pairs sharing ≥1 of 8 four-long band slices
+    # (Spark compares band hashes — identical arrays ⇒ equal hashes);
+    # verify = exact string-shingle Jaccard ≥ 0.5.
+    uh32 = ",\n             ".join(
+        f"list_min(list_transform(h, x -> {universal_hash_sql('x', a, b)}))"
+        for a, b in hash_params(32)
+    )
+    band_eq = "\n            OR ".join(
+        f"a.sig[{j * 4 + 1}:{j * 4 + 4}] = b.sig[{j * 4 + 1}:{j * 4 + 4}]"
+        for j in range(8)
+    )
+    minhash_pairs_sql = f"""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(text) - 4, 1)),
+                 i -> substr(text, i::int, 5))) AS shing
+        FROM documents WHERE text IS NOT NULL),
+      hh AS (
+        SELECT doc_id, shing, list_transform(shing, s -> {md5h.format('s')}) AS h
+        FROM sh),
+      sigs AS (
+        SELECT doc_id, shing,
+           [{uh32}] AS sig
+        FROM hh)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       AND ({band_eq})
+      WHERE round(len(list_intersect(a.shing, b.shing))::DOUBLE
+              / len(list_distinct(list_concat(a.shing, b.shing))), 6) >= 0.5
+    """
+
+    # --- simhash pairs twin: md5 token hashes (< 2^60, so bits 60-63
+    # vote all-minus-one ⇒ 0 on both sides and the signature stays in
+    # positive int64 range); candidates share a 16-bit chunk; verify
+    # hamming ≤ 6 via bit_count(xor).
+    bit_terms = "\n         + ".join(
+        f"(CASE WHEN coalesce(list_sum(list_transform(h, x -> "
+        f"CASE WHEN ((x >> {j}) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(60)
+    )
+    chunk_eq = " OR ".join(
+        f"((a.sh >> {i * 16}) & 65535) = ((b.sh >> {i * 16}) & 65535)"
+        for i in range(4)
+    )
+    simhash_pairs_sql = f"""
+      WITH th AS (
+        SELECT doc_id,
+               list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                              t -> {md5h.format('t')}) AS h
+        FROM documents WHERE text IS NOT NULL),
+      sigs AS (
+        SELECT doc_id,
+           ({bit_terms})::BIGINT AS sh
+        FROM th)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       AND ({chunk_eq})
+      WHERE bit_count(xor(a.sh, b.sh)) <= 6
+    """
+
+    def cos_sql(a: str, b: str) -> str:
+        return (
+            f"(list_sum(list_transform(generate_series(1, len({a})),"
+            f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+            f" / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+            f" * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))))"
+        )
+
+    # --- IVF twin: quantized integer-sum centroids (order-independent
+    # ⇒ bit-identical to Spark's), rank label cells by round-6 cosine
+    # (ties → label asc), probe top 3, exact within-cell ranking.
+    ivf_topk_sql = f"""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      cent AS (
+        SELECT label, dims.i AS i,
+               sum(CAST(round(embedding[dims.i]::DOUBLE * 1000000.0) AS BIGINT)) AS s,
+               count(*) AS c
+        FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) dims
+        GROUP BY 1, 2),
+      centl AS (
+        SELECT label, list(s::DOUBLE / (c::DOUBLE * 1000000.0) ORDER BY i) AS cen
+        FROM cent GROUP BY label),
+      ranked AS (
+        SELECT label FROM centl, q
+        ORDER BY round({cos_sql('cen', 'qv')}, 6) DESC, label ASC
+        LIMIT 3)
+      SELECT e.vec_id FROM embeddings e, q
+      WHERE e.label IN (SELECT label FROM ranked) AND e.vec_id != 0
+      ORDER BY round({cos_sql('e.embedding', 'qv')}, 6) DESC, e.vec_id ASC
+      LIMIT 10
+    """
+
+    # --- LSH twin: the same seeded hyperplanes as plane literals;
+    # bucket = Σ sign-of-projection bits; probe = query bucket + all
+    # hamming-1 neighbors; exact ranking within probed buckets.
+    from smos_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, 42)
+    plane_cols = ",\n               ".join(
+        "[" + ", ".join(repr(float(w)) for w in p) + f"]::DOUBLE[] AS p{j}"
+        for j, p in enumerate(planes)
+    )
+    bucket_terms = "\n           + ".join(
+        f"(CASE WHEN list_sum(list_transform(generate_series(1, 64),"
+        f" i -> e.embedding[i]::DOUBLE * p{j}[i])) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(8)
+    )
+    lsh_topk_sql = f"""
+      WITH planes AS (SELECT {plane_cols}),
+      b AS (
+        SELECT e.vec_id, e.embedding,
+           ({bucket_terms})::BIGINT AS bucket
+        FROM embeddings e, planes),
+      q AS (SELECT bucket AS qb, embedding AS qv FROM b WHERE vec_id = 0),
+      probe AS (
+        SELECT DISTINCT xor(q.qb, t.m) AS pb
+        FROM q, (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)) t(m))
+      SELECT b.vec_id
+      FROM b, q
+      WHERE b.vec_id != 0 AND b.bucket IN (SELECT pb FROM probe)
+      ORDER BY round({cos_sql('b.embedding', 'qv')}, 6) DESC, b.vec_id ASC
+      LIMIT 10
     """
 
     return {
@@ -785,6 +941,10 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, {mins}
           FROM documents WHERE text IS NOT NULL
         """,
+        "doc_minhash_pairs": minhash_pairs_sql,
+        "doc_simhash_pairs": simhash_pairs_sql,
+        "emb_ivf_topk": ivf_topk_sql,
+        "emb_lsh_topk": lsh_topk_sql,
         "doc_ngram_pairs": """
           WITH toks AS (
             SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS tk

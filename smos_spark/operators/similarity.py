@@ -12,6 +12,20 @@ of the oracle resolve the same query vector):
   ~n_probe/n_cells of the data (partition pruning on the bucket col).
 * Hyperplane LSH — seeded random hyperplanes → bit signature; probe
   the query's bucket (+ optional multi-probe neighbors).
+
+Determinism contract: IVF centroids are QUANTIZED means — per-dimension
+integer sums of round(x·1e6) divided by (n·1e6) — so they are exactly
+order-independent: the same value on any partitioning, any engine.
+That is what gives `ivf_topk` an exact DuckDB oracle (a float avg()
+would differ in the last ulp between summation orders).
+
+Index lifecycle at scale: these functions compute their coarse
+structure in-line (fine for one-shot queries and the sf oracles);
+`smos_spark.operators.ann_index.build_ann_index` persists the same
+structure (cell-partitioned vectors + centroid/plane sidecar) so a
+query is a partition-pruned read — the reference's own reshuffle
+lesson (/root/reference/docs/img2ts.rst:8-16: precompute the layout,
+prune at read).
 """
 
 from __future__ import annotations
@@ -23,16 +37,30 @@ from pyspark.sql import functions as F
 
 from smos_spark.operators.dedup import cosine
 
-__all__ = ["cosine_topk", "ivf_topk", "lsh_bucket", "lsh_topk"]
+__all__ = [
+    "cosine_topk",
+    "ivf_centroids",
+    "ivf_topk",
+    "lsh_bucket",
+    "lsh_assign",
+    "lsh_topk",
+    "kmeans_assign",
+    "ivf_topk_auto",
+]
 
 
-def _query_vec(df: DataFrame, key: str, vec_col: str, query_id: int) -> Column:
-    """The query vector as a literal array (tiny collect → broadcast-
-    as-literal: no join at all in the scan)."""
+def _query_vec_np(df: DataFrame, key: str, vec_col: str, query_id: int) -> np.ndarray:
+    """The query vector, collected once (a single-row lookup)."""
     row = df.where(F.col(key) == query_id).select(vec_col).collect()
     if not row:
         raise KeyError(f"{key}={query_id} not found")
-    return F.array(*[F.lit(float(x)) for x in row[0][0]])
+    return np.asarray(row[0][0], dtype=np.float64)
+
+
+def _lit_array(vec) -> Column:
+    """A small vector as a literal array — broadcast-as-literal: no
+    join at all in the scan."""
+    return F.array(*[F.lit(float(x)) for x in vec])
 
 
 def cosine_topk(
@@ -44,12 +72,44 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine: one scan + a k-row sort (TakeOrderedAndProject
     physical op — no full sort, no shuffle of the data)."""
-    q = _query_vec(df, key, vec_col, query_id)
+    q = _lit_array(_query_vec_np(df, key, vec_col, query_id))
     scored = df.where(F.col(key) != query_id).select(
         F.col(key),
         cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(key)).limit(k)
+
+
+def ivf_centroids(
+    df: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(cell, centroid) via quantized exact means: Σ round(x·1e6) as
+    int64 per dimension, divided by n·1e6. Integer sums are
+    order-independent, so the centroid is bit-identical across
+    partitionings and engines (the DuckDB oracle twin computes the
+    same integers). One aggregation pass, map-side partials."""
+    dfd = df.withColumn("_v", F.col(vec_col).cast("array<double>"))
+    if dim is None:
+        dim = len(dfd.select(vec_col).limit(1).collect()[0][0])
+    agg = dfd.groupBy(cell_col).agg(
+        *[
+            F.sum(F.round(F.col("_v")[i] * 1e6).cast("long")).alias(f"_s{i}")
+            for i in range(dim)
+        ],
+        F.count(F.lit(1)).alias("_c"),
+    )
+    return agg.select(
+        cell_col,
+        F.array(
+            *[
+                F.col(f"_s{i}").cast("double") / (F.col("_c").cast("double") * F.lit(1e6))
+                for i in range(dim)
+            ]
+        ).alias("centroid"),
+    )
 
 
 def ivf_topk(
@@ -60,21 +120,25 @@ def ivf_topk(
     vec_col: str = "embedding",
     key: str = "vec_id",
     cell_col: str = "label",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: cells are the precomputed coarse partition (`label`
     here; any clustering works). Rank cells by cosine(query, centroid),
     scan only the top n_probe cells. Approximate by design — returns
-    exact top-k *within* the probed cells."""
-    dfd = df.withColumn("_v", F.col(vec_col).cast("array<double>"))
-    dim = len(dfd.select(vec_col).limit(1).collect()[0][0])
-    centroids = dfd.groupBy(cell_col).agg(
-        F.array(*[F.avg(F.col("_v")[i]) for i in range(dim)]).alias("_centroid")
-    )
-    q = _query_vec(df, key, vec_col, query_id)
+    exact top-k *within* the probed cells.
+
+    Pass `centroids` (from `ivf_centroids` at index-build time, or an
+    AnnIndex sidecar) to skip the in-line centroid aggregation — at
+    scale centroids are computed ONCE when the table is written, and a
+    query touches only the probed partitions."""
+    qv = _query_vec_np(df, key, vec_col, query_id)
+    if centroids is None:
+        centroids = ivf_centroids(df, cell_col, vec_col, dim=len(qv))
+    q = _lit_array(qv)
     probe_cells = [
         r[cell_col]
         for r in centroids.select(
-            cell_col, cosine(F.col("_centroid"), q, round_to=None).alias("d")
+            cell_col, cosine(F.col("centroid"), q).alias("d")
         )
         .orderBy(F.desc("d"), F.asc(cell_col))
         .limit(n_probe)
@@ -83,8 +147,11 @@ def ivf_topk(
     # literal IN-list on the cell column → partition pruning when the
     # table is physically partitioned by cell
     scored = (
-        dfd.where(F.col(cell_col).isin(probe_cells) & (F.col(key) != query_id))
-        .select(F.col(key), cosine(F.col("_v"), q).alias("cos_sim"))
+        df.where(F.col(cell_col).isin(probe_cells) & (F.col(key) != query_id))
+        .select(
+            F.col(key),
+            cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),
+        )
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(key)).limit(k)
 
@@ -94,12 +161,13 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def lsh_bucket(
-    vec: Column, planes: np.ndarray
-) -> Column:
-    """Sign-of-projection bit signature → integer bucket id. The plane
-    matrix is seeded & embedded as literals (identical on every
-    executor and every run)."""
+def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-of-projection bit signature → integer bucket id, as pure
+    Catalyst expressions. The plane matrix is seeded & embedded as
+    literals (identical on every executor and every run). This is the
+    PORTABLE path (exact DuckDB twin: the fold order of the dot
+    product matches list_sum); `lsh_assign(portable=False)` is the
+    Arrow-batched hot path for bulk bucketing."""
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         dot = F.aggregate(
@@ -115,6 +183,45 @@ def lsh_bucket(
     return bucket
 
 
+def _lsh_bucket_udf(planes: np.ndarray):
+    """Arrow-batched bucket kernel: a batch of vectors against the
+    (n_planes, dim) plane matrix in one BLAS product — one sign test
+    per (vector, plane), no interpreted per-element lambdas."""
+    from pyspark.sql.functions import pandas_udf
+
+    pl = np.ascontiguousarray(planes, dtype=np.float64)
+    weights = (np.int64(1) << np.arange(len(pl), dtype=np.int64))
+
+    @pandas_udf("long")
+    def _b(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(((m @ pl.T > 0) * weights).sum(axis=1))
+
+    return _b
+
+
+def lsh_assign(
+    df: DataFrame,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    bucket_col: str = "_bucket",
+    portable: bool = False,
+    dim: int | None = None,
+) -> DataFrame:
+    """df + bucket column. Written ONCE at ingest/index-build time and
+    stored as a partition column — queries then prune to ≤ 1+n_planes
+    bucket directories instead of re-bucketing the table."""
+    if dim is None:
+        dim = len(df.select(vec_col).limit(1).collect()[0][0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    if portable:
+        return df.withColumn(
+            bucket_col, lsh_bucket(F.col(vec_col).cast("array<double>"), planes)
+        )
+    return df.withColumn(bucket_col, _lsh_bucket_udf(planes)(F.col(vec_col)))
+
+
 def lsh_topk(
     df: DataFrame,
     query_id: int,
@@ -124,22 +231,33 @@ def lsh_topk(
     vec_col: str = "embedding",
     key: str = "vec_id",
     multiprobe_hamming: int = 1,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH ANN: bucket all vectors by hyperplane signature, scan the
     query's bucket plus buckets within `multiprobe_hamming` bit flips.
-    At scale the bucket id is a partition/cluster column → pruning."""
-    dfd = df.withColumn("_v", F.col(vec_col).cast("array<double>"))
-    dim = len(dfd.select(vec_col).limit(1).collect()[0][0])
-    planes = _hyperplanes(dim, n_planes, seed)
-    bucketed = dfd.withColumn("_bucket", lsh_bucket(F.col("_v"), planes))
+    At scale the bucket id is a partition/cluster column → pruning
+    (see ann_index.build_ann_index for the persisted form).
+    portable=True buckets with Catalyst expressions (exact DuckDB
+    twin); default is the Arrow-batched kernel."""
+    qv = _query_vec_np(df, key, vec_col, query_id)
+    bucketed = lsh_assign(
+        df, n_planes=n_planes, seed=seed, vec_col=vec_col,
+        bucket_col="_bucket", portable=portable, dim=len(qv),
+    )
+    # the query's bucket comes from the SAME bucketing pass (one tiny
+    # lookup job) so kernel/expression float folds can never disagree
+    # between query and data side
     qb = bucketed.where(F.col(key) == query_id).select("_bucket").collect()[0][0]
     probe = {qb}
     if multiprobe_hamming >= 1:
         probe |= {qb ^ (1 << j) for j in range(n_planes)}
-    q = _query_vec(df, key, vec_col, query_id)
+    q = _lit_array(qv)
     scored = (
         bucketed.where(F.col("_bucket").isin(list(probe)) & (F.col(key) != query_id))
-        .select(F.col(key), cosine(F.col("_v"), q).alias("cos_sim"))
+        .select(
+            F.col(key),
+            cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),
+        )
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(key)).limit(k)
 
@@ -174,10 +292,11 @@ def kmeans_assign(
     """Lightweight Lloyd k-means over cosine distance for IVF coarse
     cells on UNLABELED data. Deterministic seeding (k rows chosen by
     hash order); per iteration: one distributed assignment pass
-    (BLAS batch kernel) + one groupBy mean; the (k, dim) centroid
-    matrix lives on the driver. Returns df + `cell` column — at scale
-    the table is written partitioned/clustered by this column, so IVF
-    probes become partition pruning."""
+    (BLAS batch kernel) + one groupBy quantized-mean (order-exact
+    integer sums); the (k, dim) centroid matrix lives on the driver.
+    Returns df + `cell` column — at scale the table is written
+    partitioned/clustered by this column, so IVF probes become
+    partition pruning."""
     dfd = df.withColumn("_v", F.col(vec_col).cast("array<double>"))
     dim = len(dfd.select(vec_col).limit(1).collect()[0][0])
     seed_rows = (
@@ -191,11 +310,17 @@ def kmeans_assign(
         assigned = dfd.withColumn(cell_col, _assign_cells_udf(centroids)(F.col("_v")))
         means = (
             assigned.groupBy(cell_col)
-            .agg(*[F.avg(F.col("_v")[i]).alias(f"c{i}") for i in range(dim)])
+            .agg(
+                *[
+                    F.sum(F.round(F.col("_v")[i] * 1e6).cast("long")).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+                F.count(F.lit(1)).alias("c"),
+            )
             .collect()
         )
         for r in means:
-            centroids[r[cell_col]] = [r[f"c{i}"] for i in range(dim)]
+            centroids[r[cell_col]] = [r[f"s{i}"] / (r["c"] * 1e6) for i in range(dim)]
     return dfd.withColumn(cell_col, _assign_cells_udf(centroids)(F.col("_v"))).drop("_v")
 
 
