@@ -874,7 +874,7 @@ def oracle_sql() -> dict[str, str]:
           , marked AS (
             SELECT conv_id, turn_idx, ts, tool, text,
               CASE WHEN lag(ts) OVER w IS NULL
-                     OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                    THEN 1 ELSE 0 END AS brk
             FROM t
             WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)),

@@ -246,9 +246,13 @@ def minhash_dedup_pairs(
     pairs → exact shingle-Jaccard verify ≥ threshold.
     Returns (id_a, id_b, jaccard).
 
-    The signature/shingle base is persisted: it feeds three consumers
-    (banding + both verify sides) and recomputing the per-shingle hash
-    cascade 3× dominates runtime otherwise. Fast path (portable=False)
+    The signature/shingle base is persisted while the plan is built:
+    it feeds three consumers (banding + both verify sides) and
+    recomputing the per-shingle hash cascade 3× dominates runtime
+    otherwise. The cache is released on a best-effort basis when the
+    returned DataFrame is garbage-collected (non-blocking unpersist
+    registered via weakref) so repeated calls in a long-lived session
+    don't accumulate executor storage. Fast path (portable=False)
     shingles+hashes in numpy and verifies Jaccard on long arrays —
     ~5× cheaper than string-array intersection."""
     if portable:
@@ -273,12 +277,22 @@ def minhash_dedup_pairs(
         if not portable
         else exact_jaccard("sh_a", "sh_b")
     )
-    return (
+    out = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+    # release the cached base when the result plan is dropped
+    import contextlib
+    import weakref
+
+    def _release(df=base):
+        with contextlib.suppress(Exception):  # session may already be gone
+            df.unpersist(False)
+
+    weakref.finalize(out, _release)
+    return out
 
 
 # ------------------------------------------------------- n-gram jaccard
@@ -289,10 +303,20 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     block_col: str | None = None,
+    allow_unblocked: bool = False,
 ) -> DataFrame:
-    """Word n-gram Jaccard similarity on (optionally blocked) pairs.
-    Without a block column this is O(n²) — callers must block at scale
-    (the sf-test oracle uses `source` as the block)."""
+    """Word n-gram Jaccard similarity on blocked pairs. Without a
+    block column this is an O(n²) self-join — a cluster-killer if
+    called accidentally at scale, so it now RAISES unless the caller
+    passes allow_unblocked=True (tiny/test data only). Use a cheap
+    blocking key (lang/source, a length bucket, a minhash band) at
+    scale — or `minhash_dedup_pairs`, which blocks itself."""
+    if block_col is None and not allow_unblocked:
+        raise ValueError(
+            "ngram_jaccard_pairs without block_col is an O(n^2) cross "
+            "join; pass block_col=... or allow_unblocked=True for "
+            "small data"
+        )
     toks = F.split(F.lower(F.col(text_col)), "\\s+")
     grams = F.array_distinct(
         F.transform(
@@ -421,6 +445,58 @@ def simhash_pairs(
 
 
 # ------------------------------------------------------------ embedding
+def _lsh_band_sigs_udf(n_bands: int, band_width: int, dim: int, seed: int):
+    """Arrow-batched banded hyperplane signatures: one BLAS product of
+    the batch against all n_bands×band_width planes, then per-band
+    sign-bit buckets → array<long> of n_bands bucket ids."""
+    from pyspark.sql.functions import pandas_udf
+
+    from smos_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_bands * band_width, seed)
+    weights = (np.int64(1) << np.arange(band_width, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def _sigs(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        bits = (m @ planes.T) > 0  # (n, n_bands*band_width)
+        buckets = (bits.reshape(len(m), n_bands, band_width) * weights).sum(axis=2)
+        return pd.Series(list(buckets))
+
+    return _sigs
+
+
+def _lsh_banded_candidates(
+    df: DataFrame,
+    vec_col: str,
+    key: str,
+    n_bands: int,
+    band_width: int,
+    seed: int,
+) -> DataFrame:
+    """Candidate pairs sharing ≥1 (band_idx, bucket) — the embedding
+    twin of minhash's lsh_candidate_pairs: one keyed shuffle on the
+    band hash, self-join inside buckets only, never all-pairs."""
+    dim = len(df.select(vec_col).limit(1).collect()[0][0])
+    banded = df.select(
+        F.col(key),
+        F.posexplode(
+            _lsh_band_sigs_udf(n_bands, band_width, dim, seed)(F.col(vec_col))
+        ).alias("band_idx", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(F.col(f"a.{key}").alias("id_a"), F.col(f"b.{key}").alias("id_b"))
+        .distinct()
+    )
+
+
 def cosine(a: Column, b: Column, round_to: int | None = 6) -> Column:
     """Cosine similarity of two float arrays via zip_with/aggregate —
     JVM-side, no UDF."""
@@ -460,12 +536,44 @@ def embedding_near_dup(
     block_col: str | None = "label",
     threshold: float = 0.95,
     portable: bool = True,
+    n_bands: int = 12,
+    band_width: int = 3,
+    seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate vectors: blocked pairwise cosine ≥ threshold.
-    Block by a coarse key (label here; LSH bucket in similarity.py for
-    unlabeled data) so the join is bucket-local, never all-pairs.
-    portable=False scores candidate pairs with the Arrow-batched BLAS
-    kernel (hot path)."""
+    Block by a coarse key (a label when one exists) so the join is
+    bucket-local, never all-pairs. With block_col=None candidates come
+    from BANDED hyperplane LSH (n_bands independent signatures of
+    band_width planes each — the minhash-banding shape): a pair is a
+    candidate if it agrees on ALL planes of ≥1 band, giving recall
+    1-(1-pᵂ)ᴮ where p = 1-θ/π; the defaults hold ≥0.95 down to
+    cosine ≈ 0.35. Each candidate is then cosine-verified, so
+    precision is exact. portable=False scores candidate pairs with
+    the Arrow-batched BLAS kernel (hot path)."""
+    if block_col is None:
+        cands = _lsh_banded_candidates(
+            df, vec_col=vec_col, key=key,
+            n_bands=n_bands, band_width=band_width, seed=seed,
+        )
+        vecs_a = df.select(
+            F.col(key).alias("id_a"),
+            F.col(vec_col).cast("array<double>").alias("_va"),
+        )
+        vecs_b = df.select(
+            F.col(key).alias("id_b"),
+            F.col(vec_col).cast("array<double>").alias("_vb"),
+        )
+        score = (
+            cosine(F.col("_va"), F.col("_vb"))
+            if portable
+            else _cosine_pairs_udf()(F.col("_va"), F.col("_vb"))
+        )
+        return (
+            cands.join(vecs_a, "id_a")
+            .join(vecs_b, "id_b")
+            .select("id_a", "id_b", score.alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold)
+        )
     cols = [F.col(key), F.col(vec_col).cast("array<double>").alias("_v")]
     if block_col:
         cols.append(F.col(block_col))

@@ -60,6 +60,39 @@ def dense_grid(
         bounds = tier_df.groupBy("conv_id").agg(
             F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi")
         )
+    if unit == "minute":
+        # Chunked grid: one sequence() per conv at the 1m tier would
+        # materialize the whole span as a single array row (a year ≈
+        # 525k elements — executor OOM / sequence cap territory for
+        # long-lived convs). Explode days first, then the ≤1440
+        # minutes within each day: per-row arrays stay bounded no
+        # matter the span.
+        days = bounds.select(
+            "conv_id",
+            "_lo",
+            "_hi",
+            F.explode(
+                F.expr(
+                    "sequence(date_trunc('day', _lo), date_trunc('day', _hi),"
+                    " interval 1 day)"
+                )
+            ).alias("_day"),
+        )
+        return (
+            days.select(
+                "conv_id",
+                "_lo",
+                "_hi",
+                F.explode(
+                    F.expr(
+                        "sequence(_day, _day + interval 1439 minutes,"
+                        " interval 1 minute)"
+                    )
+                ).alias("bucket_start"),
+            )
+            .where(F.col("bucket_start").between(F.col("_lo"), F.col("_hi")))
+            .select("conv_id", "bucket_start")
+        )
     step = f"interval 1 {unit}"
     return bounds.select(
         "conv_id",

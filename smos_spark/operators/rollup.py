@@ -162,14 +162,29 @@ def detect_hot_convs(
     sample: a conv whose sampled count / fraction exceeds the
     threshold is hot. At 10^12 turns a 0.1% sample is 10^9 rows —
     still a distributed count, never a full-key histogram on the
-    driver; only the (tiny) hot list is collected."""
+    driver; only the (tiny) hot list is collected.
+
+    The sampled cutoff is clamped to ≥5 rows: when
+    hot_threshold × sample_fraction < 1 every sampled key would
+    qualify and the "tiny" collect would pull the whole key set to
+    the driver (and route everything through the salted path).
+    The collect itself is capped as a second backstop."""
+    cutoff = max(hot_threshold * sample_fraction, 5.0)
+    max_hot = 10_000
     est = (
         df.sample(fraction=sample_fraction, seed=seed)
         .groupBy("conv_id")
         .count()
-        .where(F.col("count") >= hot_threshold * sample_fraction)
+        .where(F.col("count") >= cutoff)
     )
-    return [r.conv_id for r in est.collect()]
+    hot = [r.conv_id for r in est.limit(max_hot + 1).collect()]
+    if len(hot) > max_hot:
+        raise ValueError(
+            f"detect_hot_convs found >{max_hot} 'hot' keys — the "
+            "threshold/fraction combination is not selective; raise "
+            "hot_threshold or sample_fraction"
+        )
+    return hot
 
 
 def rollup_auto(

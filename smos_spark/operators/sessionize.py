@@ -7,17 +7,25 @@ threshold (idle timeout). Two implementations, one semantics:
 
 * `sessionize` (batch): pure window expressions — `lag(ts)` marks
   gap-breaks, a running `sum` over the break flags numbers sessions.
-  One shuffle on conv_id; whole-stage codegen; exact SQL twin.
+  One shuffle on conv_id; whole-stage codegen; exact SQL twin. The
+  gap compares full-microsecond epoch doubles (NOT second-truncated
+  unix_timestamp), so batch and streaming split identically on
+  sub-second data.
 * `sessionize_stream` (streaming): `applyInPandasWithState` keeps
   (last_ts, open-session aggregate) per conv_id and emits a session
   row when the event-time timeout fires or a new turn breaks the gap
   — the custom stateful operator shape for live transcript feeds.
+  All state/timeout arithmetic runs in TRUE epoch micros
+  (`unix_micros` computed JVM-side before the stateful operator), and
+  emitted timestamps are tz-aware UTC — correct under any
+  spark.sql.session.timeZone, unlike naive-datetime arithmetic which
+  shifts by the session offset and can throw
+  timeout-below-watermark errors west of UTC.
 """
 
 from __future__ import annotations
 
-import datetime as dt
-
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -32,9 +40,14 @@ def sessionize(df: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     Stable under ts ties via the (ts, turn_idx) secondary order."""
     w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
     prev_ts = F.lag("ts").over(w)
+    # microsecond-resolution gap (ts cast double = epoch seconds with
+    # fractional micros) — mirrors the streaming twin's int64-µs test;
+    # the leading cast("timestamp") makes TIMESTAMP_NTZ inputs work
+    def _epoch(c):
+        return c.cast("timestamp").cast("double")
+
     is_break = (
-        prev_ts.isNull()
-        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > gap_seconds)
+        prev_ts.isNull() | (_epoch(F.col("ts")) - _epoch(prev_ts) > gap_seconds)
     ).cast("long")
     return df.withColumn(
         "session_id",
@@ -67,10 +80,15 @@ def sessionize_stream(
     """Streaming sessionization via applyInPandasWithState.
 
     State per conv_id: (session_start_us, last_ts_us, n_turns,
-    n_tool_calls, len_sum). A batch's turns extend or close sessions;
-    an event-time timeout (watermark-driven) flushes the open session
-    when the conversation goes idle. Emits the same schema as
-    `session_stats` (session_id restarts per state lifetime).
+    n_tool_calls, len_sum) in true epoch micros. A batch's turns
+    extend or close sessions; an event-time timeout (watermark-driven)
+    flushes the open session when the conversation goes idle. Emits
+    the same schema as `session_stats` (session_id restarts per state
+    lifetime).
+
+    In-batch gap splitting is vectorized: one diff + flatnonzero for
+    the break positions, prefix sums for the segment aggregates — the
+    Python loop runs per SESSION, not per row.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -90,8 +108,10 @@ def sessionize_stream(
                 {
                     "conv_id": conv_id,
                     "session_id": sid,
-                    "session_start": dt.datetime.utcfromtimestamp(start_us / 1e6),
-                    "session_end": dt.datetime.utcfromtimestamp(last_us / 1e6),
+                    # tz-aware UTC: Arrow carries the true instant
+                    # regardless of the session timezone
+                    "session_start": pd.Timestamp(start_us, unit="us", tz="UTC"),
+                    "session_end": pd.Timestamp(last_us, unit="us", tz="UTC"),
                     "n_turns": n,
                     "n_tool_calls": ntool,
                     "len_sum": lsum,
@@ -108,28 +128,53 @@ def sessionize_stream(
             state.get if state.exists else (0, None, None, 0, 0, 0)
         )
         for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
-            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-            tools = pdf["tool"].to_numpy()
-            lens = pdf["text"].map(lambda x: 0 if x is None else len(x)).to_numpy()
-            for i in range(len(pdf)):
-                t = int(ts_us[i])
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["_ts_us", "turn_idx"], kind="mergesort")
+            ts_us = pdf["_ts_us"].to_numpy(dtype="int64")
+            cum_tool = np.concatenate(
+                ([0], np.cumsum(pdf["tool"].notna().to_numpy(dtype="int64")))
+            )
+            cum_len = np.concatenate(
+                (
+                    [0],
+                    np.cumsum(
+                        pdf["text"]
+                        .map(lambda x: 0 if x is None else len(x))
+                        .to_numpy(dtype="int64")
+                    ),
+                )
+            )
+            prev = np.concatenate(
+                ([last_us if last_us is not None else ts_us[0]], ts_us[:-1])
+            )
+            breaks = np.flatnonzero(ts_us - prev > gap_us)
+            seg_starts = np.concatenate(([0], breaks)) if (len(breaks) == 0 or breaks[0] != 0) else breaks
+            seg_ends = np.concatenate((seg_starts[1:], [len(ts_us)]))
+            boundary = set(breaks.tolist())
+            for s, e in zip(seg_starts.tolist(), seg_ends.tolist()):
                 if start_us is None:
-                    start_us, last_us = t, t
-                elif t - last_us > gap_us:
+                    start_us = int(ts_us[s])
+                elif s in boundary:
                     emit(sid, start_us, last_us, n, ntool, lsum)
                     sid += 1
-                    start_us, n, ntool, lsum = t, 0, 0, 0
-                last_us = t
-                n += 1
-                ntool += int(tools[i] is not None)
-                lsum += int(lens[i])
-        state.update((sid, start_us, last_us, n, ntool, lsum))
-        state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+                    start_us, n, ntool, lsum = int(ts_us[s]), 0, 0, 0
+                last_us = int(ts_us[e - 1])
+                n += e - s
+                ntool += int(cum_tool[e] - cum_tool[s])
+                lsum += int(cum_len[e] - cum_len[s])
+        if last_us is not None:
+            state.update((sid, start_us, last_us, n, ntool, lsum))
+            # true-epoch timeout; Spark requires it beyond the current
+            # watermark (an idle conv's timeout then fires immediately)
+            timeout_ms = last_us // 1000 + gap_seconds * 1000
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(timeout_ms, wm + 1))
         return iter([pd.DataFrame(rows)] if rows else [])
 
     return (
         stream.withWatermark("ts", watermark)
+        .withColumn("_ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
         .groupBy("conv_id")
         .applyInPandasWithState(
             _fn,

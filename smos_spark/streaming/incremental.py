@@ -73,19 +73,35 @@ def ingest_batch(
         return {"skipped": True, "batch_id": batch_id}
 
     # --- monotonic guard / late-data routing ---
-    bounds = batch.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
-    lo, hi = bounds.lo, bounds.hi
-    if ov.last_day is not None and lo is not None and str(lo) <= ov.last_day:
+    # ONE bounds job computes raw min/max/count AND the on-time-only
+    # (ts > last_day) variants as conditional aggregates, so the late
+    # path needs no second scan.
+    cut = (
+        F.lit(ov.last_day).cast("timestamp")
+        if ov.last_day is not None
+        else F.lit(None).cast("timestamp")
+    )
+    on_time = F.when(F.col("ts") > cut, F.col("ts")) if ov.last_day else F.col("ts")
+    bounds = batch.agg(
+        F.min("ts").alias("raw_lo"),
+        F.max("ts").alias("raw_hi"),
+        F.min(on_time).alias("lo"),
+        F.max(on_time).alias("hi"),
+        F.count(on_time).alias("n"),
+    ).collect()[0]
+    lo, hi, n_in = bounds.lo, bounds.hi, bounds.n
+    if (
+        ov.last_day is not None
+        and bounds.raw_lo is not None
+        and str(bounds.raw_lo) <= ov.last_day
+    ):
         if strict:
             raise MonotonicAppendError(
-                f"batch starts at {lo} but store last_day is {ov.last_day}"
+                f"batch starts at {bounds.raw_lo} but store last_day is {ov.last_day}"
             )
         batch, late = split_late_rows(batch, ov.last_day)
         if quarantine:
             late.write.mode("append").parquet(str(store.root / "_quarantine"))
-        bounds = batch.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
-        lo, hi = bounds.lo, bounds.hi
-    n_in = batch.count()
     if n_in == 0:
         ov.last_batch_id = batch_id
         store.save_overview(ov)
@@ -103,23 +119,31 @@ def ingest_batch(
 
     from pathlib import Path
 
+    from pyspark.sql import Observation
+
+    # every bucket the batch touches starts on/after lo's calendar day
+    # (bucket_start = date_trunc(unit, ts ≥ lo)), so the day-aligned
+    # rewrite boundary is known WITHOUT a per-tier min() job
+    batch_day = str(lo)[:10]
     for tier in ("1m", "1h", "1d"):
         new_partials = affected[tier]
         tier_exists = Path(store.tier_path(tier)).exists()
+        # rows_out via an observed metric on the write itself — no
+        # post-write count job, no full-table scan
+        obs = Observation(f"tier_{tier}_b{batch_id}")
         if not tier_exists:
-            store.write_tier(new_partials, tier, mode="overwrite")
+            out = new_partials.observe(obs, F.count(F.lit(1)).alias("rows_out"))
+            store.write_tier(out, tier, mode="overwrite")
         else:
             # only date partitions the batch touches need rewriting;
             # the boundary is day-aligned because the physical layout
             # partitions on bucket_date — everything before it is final
             # and is neither read (partition pruning) nor written.
-            min_b = new_partials.agg(F.min("bucket_start").alias("b")).collect()[0].b
-            overlap = store.read_tier_since(spark, tier, str(min_b)[:10])
+            overlap = store.read_tier_since(spark, tier, batch_day)
             merged = reaggregate(overlap.unionByName(new_partials), tier)
-            store.overwrite_tier_partitions(merged, tier)
-        # rows_out: count only the partitions this batch wrote (metrics
-        # must not trigger a full-table scan per batch)
-        out_rows = store.read_tier_since(spark, tier, str(lo)[:10]).count()
+            out = merged.observe(obs, F.count(F.lit(1)).alias("rows_out"))
+            store.overwrite_tier_partitions(out, tier)
+        out_rows = obs.get["rows_out"]
         stats.append(
             {
                 "run_id": run_id,

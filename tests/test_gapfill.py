@@ -8,6 +8,7 @@ missing (/root/reference/tests/test_ICreshuffle.py:39-52).
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from smos_spark.operators.gapfill import (
     forward_fill,
@@ -129,3 +130,30 @@ def test_interpolate_window_equals_pandas(spark, transcripts):
         np.testing.assert_allclose(
             a[c].to_numpy(dtype=float), b[c].to_numpy(dtype=float), equal_nan=True
         )
+
+
+def test_minute_grid_chunked_long_span(spark):
+    """A year-long conv gap-fills at the 1m tier without a single
+    525k-element sequence() array (the grid explodes days first,
+    then minutes-within-day) — and the chunked grid is exact."""
+    from smos_spark.operators.gapfill import dense_grid
+
+    rows = [
+        ("c1", "2024-01-03 07:30:00"),
+        ("c1", "2025-01-03 07:31:00"),  # ~1 year later
+        ("c2", "2024-06-01 00:00:00"),
+        ("c2", "2024-06-01 00:05:00"),
+    ]
+    tier = spark.createDataFrame(rows, "conv_id string, b string").select(
+        "conv_id", F.col("b").cast("timestamp").alias("bucket_start")
+    )
+    grid = dense_grid(tier, "1m")
+    counts = {r.conv_id: r.n for r in grid.groupBy("conv_id").agg(F.count("*").alias("n")).collect()}
+    # 2024 is a leap year: 366 days * 1440 + 2 extra minutes
+    assert counts["c1"] == 366 * 1440 + 2
+    assert counts["c2"] == 6
+    bounds = grid.groupBy("conv_id").agg(
+        F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
+    ).collect()
+    got = {r.conv_id: (str(r.lo), str(r.hi)) for r in bounds}
+    assert got["c1"] == ("2024-01-03 07:30:00", "2025-01-03 07:31:00")

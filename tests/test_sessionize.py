@@ -102,3 +102,36 @@ def test_sessionize_stream_matches_batch(spark, turns, tmp_path):
     # turn is within gap of the global watermark (max ts)
     n_convs = exp.conv_id.nunique()
     assert len(exp) - n_convs <= len(got) <= len(exp)
+
+
+def test_sessionize_stream_non_utc_timezone(spark, turns, tmp_path):
+    """State/timeout arithmetic is true-epoch: a session timezone west
+    of UTC must neither shift session bounds nor throw
+    timeout-below-watermark errors."""
+    src = str(tmp_path / "src_tz")
+    turns.write.parquet(src)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        stream = spark.readStream.schema(turns.schema).parquet(src)
+        q = (
+            sessionize_stream(stream, GAP, watermark="0 seconds")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sessions_stream_tz")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table("sessions_stream_tz").toPandas()
+        exp = session_stats(turns, GAP).toPandas()
+        assert len(got) > 0
+        key = ["conv_id", "session_id"]
+        merged = got.merge(exp, on=key, suffixes=("_s", "_b"))
+        assert len(merged) == len(got)
+        for c in ("session_start", "session_end", "n_turns", "len_sum"):
+            pd.testing.assert_series_equal(
+                merged[f"{c}_s"], merged[f"{c}_b"], check_names=False
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)

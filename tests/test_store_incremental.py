@@ -180,3 +180,42 @@ def test_int_restoration(spark):
     assert dt["a"] == "bigint"  # whole + no nulls → int restored
     assert dt["b"] == "double"  # fractional stays
     assert dt["c"] == "double"  # NULL-bearing decays to float
+
+
+def test_ingest_batch_driver_job_budget(spark, transcripts, tmp_path):
+    """Per-batch driver-side Spark jobs are bounded: one combined
+    bounds/count aggregation, the data writes, and the lineage append
+    — metrics ride the write jobs as observed metrics, never extra
+    count() scans (at minutes-cadence streaming those metric jobs
+    would dominate)."""
+    from smos_spark.streaming.incremental import ingest_batch
+
+    store = TranscriptStore(tmp_path / "budget", n_buckets=4)
+    days = sorted(
+        r.d for r in transcripts.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    batches = day_batches(transcripts, days[:2])
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    sc.setJobGroup("ingest_b0", "first batch (creates tiers)")
+    ingest_batch(store, batches[0], run_id="jb", batch_id=0)
+    sc.setJobGroup("other", "")
+    n0 = len(tracker.getJobIdsForGroup("ingest_b0"))
+
+    sc.setJobGroup("ingest_b1", "second batch (merge path)")
+    ingest_batch(store, batches[1], run_id="jb", batch_id=1)
+    sc.setJobGroup("other", "")
+    n1 = len(tracker.getJobIdsForGroup("ingest_b1"))
+
+    # bounds + raw append + 3 tier writes (+ checkpoint read/append);
+    # AQE materializes shuffle stages as separate jobs so the budget
+    # is not exactly the logical action count — it leaves slack for
+    # those but forbids the old per-tier min()+count() metric pattern
+    # (which added 6+ scan jobs per batch)
+    # measured baseline: 12 (create) / 21 (merge; AQE stage jobs for
+    # the 3x read-merge-rewrite); the legacy per-tier min()+count()
+    # metric pattern adds ~8 more scan jobs on top
+    assert n0 <= 14, f"first batch ran {n0} jobs"
+    assert n1 <= 23, f"merge batch ran {n1} jobs"

@@ -253,3 +253,47 @@ def test_ivf_auto_unlabeled(embs):
         embs.drop("label"), query_id=0, k=10, n_cells=8, n_probe=3
     ).toPandas()
     assert auto.vec_id.tolist() == auto2.vec_id.tolist()
+
+
+def test_ngram_unblocked_raises(spark):
+    from smos_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="block_col"):
+        ngram_jaccard_pairs(df)
+    # explicit opt-in still works for tiny data
+    got = ngram_jaccard_pairs(df, threshold=0.9, allow_unblocked=True).toPandas()
+    assert len(got) == 1
+
+
+def test_embedding_near_dup_unlabeled_lsh_blocking(spark, embs):
+    """block_col=None auto-blocks via hyperplane-LSH (+1-bit
+    multiprobe) instead of requiring a label: every reported pair is a
+    true near-dup (cosine verified), and recall vs the exact
+    all-pairs ground truth is high."""
+    import itertools
+
+    from smos_spark.operators.dedup import embedding_near_dup
+
+    thr = 0.35
+    got = (
+        embedding_near_dup(embs.drop("label"), block_col=None, threshold=thr)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+    )
+    pdf = embs.select("vec_id", "embedding").toPandas()
+    m = np.stack(pdf.embedding.to_numpy()).astype("float64")
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(m @ m.T, 6)
+    ids = pdf.vec_id.to_numpy()
+    truth = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in itertools.combinations(range(len(ids)), 2)
+        if sims[i, j] >= thr
+    }
+    found = set(zip(got.id_a.astype(int), got.id_b.astype(int)))
+    assert found <= truth  # exact precision (pairs are cosine-verified)
+    assert len(truth) > 0
+    assert len(found) / len(truth) >= 0.8  # multiprobe recall
