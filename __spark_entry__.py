@@ -521,6 +521,23 @@ def _q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
 
 
+def _q_emb_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted ANN index (K3-for-vectors): build the cell-partitioned
+    index + centroid sidecar once, then answer the query by ranking
+    cells on the DRIVER and scanning only the probed partitions. The
+    quantized centroids make the result identical to the in-line IVF
+    path, so it shares its exact DuckDB oracle."""
+    from smos_spark.operators.ann_index import build_ann_index
+
+    idx = build_ann_index(
+        _embs(spark, sf_dir),
+        tempfile.mkdtemp(prefix="smos_ann_"),
+        strategy="ivf",
+        cell_col="label",
+    )
+    return idx.topk(spark, query_id=0, k=10, n_probe=3).select("vec_id")
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column plumbing: deterministic synth blobs →
     mapInPandas feature extraction (decode stubbed per environment).
@@ -595,6 +612,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": _q_emb_ivf_topk,
         "emb_ivf_auto": _q_emb_ivf_auto,
         "emb_lsh_topk": _q_emb_lsh_topk,
+        "emb_ann_index_topk": _q_emb_ann_index_topk,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -944,6 +962,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_pairs": minhash_pairs_sql,
         "doc_simhash_pairs": simhash_pairs_sql,
         "emb_ivf_topk": ivf_topk_sql,
+        "emb_ann_index_topk": ivf_topk_sql,
         "emb_lsh_topk": lsh_topk_sql,
         "doc_ngram_pairs": """
           WITH toks AS (

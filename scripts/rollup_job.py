@@ -23,7 +23,12 @@ import time
 
 
 def main() -> None:
-    ap = argparse.ArgumentParser()
+    ap = argparse.ArgumentParser(
+        description="Tier rollup job — CLI parity with the reference "
+        "reshuffle entry point (/root/reference/src/smos/reshuffle.py:84-153: "
+        "--parameters/--only_good/--bbox/--imgbuffer map to "
+        "--block-parameters/--read-roles/--conv-range+--ts-range)."
+    )
     ap.add_argument("--input", required=True, help="transcripts parquet path")
     ap.add_argument("--output", required=True, help="tier store root")
     ap.add_argument("--master", default=None)
@@ -35,6 +40,27 @@ def main() -> None:
         action="store_true",
         help="also gap-fill the 1h series and write Gorilla/DoD-compressed "
         "per-conv blocks (the full north-star pipeline)",
+    )
+    ap.add_argument(
+        "--read-roles",
+        default=None,
+        help="comma list; payload values of other roles are NULL-masked "
+        "before aggregation (the --only_good analog); rows are kept",
+    )
+    ap.add_argument(
+        "--conv-range", default=None, help="LO,HI inclusive conv_id subset (bbox analog)"
+    )
+    ap.add_argument(
+        "--ts-range",
+        default=None,
+        help="'START,END' inclusive ts subset (bbox analog; prunes "
+        "day partitions on a days(ts)-partitioned input)",
+    )
+    ap.add_argument(
+        "--block-parameters",
+        default="n_turns,len_sum",
+        help="comma list of tier columns compressed into --blocks "
+        "(the --parameters analog)",
     )
     args = ap.parse_args()
 
@@ -57,6 +83,22 @@ def main() -> None:
     raw = spark.read.parquet(args.input)
     if "ts_date" in raw.columns:
         raw = raw.drop("ts_date")
+
+    if args.conv_range or args.ts_range or args.read_roles:
+        from smos_spark.operators.masking import (
+            filter_conv_range,
+            filter_ts_range,
+            mask_by_role,
+        )
+
+        if args.conv_range:
+            lo, hi = args.conv_range.split(",")
+            raw = filter_conv_range(raw, lo, hi)
+        if args.ts_range:
+            ts_lo, ts_hi = args.ts_range.split(",")
+            raw = filter_ts_range(raw, ts_lo.strip(), ts_hi.strip())
+        if args.read_roles:
+            raw = mask_by_role(raw, [r.strip() for r in args.read_roles.split(",")])
 
     build_1m = salted_rollup_from_raw if args.salted else rollup_from_raw
     m1 = build_1m(raw, "1m")
@@ -87,18 +129,16 @@ def main() -> None:
         from smos_spark.operators.gapfill import forward_fill, gap_fill
 
         t3 = time.time()
+        params = [p.strip() for p in args.block_parameters.split(",")]
         h1_stored = store.read_tier(spark, "1h").select(
-            "conv_id", "bucket_start", "n_turns", "len_sum"
+            "conv_id", "bucket_start", *params
         )
-        filled = forward_fill(
-            gap_fill(h1_stored, "1h"), ["n_turns", "len_sum"]
-        ).select(
+        filled = forward_fill(gap_fill(h1_stored, "1h"), params).select(
             "conv_id",
             F.col("bucket_start").alias("ts"),
-            F.col("n_turns").cast("double").alias("n_turns"),
-            F.col("len_sum").cast("double").alias("len_sum"),
+            *[F.col(p).cast("double").alias(p) for p in params],
         )
-        blocks = compress_series(filled, ["n_turns", "len_sum"])
+        blocks = compress_series(filled, params)
         blocks.write.mode("overwrite").parquet(str(store.root / "blocks_1h"))
         phases["blocks"] = round(time.time() - t3, 3)
 

@@ -1,0 +1,127 @@
+"""Store maintenance + read-back CLI — the smos_l2 console-script
+analog (/root/reference/src/smos/smos_l2/cli.py:195-225 registers
+`smos_repurpose` / `smos_extend`; reshuffle.py:96-155 implements
+extend-from-overview). Three subcommands over a TranscriptStore:
+
+  read    — one conversation's tier series with the reference post-op
+            chain (drop-missing / dense NaN rows / int restoration)
+  extend  — ingest a new time-ordered batch through the checkpointed
+            incremental path (resumable, monotonic guard, quarantine)
+  export  — subset re-export into a new day-partitioned store (the
+            K2 subset-and-write round trip)
+
+Usage:
+  python scripts/store_tool.py read   --store ROOT --conv ID [--tier 1h]
+      [--parameters n_turns,len_sum] [--dense] [--keep-missing]
+  python scripts/store_tool.py extend --store ROOT --input PARQUET
+      [--run-id r1] [--batch-id auto] [--strict]
+  python scripts/store_tool.py export --store ROOT --output NEWROOT
+      [--tier 1h] [--conv-range LO,HI] [--ts-range A,B]
+      [--parameters n_turns,len_sum]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--master", default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    rd = sub.add_parser("read", help="read one conversation's tier series")
+    rd.add_argument("--store", required=True)
+    rd.add_argument("--conv", required=True)
+    rd.add_argument("--tier", default="1h")
+    rd.add_argument("--parameters", default=None, help="comma list of tier columns")
+    rd.add_argument("--dense", action="store_true", help="gap buckets as NULL rows")
+    rd.add_argument(
+        "--keep-missing", action="store_true", help="keep all-NULL rows (drop_missing=False)"
+    )
+    rd.add_argument("--limit", type=int, default=50)
+
+    ex = sub.add_parser("extend", help="ingest a new batch incrementally")
+    ex.add_argument("--store", required=True)
+    ex.add_argument("--input", required=True, help="new turns parquet path")
+    ex.add_argument("--run-id", default="cli")
+    ex.add_argument("--batch-id", type=int, default=None, help="default: last+1")
+    ex.add_argument("--strict", action="store_true", help="refuse late data (reference guard)")
+    ex.add_argument("--n-buckets", type=int, default=32)
+
+    xp = sub.add_parser("export", help="subset re-export to a new store")
+    xp.add_argument("--store", required=True)
+    xp.add_argument("--output", required=True)
+    xp.add_argument("--tier", default="1h")
+    xp.add_argument("--conv-range", default=None, help="LO,HI inclusive")
+    xp.add_argument("--ts-range", default=None, help="'START,END' inclusive")
+    xp.add_argument("--parameters", default=None, help="comma list of tier columns")
+
+    args = ap.parse_args()
+
+    from smos_spark.session import get_spark
+    from smos_spark.sources.store import TranscriptStore
+
+    spark = get_spark(master=args.master, app_name=f"smos_store_{args.cmd}")
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.cmd == "read":
+        from smos_spark.readback import read_conv_series
+
+        store = TranscriptStore(args.store)
+        params = args.parameters.split(",") if args.parameters else None
+        df = read_conv_series(
+            spark,
+            store,
+            args.conv,
+            tier=args.tier,
+            parameters=params,
+            drop_missing=not args.keep_missing,
+            dense=args.dense,
+        )
+        df.show(args.limit, truncate=False)
+        print(json.dumps({"cmd": "read", "conv": args.conv, "rows": df.count()}))
+
+    elif args.cmd == "extend":
+        from smos_spark.streaming.incremental import ingest_batch
+
+        store = TranscriptStore(args.store, n_buckets=args.n_buckets)
+        batch = spark.read.parquet(args.input)
+        if "ts_date" in batch.columns:
+            batch = batch.drop("ts_date")
+        bid = (
+            args.batch_id
+            if args.batch_id is not None
+            else store.load_overview().last_batch_id + 1
+        )
+        res = ingest_batch(
+            store, batch, run_id=args.run_id, batch_id=bid, strict=args.strict
+        )
+        print(json.dumps({"cmd": "extend", **res}))
+
+    elif args.cmd == "export":
+        store = TranscriptStore(args.store)
+        conv_lo = conv_hi = None
+        if args.conv_range:
+            conv_lo, conv_hi = (s.strip() for s in args.conv_range.split(","))
+        ts_lo = ts_hi = None
+        if args.ts_range:
+            ts_lo, ts_hi = (s.strip() for s in args.ts_range.split(","))
+        params = args.parameters.split(",") if args.parameters else None
+        out = store.export_subset(
+            spark,
+            args.output,
+            tier=args.tier,
+            conv_lo=conv_lo,
+            conv_hi=conv_hi,
+            ts_lo=ts_lo,
+            ts_hi=ts_hi,
+            parameters=params,
+        )
+        n = out.read_tier(spark, args.tier).count()
+        print(json.dumps({"cmd": "export", "output": args.output, "rows": n}))
+
+
+if __name__ == "__main__":
+    main()

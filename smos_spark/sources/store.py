@@ -202,6 +202,54 @@ class TranscriptStore:
                 buckets.add(b.name)
         return len(buckets)
 
+    # --- subset re-export (reference K2 round trip) ---
+    def export_subset(
+        self,
+        spark: SparkSession,
+        out_root: str | Path,
+        tier: str = "1h",
+        conv_lo: str | None = None,
+        conv_hi: str | None = None,
+        ts_lo=None,
+        ts_hi=None,
+        parameters=None,
+        n_buckets: int | None = None,
+    ) -> "TranscriptStore":
+        """Re-export a key/time subset of a tier as a NEW self-contained
+        store with the same time-major day-partitioned layout — the
+        reference's subset-and-write round trip
+        (/root/reference/src/smos/interface.py:465-500, pinned by
+        tests/test_ICimg_subset_and_write.py:38-77): read a subset of
+        points, write them as new date-coded files that the SAME reader
+        opens. Filters land on the scan (bucket_date partition pruning
+        for the ts range; conv_id min/max row-group stats for the key
+        range); one write, no driver materialization."""
+        df = spark.read.parquet(self.tier_path(tier))
+        if ts_lo is not None:
+            df = df.where(F.col("bucket_start") >= F.lit(str(ts_lo)).cast("timestamp"))
+            df = df.where(F.col("bucket_date") >= F.to_date(F.lit(str(ts_lo)[:10])))
+        if ts_hi is not None:
+            df = df.where(F.col("bucket_start") <= F.lit(str(ts_hi)).cast("timestamp"))
+            df = df.where(F.col("bucket_date") <= F.to_date(F.lit(str(ts_hi)[:10])))
+        df = df.drop("bucket_id", "bucket_date")
+        if conv_lo is not None:
+            df = df.where(F.col("conv_id") >= conv_lo)
+        if conv_hi is not None:
+            df = df.where(F.col("conv_id") <= conv_hi)
+        if parameters:
+            df = df.select("conv_id", "bucket_start", *list(parameters))
+        out = TranscriptStore(out_root, n_buckets=n_buckets or self.n_buckets)
+        out.write_tier(df, tier)
+        ov = out.load_overview()
+        ov.parameters = {
+            "exported_from": str(self.root),
+            "tier": tier,
+            "conv_range": [conv_lo, conv_hi],
+            "ts_range": [str(ts_lo) if ts_lo else None, str(ts_hi) if ts_hi else None],
+        }
+        out.save_overview(ov)
+        return out
+
     # --- state ---
     def load_overview(self) -> Overview:
         return Overview.load(self.overview_path)

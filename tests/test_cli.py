@@ -1,0 +1,103 @@
+"""CLI smoke tests: the rollup job with subset/mask flags and the
+store tool's read/extend/export subcommands (reference console-script
+parity, smos_l2/cli.py:195-225 + reshuffle.py:84-153)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _run(args: list[str]) -> dict:
+    out = subprocess.run(
+        [sys.executable, *args],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(last)
+
+
+@pytest.fixture(scope="module")
+def input_parquet(spark, transcripts, tmp_path_factory):
+    p = tmp_path_factory.mktemp("cli") / "turns"
+    transcripts.write.mode("overwrite").parquet(str(p))
+    return str(p)
+
+
+def test_rollup_job_with_subset_flags(spark, transcripts, input_parquet, tmp_path):
+    store_root = str(tmp_path / "store")
+    res = _run(
+        [
+            "scripts/rollup_job.py",
+            "--input", input_parquet,
+            "--output", store_root,
+            "--master", "local[4]",
+            "--shuffle-partitions", "4",
+            "--conv-range", "conv000000,conv000019",
+            "--ts-range", "2025-01-01 00:00:00,2025-01-02 23:59:59",
+            "--read-roles", "user,assistant",
+            "--blocks",
+            "--block-parameters", "n_turns,len_sum",
+        ]
+    )
+    assert res["job"] == "rollup" and res["turns"] > 0
+    # subset flags reached the plan: tier holds only the conv/ts slice
+    tier = spark.read.parquet(f"{store_root}/tiers/1d")
+    convs = {r.conv_id for r in tier.select("conv_id").distinct().collect()}
+    assert convs and all("conv000000" <= c <= "conv000019" for c in convs)
+    # --read-roles masked tool-turn payloads: no tool calls survive
+    assert tier.agg(F.sum("n_tool_calls")).collect()[0][0] == 0
+    # blocks written for the requested parameters
+    assert (Path(store_root) / "blocks_1h").exists()
+
+
+def test_store_tool_read_extend_export(spark, transcripts, tmp_path):
+    days = sorted(
+        r.d for r in transcripts.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    cut = str(days[len(days) // 2])
+    b0 = transcripts.where(F.to_date("ts") < cut)
+    b1 = transcripts.where(F.to_date("ts") >= cut)
+    p0, p1 = str(tmp_path / "b0"), str(tmp_path / "b1")
+    b0.write.parquet(p0)
+    b1.write.parquet(p1)
+    store_root = str(tmp_path / "store")
+
+    r0 = _run(
+        ["scripts/store_tool.py", "--master", "local[4]", "extend",
+         "--store", store_root, "--input", p0, "--n-buckets", "8"]
+    )
+    assert r0["rows_in"] == b0.count()
+    r1 = _run(
+        ["scripts/store_tool.py", "--master", "local[4]", "extend",
+         "--store", store_root, "--input", p1, "--n-buckets", "8"]
+    )
+    assert r1["rows_in"] == b1.count() and r1["batch_id"] == r0["batch_id"] + 1
+
+    rd = _run(
+        ["scripts/store_tool.py", "--master", "local[4]", "read",
+         "--store", store_root, "--conv", "conv000003", "--tier", "1h",
+         "--parameters", "n_turns,len_sum"]
+    )
+    assert rd["rows"] > 0
+
+    xp = _run(
+        ["scripts/store_tool.py", "--master", "local[4]", "export",
+         "--store", store_root, "--output", str(tmp_path / "sub"),
+         "--tier", "1h", "--conv-range", "conv000000,conv000009"]
+    )
+    assert xp["rows"] > 0
+    sub = spark.read.parquet(str(tmp_path / "sub" / "tiers" / "1h"))
+    convs = {r.conv_id for r in sub.select("conv_id").distinct().collect()}
+    assert convs and all(c <= "conv000009" for c in convs)

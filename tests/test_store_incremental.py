@@ -219,3 +219,52 @@ def test_ingest_batch_driver_job_budget(spark, transcripts, tmp_path):
     # metric pattern adds ~8 more scan jobs on top
     assert n0 <= 14, f"first batch ran {n0} jobs"
     assert n1 <= 23, f"merge batch ran {n1} jobs"
+
+
+def test_export_subset_roundtrip(spark, transcripts, tmp_path):
+    """Reference K2 round trip (tests/test_ICimg_subset_and_write.py:38-77
+    archetype): export a conv/ts-range subset of a tier into a NEW
+    day-partitioned store; the same reader opens it and the rows equal
+    the source slice exactly."""
+    src = TranscriptStore(tmp_path / "src", n_buckets=8)
+    src.write_tier(rollup_from_raw(transcripts, "1h"), "1h")
+
+    ts_lo, ts_hi = "2025-01-02 00:00:00", "2025-01-03 23:00:00"
+    out = src.export_subset(
+        spark,
+        tmp_path / "sub",
+        tier="1h",
+        conv_lo="conv000010",
+        conv_hi="conv000029",
+        ts_lo=ts_lo,
+        ts_hi=ts_hi,
+        parameters=["n_turns", "len_sum"],
+    )
+    # same layout: time-major day dirs + key buckets
+    days = sorted(p.name for p in (tmp_path / "sub" / "tiers" / "1h").glob("bucket_date=*"))
+    assert days and all(d.startswith("bucket_date=2025-01-0") for d in days)
+
+    got = (
+        out.read_tier(spark, "1h")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        src.read_tier(spark, "1h")
+        .where(F.col("conv_id").between("conv000010", "conv000029"))
+        .where(F.col("bucket_start").between(ts_lo, ts_hi))
+        .select("conv_id", "bucket_start", "n_turns", "len_sum")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+    # the exported store supports the same pruned point read
+    one = out.read_tier_for_conv(spark, "1h", "conv000012")
+    assert one.select("conv_id").distinct().collect()[0].conv_id == "conv000012"
+    # provenance sidecar
+    ov = out.load_overview()
+    assert ov.parameters["tier"] == "1h"
