@@ -468,6 +468,16 @@ def _q_doc_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+def _q_doc_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the n-gram pair
+    graph (min-label propagation), one survivor per cluster — exact
+    recursive-CTE oracle."""
+    from smos_spark.operators.dedup import near_dup_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8, block_col="lang")
+    return near_dup_components(pairs)
+
+
 # --- embeddings: similarity / ANN ---
 
 
@@ -607,6 +617,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_pairs": _q_doc_minhash_pairs,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_ngram_pairs": _q_doc_ngram_pairs,
+        "doc_dedup_near": _q_doc_dedup_near,
         "emb_near_dup": _q_emb_near_dup,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_ivf_topk": _q_emb_ivf_topk,
@@ -979,6 +990,34 @@ def oracle_sql() -> dict[str, str]:
           WHERE round(
             len(list_intersect(a.g, b.g))::DOUBLE
             / len(list_distinct(list_concat(a.g, b.g))), 6) >= 0.8
+        """,
+        "doc_dedup_near": """
+          WITH RECURSIVE toks AS (
+            SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS tk
+            FROM documents WHERE text IS NOT NULL),
+          grams AS (
+            SELECT doc_id, lang,
+              list_distinct(list_transform(
+                generate_series(1, greatest(len(tk) - 2, 1)),
+                i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS g
+            FROM toks),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE round(
+              len(list_intersect(a.g, b.g))::DOUBLE
+              / len(list_distinct(list_concat(a.g, b.g))), 6) >= 0.8),
+          edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+          SELECT a AS doc_id,
+                 least(a, min(b)) AS component,
+                 a = least(a, min(b)) AS keep
+          FROM reach GROUP BY a
         """,
         "emb_near_dup": """
           SELECT a.vec_id AS id_a, b.vec_id AS id_b

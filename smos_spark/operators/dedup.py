@@ -40,6 +40,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "embedding_near_dup",
+    "near_dup_components",
 ]
 
 
@@ -442,6 +443,68 @@ def simhash_pairs(
         .distinct()
     )
     return cand.where(F.col("hamming") <= max_hamming)
+
+
+# ----------------------------------------------------------- components
+def near_dup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → the "keep one
+    survivor per duplicate cluster" step of a training-data dedup
+    pipeline. Returns (doc_id, component, keep) for every id appearing
+    in `pairs`; component = min id reachable; keep = (doc_id == component).
+
+    Min-label propagation: per round, every node takes the min of its
+    own label and its neighbors' labels — one join + one groupBy
+    shuffle per round, labels never leave the cluster; convergence is
+    checked with a single-row aggregate (rounds ≈ cluster diameter,
+    small for near-dup graphs). Deterministic; bounded by max_iters."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    labels.count()  # materialize before the loop re-reads it
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+                (F.col("nbr_comp") < F.col("comp")).alias("_changed"),
+            )
+            .persist()
+        )
+        changed = new_labels.agg(
+            F.count(F.when(F.col("_changed"), 1)).alias("n")
+        ).collect()[0].n
+        labels.unpersist(False)
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    edges.unpersist(False)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component"),
+        (F.col("node") == F.col("comp")).alias("keep"),
+    )
 
 
 # ------------------------------------------------------------ embedding

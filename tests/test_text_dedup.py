@@ -297,3 +297,23 @@ def test_embedding_near_dup_unlabeled_lsh_blocking(spark, embs):
     assert found <= truth  # exact precision (pairs are cosine-verified)
     assert len(truth) > 0
     assert len(found) / len(truth) >= 0.8  # multiprobe recall
+
+
+def test_near_dup_components_chain(spark):
+    """Min-label propagation resolves multi-hop clusters: a 6-node
+    chain (needs several rounds), a triangle, and an isolated pair."""
+    from smos_spark.operators.dedup import near_dup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),   # chain
+         (10, 11), (11, 12), (10, 12),             # triangle
+         (20, 21)],                                # pair
+        "id_a long, id_b long",
+    )
+    got = near_dup_components(pairs).toPandas().sort_values("doc_id")
+    comp = dict(zip(got.doc_id, got.component))
+    assert all(comp[n] == 1 for n in (1, 2, 3, 4, 5, 6))
+    assert all(comp[n] == 10 for n in (10, 11, 12))
+    assert comp[20] == comp[21] == 20
+    keep = set(got[got.keep].doc_id)
+    assert keep == {1, 10, 20}
