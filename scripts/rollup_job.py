@@ -19,7 +19,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# plain `python scripts/rollup_job.py` puts scripts/ on sys.path, not
+# the repo root; executor Python workers additionally need PYTHONPATH
+# (the local-mode twin of spark-submit --py-files engine.zip)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 def main() -> None:

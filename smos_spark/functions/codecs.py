@@ -57,9 +57,43 @@ __all__ = [
     "gorilla_decode",
     "dod_encode",
     "dod_decode",
+    "gorilla_encode_batch",
+    "dod_encode_batch",
 ]
 
 _U1 = np.uint64(1)
+
+# Below this length a plain Python bit-writer loop beats the
+# vectorized token pipeline (whose ~30 numpy calls cost ~200 µs flat
+# per invocation); the BATCH encoders amortize that flat cost across
+# every group of an Arrow batch and are the hot path in
+# compress_series regardless of group size.
+_SMALL_N = 2048
+
+
+class _BitWriter:
+    """Classic accumulator bit-writer — the small-series fast path."""
+
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        """Append the low `nbits` of value, MSB-first."""
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def getvalue(self) -> bytes:
+        if self.nbits:
+            return bytes(self.buf) + bytes([(self.acc << (8 - self.nbits)) & 0xFF])
+        return bytes(self.buf)
 
 
 def _pack_bits(vals: np.ndarray, nbits: np.ndarray) -> bytes:
@@ -88,10 +122,10 @@ def _pack_bits(vals: np.ndarray, nbits: np.ndarray) -> bytes:
     w = (offs >> 6).astype(np.int64)
     nwords = (total + 63) // 64 + 1
     words = np.zeros(nwords, dtype=np.uint64)
-    uw, starts = np.unique(w, return_index=True)  # w is non-decreasing
-    words[uw] = np.bitwise_or.reduceat(high, starts)
-    u2, s2 = np.unique(w + 1, return_index=True)
-    words[u2] |= np.bitwise_or.reduceat(low, s2)
+    # w is non-decreasing → group boundaries via diff, no sort
+    bnd = np.concatenate(([0], np.flatnonzero(w[1:] != w[:-1]) + 1))
+    words[w[bnd]] = np.bitwise_or.reduceat(high, bnd)
+    words[w[bnd] + 1] |= np.bitwise_or.reduceat(low, bnd)
     return words.astype(">u8").tobytes()[: (total + 7) // 8]
 
 
@@ -102,9 +136,9 @@ def _bit_length_u64(x: np.ndarray) -> np.ndarray:
     for sh in (32, 16, 8, 4, 2, 1):
         s = np.uint64(sh)
         m = (v >> s) != 0
-        bl[m] += sh
+        bl += m * sh  # bool*int avoids fancy-index writes
         v = np.where(m, v >> s, v)
-    bl += (v != 0).astype(np.int64)
+    bl += v != 0
     return bl
 
 
@@ -127,63 +161,169 @@ class _BitReader:
         return (window >> (128 - off - nbits)) & ((1 << nbits) - 1)
 
 
+def _clz64(x: int) -> int:
+    return 64 - x.bit_length() if x else 64
+
+
+def _ctz64(x: int) -> int:
+    if x == 0:
+        return 64
+    return (x & -x).bit_length() - 1
+
+
+def _gorilla_encode_small(bits_list: list[int], n: int) -> bytes:
+    """Loop encoder for short series (bits_list = raw u64 patterns)."""
+    w = _BitWriter()
+    prev = bits_list[0]
+    prev_lead, prev_sig = 65, 0  # invalid window → first xor forces '11'
+    out = [struct.pack("<QQ", n, prev)]
+    for i in range(1, n):
+        cur = bits_list[i]
+        xor = prev ^ cur
+        if xor == 0:
+            w.write(0, 1)
+        else:
+            lead = min(_clz64(xor), 31)
+            trail = _ctz64(xor)
+            sig = 64 - lead - trail
+            if prev_lead <= lead and (64 - prev_lead - prev_sig) <= trail:
+                w.write(0b10, 2)
+                w.write(xor >> (64 - prev_lead - prev_sig), prev_sig)
+            else:
+                w.write(0b11, 2)
+                w.write(lead, 5)
+                w.write(sig - 1, 6)
+                w.write(xor >> trail, sig)
+                prev_lead, prev_sig = lead, sig
+        prev = cur
+    out.append(w.getvalue())
+    return b"".join(out)
+
+
 def gorilla_encode(values: np.ndarray) -> bytes:
     """Gorilla XOR-encode a float64 array → bytes. Bit-exact roundtrip
-    (including NaN payloads)."""
+    (including NaN payloads). Short inputs take the loop path; long
+    inputs route through the vectorized batch encoder."""
     vals = np.asarray(values, dtype=np.float64)
     n = len(vals)
-    header = struct.pack("<Q", n)
     if n == 0:
-        return header
+        return struct.pack("<Q", 0)
     bits = vals.view(np.uint64)
-    first = int(bits[0])
     if n == 1:
-        return header + struct.pack("<Q", first)
+        return struct.pack("<QQ", 1, int(bits[0]))
+    if n < _SMALL_N:
+        return _gorilla_encode_small(bits.tolist(), n)
+    return gorilla_encode_batch(vals, np.zeros(1, dtype=np.int64))[0]
 
-    xor = bits[1:] ^ bits[:-1]
+
+def gorilla_encode_batch(values: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """Encode MANY series in one pass: `values` is the concatenation,
+    `starts` the group start offsets (ascending, starts[0] == 0).
+    Returns one blob per group, bit-identical to gorilla_encode of
+    each slice.
+
+    All per-value math (xor, clz/ctz, window widths) is vectorized
+    over the whole batch; the sequential window-reuse state machine
+    runs once over the batch's nonzero-xor entries only; every
+    group's token stream is padded to a byte boundary so a SINGLE
+    _pack_bits call packs the entire batch and the blobs are byte
+    slices of one buffer. Per-group flat cost is a few µs — this is
+    what makes compress_series fast at millions of tiny series."""
+    vals = np.asarray(values, dtype=np.float64)
+    starts = np.asarray(starts, dtype=np.int64)
+    n_total = len(vals)
+    n_groups = len(starts)
+    ends = np.append(starts[1:], n_total)
+    bits = vals.view(np.uint64) if n_total else np.empty(0, np.uint64)
+
+    xor = np.empty(n_total, np.uint64)
+    if n_total:
+        xor[0] = 0
+        xor[1:] = bits[1:] ^ bits[:-1]
+        xor[starts[starts < n_total]] = 0  # group firsts live in headers
     nz = np.flatnonzero(xor)
     x = xor[nz]
     bl = _bit_length_u64(x)
     lead_a = np.minimum(64 - bl, 31)  # leading cap 31 so it fits 5 bits
-    low = x & (~x + _U1)  # isolate lowest set bit
+    low = x & (~x + _U1)
     trail_a = _bit_length_u64(low) - 1
     sig_a = 64 - lead_a - trail_a
+    grp_nz_lo = np.searchsorted(nz, starts).tolist()
+    grp_nz_hi = np.searchsorted(nz, ends).tolist()
 
-    ev: list[int] = []  # token values
-    eb: list[int] = []  # token widths
+    ev: list[int] = []
+    eb: list[int] = []
+    meta: list[int] = []  # per-group payload bit count (byte-aligned)
     xl, ll, tl, sl = x.tolist(), lead_a.tolist(), trail_a.tolist(), sig_a.tolist()
-    prev_lead, prev_sig = 65, 0  # invalid window → first xor forces '11'
-    pos = 0
-    for j, i in enumerate(nz.tolist()):
-        zrun = i - pos  # '0' tokens for the repeat run before this entry
-        while zrun > 0:
-            c = 64 if zrun > 64 else zrun
-            ev.append(0)
-            eb.append(c)
-            zrun -= c
-        xv, lead, trail, sig = xl[j], ll[j], tl[j], sl[j]
-        if prev_lead <= lead and (64 - prev_lead - prev_sig) <= trail:
-            # fits the previous window → '10' + prev_sig bits
-            ev.append(0b10)
-            eb.append(2)
-            ev.append(xv >> (64 - prev_lead - prev_sig))
-            eb.append(prev_sig)
-        else:
-            # '11' + 5b lead + 6b (sig-1), one 13-bit control token
-            ev.append((0b11 << 11) | (lead << 6) | (sig - 1))
-            eb.append(13)
-            ev.append(xv >> trail)
-            eb.append(sig)
-            prev_lead, prev_sig = lead, sig
-        pos = i + 1
-    zrun = (n - 1) - pos
-    while zrun > 0:
-        c = 64 if zrun > 64 else zrun
-        ev.append(0)
-        eb.append(c)
-        zrun -= c
+    nzl = nz.tolist()
+    sl_g, el_g = starts.tolist(), ends.tolist()
+    ev_app, eb_app = ev.append, eb.append  # bound methods: loop-hot
+    for g in range(n_groups):
+        s, e = sl_g[g], el_g[g]
+        bits_g = 0
+        if e - s >= 2:
+            prev_lead, prev_sig = 65, 0
+            shift = 0  # 64 - prev_lead - prev_sig (window low edge)
+            pos = s + 1
+            for j in range(grp_nz_lo[g], grp_nz_hi[g]):
+                i = nzl[j]
+                zrun = i - pos
+                while zrun > 0:
+                    c = 64 if zrun > 64 else zrun
+                    ev_app(0)
+                    eb_app(c)
+                    bits_g += c
+                    zrun -= c
+                lead = ll[j]
+                trail = tl[j]
+                if prev_lead <= lead and shift <= trail:
+                    # fits the previous window → '10' + prev_sig bits
+                    ev_app(0b10)
+                    eb_app(2)
+                    ev_app(xl[j] >> shift)
+                    eb_app(prev_sig)
+                    bits_g += 2 + prev_sig
+                else:
+                    sig = sl[j]
+                    ev_app((0b11 << 11) | (lead << 6) | (sig - 1))
+                    eb_app(13)
+                    ev_app(xl[j] >> trail)
+                    eb_app(sig)
+                    bits_g += 13 + sig
+                    prev_lead, prev_sig = lead, sig
+                    shift = trail
+                pos = i + 1
+            zrun = e - pos
+            while zrun > 0:
+                c = 64 if zrun > 64 else zrun
+                ev_app(0)
+                eb_app(c)
+                bits_g += c
+                zrun -= c
+            pad = (-bits_g) % 8
+            if pad:
+                ev_app(0)
+                eb_app(pad)
+                bits_g += pad
+        meta.append(bits_g)
+
     payload = _pack_bits(np.array(ev, dtype=np.uint64), np.array(eb, dtype=np.int64))
-    return header + struct.pack("<Q", first) + payload
+    out: list[bytes] = []
+    byte_off = 0
+    firsts = (
+        bits[np.minimum(starts, max(n_total - 1, 0))].tolist() if n_total else []
+    )
+    for g in range(n_groups):
+        n_g = el_g[g] - sl_g[g]
+        if n_g == 0:
+            out.append(struct.pack("<Q", 0))
+            continue
+        nbytes = meta[g] // 8
+        out.append(
+            struct.pack("<QQ", n_g, firsts[g]) + payload[byte_off : byte_off + nbytes]
+        )
+        byte_off += nbytes
+    return out
 
 
 def gorilla_decode(blob: bytes) -> np.ndarray:
@@ -212,46 +352,137 @@ def gorilla_decode(blob: bytes) -> np.ndarray:
     return out.view(np.float64)
 
 
+_ZIGZAG_BUCKETS = (  # (max_zigzag_exclusive, prefix, prefix_len, payload_bits)
+    (128, 0b10, 2, 7),
+    (512, 0b110, 3, 9),
+    (4096, 0b1110, 4, 12),
+)
+
+
+def _dod_encode_small(t: list[int], n: int) -> bytes:
+    """Loop encoder for short series."""
+    first_delta = t[1] - t[0]
+    w = _BitWriter()
+    prev_delta = first_delta
+    for i in range(2, n):
+        d = t[i] - t[i - 1]
+        dod = d - prev_delta
+        prev_delta = d
+        if dod == 0:
+            w.write(0, 1)
+            continue
+        z = (dod << 1) ^ (dod >> 63) if dod >= 0 else ((-dod) << 1) - 1
+        for zmax, prefix, plen, nbits in _ZIGZAG_BUCKETS:
+            if z < zmax:
+                w.write(prefix, plen)
+                w.write(z, nbits)
+                break
+        else:
+            w.write(0b1111, 4)
+            w.write(dod & ((1 << 64) - 1), 64)
+    return struct.pack("<Qqq", n, t[0], first_delta) + w.getvalue()
+
+
 def dod_encode(ts: np.ndarray) -> bytes:
     """Delta-of-delta encode an int64 (µs) timestamp array → bytes.
-    Token construction is fully vectorized: zigzag + bucket prefix are
-    merged into one ≤16-bit token per point; rare 64-bit escapes are
-    spliced in with np.insert."""
+    Short inputs take the loop path; long inputs the batch encoder."""
     t = np.asarray(ts, dtype=np.int64)
     n = len(t)
-    header = struct.pack("<Q", n)
     if n == 0:
-        return header
+        return struct.pack("<Q", 0)
     if n == 1:
-        return header + struct.pack("<q", int(t[0]))
-    deltas = np.diff(t)  # int64; timestamp deltas cannot overflow
-    first_delta = int(deltas[0])
-    out = [header, struct.pack("<qq", int(t[0]), first_delta)]
-    dod = deltas[1:] - deltas[:-1]
-    if len(dod):
-        z = ((dod << 1) ^ (dod >> 63)).view(np.uint64)  # zigzag
-        vals = np.zeros(len(dod), dtype=np.uint64)
-        nb = np.empty(len(dod), dtype=np.int64)
-        m0 = dod == 0
-        m1 = ~m0 & (z < 128)
-        m2 = ~m0 & ~m1 & (z < 512)
-        m3 = ~m0 & ~m1 & ~m2 & (z < 4096)
-        esc = ~(m0 | m1 | m2 | m3)
-        nb[m0] = 1
-        vals[m1] = np.uint64(0b10 << 7) | z[m1]
-        nb[m1] = 9
-        vals[m2] = np.uint64(0b110 << 9) | z[m2]
-        nb[m2] = 12
-        vals[m3] = np.uint64(0b1110 << 12) | z[m3]
-        nb[m3] = 16
-        if esc.any():
-            ei = np.flatnonzero(esc)
-            vals[ei] = 0b1111
-            nb[ei] = 4
-            vals = np.insert(vals, ei + 1, dod[ei].view(np.uint64))
-            nb = np.insert(nb, ei + 1, 64)
-        out.append(_pack_bits(vals, nb))
-    return b"".join(out)
+        return struct.pack("<Qq", 1, int(t[0]))
+    if n < _SMALL_N:
+        return _dod_encode_small(t.tolist(), n)
+    return dod_encode_batch(t, np.zeros(1, dtype=np.int64))[0]
+
+
+def dod_encode_batch(ts: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """Encode many timestamp series in one pass (see
+    gorilla_encode_batch for the contract). Fully vectorized: deltas
+    and delta-of-deltas are computed over the concatenation with
+    group-start positions masked out, zigzag + bucket prefixes merge
+    into one ≤16-bit token per point (np.select-style masks), rare
+    64-bit escapes and per-group byte-alignment pads are spliced with
+    np.insert, and ONE _pack_bits call packs the whole batch. No
+    Python loop over values at all — only a per-group header loop."""
+    t = np.asarray(ts, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    n_total = len(t)
+    n_groups = len(starts)
+    ends = np.append(starts[1:], n_total)
+
+    delta = np.zeros(n_total, dtype=np.int64)
+    dod = np.zeros(n_total, dtype=np.int64)
+    if n_total > 1:
+        delta[1:] = t[1:] - t[:-1]
+    if n_total > 2:
+        dod[2:] = delta[2:] - delta[1:-1]
+    valid = np.ones(n_total, dtype=bool)
+    sv = starts[starts < n_total]
+    valid[sv] = False  # group firsts: header
+    s1 = starts + 1
+    valid[s1[s1 < n_total]] = False  # group seconds: first_delta header
+    idx = np.flatnonzero(valid)
+    gi = np.searchsorted(starts, idx, side="right") - 1
+    dv = dod[idx]
+
+    z = ((dv << 1) ^ (dv >> 63)).view(np.uint64)  # zigzag
+    vals = np.zeros(len(dv), dtype=np.uint64)
+    nb = np.empty(len(dv), dtype=np.int64)
+    # bucket bounds on the RAW dod (zigzag of a near-2^63 dod wraps
+    # int64 and could alias a small z; the raw ranges cannot)
+    m0 = dv == 0
+    m1 = ~m0 & (dv >= -64) & (dv <= 63)  # z < 128
+    m2 = ~m0 & ~m1 & (dv >= -256) & (dv <= 255)  # z < 512
+    m3 = ~m0 & ~m1 & ~m2 & (dv >= -2048) & (dv <= 2047)  # z < 4096
+    esc = ~(m0 | m1 | m2 | m3)
+    nb[m0] = 1
+    vals[m1] = np.uint64(0b10 << 7) | z[m1]
+    nb[m1] = 9
+    vals[m2] = np.uint64(0b110 << 9) | z[m2]
+    nb[m2] = 12
+    vals[m3] = np.uint64(0b1110 << 12) | z[m3]
+    nb[m3] = 16
+    if esc.any():
+        ei = np.flatnonzero(esc)
+        vals[ei] = 0b1111
+        nb[ei] = 4
+        vals = np.insert(vals, ei + 1, dv[ei].view(np.uint64))
+        nb = np.insert(nb, ei + 1, 64)
+        gi = np.insert(gi, ei + 1, gi[ei])
+
+    bitsum = np.bincount(gi, weights=nb.astype(np.float64), minlength=n_groups).astype(
+        np.int64
+    )
+    pad = (-bitsum) % 8
+    grp_tok_end = np.cumsum(np.bincount(gi, minlength=n_groups))
+    pm = pad > 0
+    if pm.any():
+        vals = np.insert(vals, grp_tok_end[pm], np.uint64(0))
+        nb = np.insert(nb, grp_tok_end[pm], pad[pm])
+    payload = _pack_bits(vals, nb)
+
+    gbytes = ((bitsum + pad) // 8).tolist()
+    sl_g, el_g = starts.tolist(), ends.tolist()
+    tl = t[np.minimum(starts, max(n_total - 1, 0))].tolist() if n_total else []
+    s1c = np.minimum(starts + 1, max(n_total - 1, 0))
+    fdl = delta[s1c].tolist() if n_total else []
+    out: list[bytes] = []
+    off = 0
+    for g in range(n_groups):
+        n_g = el_g[g] - sl_g[g]
+        if n_g == 0:
+            out.append(struct.pack("<Q", 0))
+        elif n_g == 1:
+            out.append(struct.pack("<Qq", 1, tl[g]))
+        else:
+            out.append(
+                struct.pack("<Qqq", n_g, tl[g], fdl[g])
+                + payload[off : off + gbytes[g]]
+            )
+            off += gbytes[g]
+    return out
 
 
 def dod_decode(blob: bytes) -> np.ndarray:

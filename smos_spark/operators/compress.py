@@ -34,9 +34,9 @@ from pyspark.sql import DataFrame
 
 from smos_spark.functions.codecs import (
     dod_decode,
-    dod_encode,
+    dod_encode_batch,
     gorilla_decode,
-    gorilla_encode,
+    gorilla_encode_batch,
 )
 
 __all__ = ["compress_series", "decompress_series"]
@@ -62,20 +62,31 @@ def compress_series(
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
     arranged = df.repartition(n_parts, key).sortWithinPartitions(key, *order)
 
-    def _encode_slice(rows: dict, kv, ts_us, ts_raw, vals) -> None:
-        rows[key].append(kv)
-        rows["n"].append(len(ts_us))
-        rows["first_ts"].append(ts_raw[0])
-        rows["last_ts"].append(ts_raw[-1])
-        rows["ts_blob"].append(dod_encode(ts_us))
-        for c, arr in vals.items():
-            rows[f"{c}_blob"].append(gorilla_encode(arr))
-
     def _empty_rows() -> dict:
         cols = [key, "n", "first_ts", "last_ts", "ts_blob"] + [
             f"{c}_blob" for c in value_cols
         ]
         return {c: [] for c in cols}
+
+    def _encode_block(rows: dict, pdf: pd.DataFrame, starts: np.ndarray) -> None:
+        """Batch-encode every complete group of `pdf` in ONE pass per
+        column (codecs.*_encode_batch): the vectorized token pipeline's
+        flat numpy cost amortizes over all groups, so a million tiny
+        series cost µs each, not the ~200 µs of a per-group call."""
+        cut = len(pdf)
+        ends = np.append(starts[1:], cut)
+        keys = pdf[key].to_numpy()
+        ts_raw = pdf[ts_col].to_numpy()
+        ts_us = ts_raw.astype("datetime64[us]").astype("int64")
+        rows[key].extend(keys[starts].tolist())
+        rows["n"].extend((ends - starts).tolist())
+        rows["first_ts"].extend(ts_raw[starts])
+        rows["last_ts"].extend(ts_raw[ends - 1])
+        rows["ts_blob"].extend(dod_encode_batch(ts_us, starts))
+        for c in value_cols:
+            rows[f"{c}_blob"].extend(
+                gorilla_encode_batch(pdf[c].to_numpy(dtype="float64"), starts)
+            )
 
     def _enc_stream(batches):
         carry: pd.DataFrame | None = None
@@ -92,29 +103,12 @@ def compress_series(
             carry = pdf.iloc[starts[-1] :]
             if len(starts) == 1:
                 continue
-            ts_raw = pdf[ts_col].to_numpy()
-            ts_us = ts_raw.astype("datetime64[us]").astype("int64")
-            vals_all = {c: pdf[c].to_numpy(dtype="float64") for c in value_cols}
-            for s, e in zip(starts[:-1], starts[1:]):
-                _encode_slice(
-                    rows,
-                    keys[s],
-                    ts_us[s:e],
-                    ts_raw[s:e],
-                    {c: a[s:e] for c, a in vals_all.items()},
-                )
+            _encode_block(rows, pdf.iloc[: starts[-1]], starts[:-1])
             if len(rows[key]) >= 4096:
                 yield pd.DataFrame(rows)
                 rows = _empty_rows()
         if carry is not None and len(carry):
-            ts_raw = carry[ts_col].to_numpy()
-            _encode_slice(
-                rows,
-                carry[key].iloc[0],
-                ts_raw.astype("datetime64[us]").astype("int64"),
-                ts_raw,
-                {c: carry[c].to_numpy(dtype="float64") for c in value_cols},
-            )
+            _encode_block(rows, carry, np.zeros(1, dtype=np.int64))
         if len(rows[key]):
             yield pd.DataFrame(rows)
 

@@ -86,8 +86,15 @@ class Overview:
 
 
 class TranscriptStore:
-    def __init__(self, root: str | Path, n_buckets: int = DEFAULT_N_BUCKETS):
+    def __init__(self, root: str | Path, n_buckets: int | None = None):
+        """n_buckets=None reopens an existing store with the bucket
+        count recorded in its overview sidecar (the layout is physical
+        — reading with a different count silently misses buckets);
+        for a new store it falls back to DEFAULT_N_BUCKETS."""
         self.root = Path(root)
+        if n_buckets is None:
+            ov = Overview.load(self.root / "overview.json")
+            n_buckets = (ov.extra or {}).get("n_buckets", DEFAULT_N_BUCKETS)
         self.n_buckets = n_buckets
         self.root.mkdir(parents=True, exist_ok=True)
 
@@ -145,6 +152,7 @@ class TranscriptStore:
             .mode(mode)
             .parquet(self.tier_path(tier))
         )
+        self._ensure_overview()
 
     def overwrite_tier_partitions(self, tier_df: DataFrame, tier: str) -> None:
         """Dynamic partition overwrite — rewrites only the
@@ -255,7 +263,14 @@ class TranscriptStore:
         return Overview.load(self.overview_path)
 
     def save_overview(self, ov: Overview) -> None:
+        # every overview commit records the physical bucket layout so
+        # a reopen (n_buckets=None) can never mis-bucket point reads
+        ov.extra = {**(ov.extra or {}), "n_buckets": self.n_buckets}
         ov.save(self.overview_path)
+
+    def _ensure_overview(self) -> None:
+        if not self.overview_path.exists():
+            self.save_overview(Overview(extra={}))
 
     # --- checkpoint lineage ---
     def append_checkpoint(self, spark: SparkSession, rows: list[dict]) -> None:

@@ -133,3 +133,67 @@ def test_spark_block_roundtrip(spark, transcripts):
     ).collect()[0]
     n_rows = src.count()
     assert sizes.c < n_rows * 16
+
+
+def test_batch_encoders_match_single():
+    """gorilla_encode_batch/dod_encode_batch must produce byte-identical
+    blobs to per-slice single encodes for ragged group mixes (incl.
+    n=1 and n=2 groups, NaNs, constant runs, jittered ts)."""
+    from smos_spark.functions.codecs import dod_encode_batch, gorilla_encode_batch
+
+    rng = np.random.default_rng(7)
+    sizes = [1, 2, 3, 17, 1, 250, 2, 5000, 40, 1]
+    starts = np.concatenate(([0], np.cumsum(sizes[:-1]))).astype("int64")
+    vals = np.concatenate(
+        [
+            np.where(rng.random(s) < 0.2, np.nan, rng.normal(size=s).cumsum())
+            if i % 2
+            else np.repeat(rng.normal(), s)
+            for i, s in enumerate(sizes)
+        ]
+    )
+    ts = np.concatenate(
+        [
+            1_700_000_000_000_000
+            + np.cumsum(rng.integers(1, 10_000_000_000, s)).astype("int64")
+            for s in sizes
+        ]
+    )
+    gb = gorilla_encode_batch(vals, starts)
+    db = dod_encode_batch(ts, starts)
+    assert len(gb) == len(db) == len(sizes)
+    off = 0
+    for g, s in enumerate(sizes):
+        np.testing.assert_array_equal(
+            gorilla_decode(gb[g]).view(np.uint64),
+            vals[off : off + s].view(np.uint64),
+        )
+        np.testing.assert_array_equal(dod_decode(db[g]), ts[off : off + s])
+        assert gb[g] == gorilla_encode(vals[off : off + s])
+        assert db[g] == dod_encode(ts[off : off + s])
+        off += s
+
+
+def test_batch_encoders_escape_and_pad_edges():
+    from smos_spark.functions.codecs import dod_encode_batch, gorilla_encode_batch
+
+    # giant dods force the 64-bit escape inside a multi-group batch
+    ts = np.array(
+        [0, 10, 20, 2**52, 2**52 + 5,          # group 0 with escape
+         100, 200, 300, 400],                   # group 1 regular
+        dtype="int64",
+    )
+    starts = np.array([0, 5], dtype="int64")
+    db = dod_encode_batch(ts, starts)
+    np.testing.assert_array_equal(dod_decode(db[0]), ts[:5])
+    np.testing.assert_array_equal(dod_decode(db[1]), ts[5:])
+    assert db[0] == dod_encode(ts[:5]) and db[1] == dod_encode(ts[5:])
+
+    vals = np.array([1.0, 1.0, 2.0, np.inf, -0.0, 0.0], dtype="float64")
+    starts = np.array([0, 2, 5], dtype="int64")
+    gb = gorilla_encode_batch(vals, starts)
+    for blob, lo, hi in zip(gb, (0, 2, 5), (2, 5, 6)):
+        np.testing.assert_array_equal(
+            gorilla_decode(blob).view(np.uint64), vals[lo:hi].view(np.uint64)
+        )
+        assert blob == gorilla_encode(vals[lo:hi])
