@@ -197,3 +197,30 @@ def test_batch_encoders_escape_and_pad_edges():
             gorilla_decode(blob).view(np.uint64), vals[lo:hi].view(np.uint64)
         )
         assert blob == gorilla_encode(vals[lo:hi])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=7), min_size=1, max_size=12),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_batch_property_random_groups(shape, seed):
+    """Property: batch encode == per-slice single encode for random
+    group-size vectors (0-7 each, so empty/1/2-point groups mix in)."""
+    from smos_spark.functions.codecs import dod_encode_batch, gorilla_encode_batch
+
+    rng = np.random.default_rng(seed)
+    sizes = list(shape)
+    starts = np.concatenate(([0], np.cumsum(sizes[:-1]))).astype("int64")
+    total = sum(sizes)
+    vals = rng.normal(size=total)
+    vals[rng.random(total) < 0.3] = np.nan
+    vals[rng.random(total) < 0.2] = 1.5  # force some repeats
+    ts = np.sort(rng.integers(-(2**52), 2**52, total)).astype("int64")
+    gb = gorilla_encode_batch(vals, starts)
+    db = dod_encode_batch(ts, starts)
+    off = 0
+    for g, s in enumerate(sizes):
+        assert gb[g] == gorilla_encode(vals[off : off + s])
+        assert db[g] == dod_encode(ts[off : off + s])
+        off += s
