@@ -57,7 +57,13 @@ def main() -> None:
     ex.add_argument("--run-id", default="cli")
     ex.add_argument("--batch-id", type=int, default=None, help="default: last+1")
     ex.add_argument("--strict", action="store_true", help="refuse late data (reference guard)")
-    ex.add_argument("--n-buckets", type=int, default=32)
+    ex.add_argument(
+        "--n-buckets",
+        type=int,
+        default=None,
+        help="bucket count for a NEW store; an existing store always "
+        "reopens with the layout recorded in its overview sidecar",
+    )
 
     xp = sub.add_parser("export", help="subset re-export to a new store")
     xp.add_argument("--store", required=True)

@@ -127,22 +127,42 @@ class AnnIndex:
     def vectors_path(self) -> str:
         return str(self.root / "vectors")
 
-    def _probe_cells(self, qv: np.ndarray, n_probe: int, multiprobe_hamming: int):
-        """Rank cells against the sidecar on the driver — no Spark job."""
+    def _probe_cells(
+        self,
+        qv: np.ndarray,
+        n_probe: int,
+        multiprobe_hamming: int,
+        stored_bucket: int | None = None,
+    ):
+        """Rank cells against the sidecar on the driver — no Spark job.
+
+        For LSH, prefer `stored_bucket` (the query row's own partition
+        value from the index, produced by the SAME kernel pass that
+        bucketed the data) — a driver-side recomputation uses a
+        different BLAS shape whose float fold could flip a
+        near-zero-projection sign. The driver fallback only runs for
+        out-of-index query vectors. The IVF ranking uses the engine's
+        exact formula (round(dot/(|a||b|), 6), ties → cell asc)."""
         if self.meta["strategy"] == "ivf":
             pairs = self.meta["centroids"]
             cells = [p[0] for p in pairs]
             cen = np.array([p[1] for p in pairs], dtype=np.float64)
-            qn = qv / max(np.linalg.norm(qv), 1e-12)
-            cn = cen / np.maximum(np.linalg.norm(cen, axis=1, keepdims=True), 1e-12)
-            sims = np.round(cn @ qn, 6)
+            dots = cen @ qv
+            denom = np.linalg.norm(cen, axis=1) * np.linalg.norm(qv)
+            sims = np.round(
+                np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), 0.0), 6
+            )
             order = sorted(range(len(cells)), key=lambda i: (-sims[i], cells[i]))
             return [cells[i] for i in order[:n_probe]]
-        planes = np.array(self.meta["planes"], dtype=np.float64)
-        qb = int(((planes @ qv > 0) * (1 << np.arange(len(planes)))).sum())
+        if stored_bucket is not None:
+            qb = int(stored_bucket)
+        else:
+            planes = np.array(self.meta["planes"], dtype=np.float64)
+            qb = int(((planes @ qv > 0) * (1 << np.arange(len(planes)))).sum())
+        n_planes = self.meta["n_planes"]
         probe = {qb}
         if multiprobe_hamming >= 1:
-            probe |= {qb ^ (1 << j) for j in range(len(planes))}
+            probe |= {qb ^ (1 << j) for j in range(n_planes)}
         return sorted(probe)
 
     def topk(
@@ -158,17 +178,24 @@ class AnnIndex:
         cell= directories (literal IN-list on the partition column)."""
         key, vec_col = self.meta["key"], self.meta["vec_col"]
         vectors = spark.read.parquet(self.vectors_path)
+        stored_bucket = None
         if query_vec is None:
             if query_id is None:
                 raise ValueError("pass query_vec or query_id")
             # id lookup costs one scan of the index table; prefer
-            # query_vec when the caller already holds the vector
-            row = vectors.where(F.col(key) == query_id).select(vec_col).collect()
+            # query_vec when the caller already holds the vector. The
+            # row's own cell rides along so LSH probing reuses the
+            # index's bucketing verbatim.
+            row = (
+                vectors.where(F.col(key) == query_id).select(vec_col, "cell").collect()
+            )
             if not row:
                 raise KeyError(f"{key}={query_id} not in index")
             query_vec = row[0][0]
+            if self.meta["strategy"] == "lsh":
+                stored_bucket = row[0][1]
         qv = np.asarray(query_vec, dtype=np.float64)
-        probe = self._probe_cells(qv, n_probe, multiprobe_hamming)
+        probe = self._probe_cells(qv, n_probe, multiprobe_hamming, stored_bucket)
         q = _lit_array(qv)
         scored = vectors.where(F.col("cell").isin(probe))
         if query_id is not None:

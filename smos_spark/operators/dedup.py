@@ -30,6 +30,25 @@ from smos_spark.functions.texthash import (
     universal_hash,
 )
 
+_CACHE_RING: list = []
+
+
+def _release_later(df, keep: int = 2) -> None:
+    """Bounded lifetime for operator-internal persisted plans: keep the
+    most recent `keep` cached frames alive (covering the returned
+    plan's execution), unpersist older ones. Deterministic — no GC
+    timing — so repeated calls in a long-lived session cannot
+    accumulate executor storage; evicting a frame that some stale
+    un-executed plan still references only costs recomputation."""
+    import contextlib
+
+    _CACHE_RING.append(df)
+    while len(_CACHE_RING) > keep:
+        old = _CACHE_RING.pop(0)
+        with contextlib.suppress(Exception):  # session may be gone
+            old.unpersist(False)
+
+
 __all__ = [
     "dedup_exact",
     "char_shingles",
@@ -250,12 +269,12 @@ def minhash_dedup_pairs(
     The signature/shingle base is persisted while the plan is built:
     it feeds three consumers (banding + both verify sides) and
     recomputing the per-shingle hash cascade 3× dominates runtime
-    otherwise. The cache is released on a best-effort basis when the
-    returned DataFrame is garbage-collected (non-blocking unpersist
-    registered via weakref) so repeated calls in a long-lived session
-    don't accumulate executor storage. Fast path (portable=False)
-    shingles+hashes in numpy and verifies Jaccard on long arrays —
-    ~5× cheaper than string-array intersection."""
+    otherwise. Cache lifetime is bounded by `_release_later`: the two
+    most recent bases stay cached (covering the returned plan's
+    execution), older ones are unpersisted — repeated calls in a
+    long-lived session cannot accumulate executor storage. Fast path
+    (portable=False) shingles+hashes in numpy and verifies Jaccard on
+    long arrays — ~5× cheaper than string-array intersection."""
     if portable:
         sh = char_shingles(F.col(text_col), k)
     else:
@@ -278,22 +297,13 @@ def minhash_dedup_pairs(
         if not portable
         else exact_jaccard("sh_a", "sh_b")
     )
-    out = (
+    _release_later(base)
+    return (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
-    # release the cached base when the result plan is dropped
-    import contextlib
-    import weakref
-
-    def _release(df=base):
-        with contextlib.suppress(Exception):  # session may already be gone
-            df.unpersist(False)
-
-    weakref.finalize(out, _release)
-    return out
 
 
 # ------------------------------------------------------- n-gram jaccard
@@ -457,48 +467,81 @@ def near_dup_components(
     pipeline. Returns (doc_id, component, keep) for every id appearing
     in `pairs`; component = min id reachable; keep = (doc_id == component).
 
-    Min-label propagation: per round, every node takes the min of its
-    own label and its neighbors' labels — one join + one groupBy
-    shuffle per round, labels never leave the cluster; convergence is
-    checked with a single-row aggregate (rounds ≈ cluster diameter,
-    small for near-dup graphs). Deterministic; bounded by max_iters."""
+    Min-label propagation with pointer jumping: per round every node
+    takes the min of (its label, its neighbors' labels, its label's
+    label). The neighbor step moves information one hop; the pointer
+    jump (comp := comp(comp)) halves remaining chain depth, so
+    convergence is O(log diameter) rounds — max_iters=25 covers any
+    graph that fits in storage. Two joins + one groupBy shuffle per
+    round, labels never leave the cluster; convergence is checked
+    with a single-row aggregate. Raises on non-convergence instead of
+    silently splitting clusters."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .persist()
     )
+    # each round references the previous labels THREE times (neighbor
+    # join, pointer jump, change flag) — without lineage truncation the
+    # logical plan grows exponentially and the analyzer OOMs around
+    # round ~7. localCheckpoint materializes the round and flattens
+    # the plan; superseded round blocks are freed by the ContextCleaner
+    # when their RDDs go out of scope.
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()  # materialize before the loop re-reads it
+    changed = 1
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+        stepped = (
+            labels.select("node", F.col("comp").alias("_old"))
+            .join(nbr_min, F.col("node") == nbr_min.src, "left")
             .select(
                 "node",
+                "_old",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-                (F.col("nbr_comp") < F.col("comp")).alias("_changed"),
+                    F.col("_old"), F.coalesce(F.col("nbr_comp"), F.col("_old"))
+                ).alias("_c1"),
             )
-            .persist()
+        )
+        jump = labels.select(
+            F.col("node").alias("_pn"), F.col("comp").alias("_pc")
+        )
+        new_labels = (
+            stepped.join(jump, stepped._c1 == jump._pn, "left")
+            .select(
+                "node",
+                F.least(F.col("_c1"), F.coalesce(F.col("_pc"), F.col("_c1"))).alias(
+                    "comp"
+                ),
+                (
+                    F.least(F.col("_c1"), F.coalesce(F.col("_pc"), F.col("_c1")))
+                    < F.col("_old")
+                ).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
         )
         changed = new_labels.agg(
             F.count(F.when(F.col("_changed"), 1)).alias("n")
         ).collect()[0].n
-        labels.unpersist(False)
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    else:
+        edges.unpersist(False)
+        raise RuntimeError(
+            f"near_dup_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — a duplicate chain longer "
+            "than max_iters would silently split clusters; raise max_iters"
+        )
     edges.unpersist(False)
     return labels.select(
         F.col("node").alias("doc_id"),

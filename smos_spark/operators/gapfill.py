@@ -64,34 +64,39 @@ def dense_grid(
         # Chunked grid: one sequence() per conv at the 1m tier would
         # materialize the whole span as a single array row (a year ≈
         # 525k elements — executor OOM / sequence cap territory for
-        # long-lived convs). Explode days first, then the ≤1440
-        # minutes within each day: per-row arrays stay bounded no
-        # matter the span.
-        days = bounds.select(
+        # long-lived convs). Explode fixed 1440-minute chunks from
+        # _lo, then the ≤1440 minutes inside each chunk. Chunk bounds
+        # are computed in EPOCH SECONDS (timestamp_seconds), never by
+        # interval addition: a day-time interval's day component adds
+        # as a CALENDAR day (23/25 h under a DST session timezone),
+        # which double-emits or drops the transition minutes; the
+        # 1-minute sequence step itself is fixed-duration.
+        chunks = bounds.select(
             "conv_id",
-            "_lo",
-            "_hi",
+            F.unix_timestamp(F.col("_lo").cast("timestamp")).alias("_lo_s"),
+            F.unix_timestamp(F.col("_hi").cast("timestamp")).alias("_hi_s"),
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor(
+                        (
+                            F.unix_timestamp(F.col("_hi").cast("timestamp"))
+                            - F.unix_timestamp(F.col("_lo").cast("timestamp"))
+                        )
+                        / (1440 * 60)
+                    ).cast("int"),
+                )
+            ).alias("_k"),
+        )
+        return chunks.select(
+            "conv_id",
             F.explode(
                 F.expr(
-                    "sequence(date_trunc('day', _lo), date_trunc('day', _hi),"
-                    " interval 1 day)"
+                    "sequence(timestamp_seconds(_lo_s + _k * 86400),"
+                    " timestamp_seconds(least(_lo_s + _k * 86400 + 86340, _hi_s)),"
+                    " interval 1 minute)"
                 )
-            ).alias("_day"),
-        )
-        return (
-            days.select(
-                "conv_id",
-                "_lo",
-                "_hi",
-                F.explode(
-                    F.expr(
-                        "sequence(_day, _day + interval 1439 minutes,"
-                        " interval 1 minute)"
-                    )
-                ).alias("bucket_start"),
-            )
-            .where(F.col("bucket_start").between(F.col("_lo"), F.col("_hi")))
-            .select("conv_id", "bucket_start")
+            ).alias("bucket_start"),
         )
     step = f"interval 1 {unit}"
     return bounds.select(

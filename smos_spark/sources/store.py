@@ -92,9 +92,17 @@ class TranscriptStore:
         — reading with a different count silently misses buckets);
         for a new store it falls back to DEFAULT_N_BUCKETS."""
         self.root = Path(root)
+        recorded = (Overview.load(self.root / "overview.json").extra or {}).get(
+            "n_buckets"
+        )
         if n_buckets is None:
-            ov = Overview.load(self.root / "overview.json")
-            n_buckets = (ov.extra or {}).get("n_buckets", DEFAULT_N_BUCKETS)
+            n_buckets = recorded if recorded is not None else DEFAULT_N_BUCKETS
+        elif recorded is not None and n_buckets != recorded:
+            raise ValueError(
+                f"store at {self.root} is physically bucketed with "
+                f"n_buckets={recorded}; reopening with {n_buckets} would "
+                "mis-bucket reads and writes (omit n_buckets to reopen)"
+            )
         self.n_buckets = n_buckets
         self.root.mkdir(parents=True, exist_ok=True)
 

@@ -34,12 +34,17 @@ class MonotonicAppendError(ValueError):
 
 
 def split_late_rows(batch: DataFrame, last_day: str | None):
-    """Route rows at/before the checkpoint to quarantine (late-data
+    """Route rows at/before the checkpoint — and rows with NULL ts,
+    which a time-series store cannot place — to quarantine (late-data
     policy, SURVEY.md §2.8). Returns (on_time, late)."""
+    null_ts = F.col("ts").isNull()
     if last_day is None:
-        return batch, batch.limit(0)
+        return batch.where(~null_ts), batch.where(null_ts)
     cut = F.lit(last_day).cast("timestamp")
-    return batch.where(F.col("ts") > cut), batch.where(F.col("ts") <= cut)
+    return (
+        batch.where(F.col("ts") > cut),  # null ts fails the predicate
+        batch.where(null_ts | (F.col("ts") <= cut)),
+    )
 
 
 def ingest_batch(
@@ -72,32 +77,31 @@ def ingest_batch(
         # overview is the commit point, so treat as done.
         return {"skipped": True, "batch_id": batch_id}
 
-    # --- monotonic guard / late-data routing ---
-    # ONE bounds job computes raw min/max/count AND the on-time-only
-    # (ts > last_day) variants as conditional aggregates, so the late
-    # path needs no second scan.
-    cut = (
-        F.lit(ov.last_day).cast("timestamp")
-        if ov.last_day is not None
-        else F.lit(None).cast("timestamp")
-    )
-    on_time = F.when(F.col("ts") > cut, F.col("ts")) if ov.last_day else F.col("ts")
+    # --- monotonic guard / late/invalid-data routing ---
+    # ONE bounds job computes raw counts AND the on-time-only
+    # (non-null ts > last_day) variants as conditional aggregates, so
+    # the late path needs no second scan. NULL-ts rows count as
+    # not-on-time: a time-series store cannot place them, so they go
+    # to quarantine rather than silently vanishing.
+    if ov.last_day is not None:
+        on_time = F.when(
+            F.col("ts") > F.lit(ov.last_day).cast("timestamp"), F.col("ts")
+        )
+    else:
+        on_time = F.col("ts")  # count() skips NULLs
     bounds = batch.agg(
         F.min("ts").alias("raw_lo"),
-        F.max("ts").alias("raw_hi"),
+        F.count(F.lit(1)).alias("n_raw"),
         F.min(on_time).alias("lo"),
         F.max(on_time).alias("hi"),
         F.count(on_time).alias("n"),
     ).collect()[0]
     lo, hi, n_in = bounds.lo, bounds.hi, bounds.n
-    if (
-        ov.last_day is not None
-        and bounds.raw_lo is not None
-        and str(bounds.raw_lo) <= ov.last_day
-    ):
+    if bounds.n_raw != n_in:  # some rows are late and/or NULL-ts
         if strict:
             raise MonotonicAppendError(
-                f"batch starts at {bounds.raw_lo} but store last_day is {ov.last_day}"
+                f"batch has {bounds.n_raw - n_in} late/NULL-ts rows "
+                f"(starts at {bounds.raw_lo}, store last_day {ov.last_day})"
             )
         batch, late = split_late_rows(batch, ov.last_day)
         if quarantine:

@@ -157,3 +157,37 @@ def test_minute_grid_chunked_long_span(spark):
     ).collect()
     got = {r.conv_id: (str(r.lo), str(r.hi)) for r in bounds}
     assert got["c1"] == ("2024-01-03 07:30:00", "2025-01-03 07:31:00")
+
+
+def test_minute_grid_dst_timezone_exact(spark):
+    """The chunked 1m grid uses fixed-duration epoch chunks: under a
+    DST session timezone the minute count across a spring-forward
+    transition equals the epoch span, with no duplicate or missing
+    buckets."""
+    from smos_spark.operators.gapfill import dense_grid
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        rows = [("c1", "2024-03-09 12:00:00"), ("c1", "2024-03-11 12:00:00")]
+        tier = spark.createDataFrame(rows, "conv_id string, b string").select(
+            "conv_id", F.col("b").cast("timestamp").alias("bucket_start")
+        )
+        grid = dense_grid(tier, "1m")
+        stats = grid.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("bucket_start").alias("nd"),
+            (
+                (
+                    F.unix_timestamp(F.max("bucket_start"))
+                    - F.unix_timestamp(F.min("bucket_start"))
+                )
+                / 60
+                + 1
+            ).alias("span_minutes"),
+        ).collect()[0]
+        assert stats.n == stats.nd == int(stats.span_minutes)
+        # spring-forward weekend: 47 wall-clock hours = 2821 minute buckets
+        assert stats.n == 47 * 60 + 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)

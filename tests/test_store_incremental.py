@@ -268,3 +268,32 @@ def test_export_subset_roundtrip(spark, transcripts, tmp_path):
     # provenance sidecar
     ov = out.load_overview()
     assert ov.parameters["tier"] == "1h"
+
+
+def test_ingest_null_ts_rows_quarantined(spark, transcripts, tmp_path):
+    """NULL-ts rows cannot be placed on a time grid: they are routed to
+    quarantine (not silently dropped), and rows_in reflects only the
+    placeable rows."""
+    from smos_spark.streaming.incremental import MonotonicAppendError, ingest_batch
+
+    store = TranscriptStore(tmp_path / "nullts", n_buckets=4)
+    good = transcripts.limit(50)
+    bad = good.limit(5).withColumn("ts", F.lit(None).cast("timestamp"))
+    batch = good.unionByName(bad)
+    r = ingest_batch(store, batch, run_id="nt", batch_id=0)
+    assert r["rows_in"] == 50
+    q = spark.read.parquet(str(store.root / "_quarantine"))
+    assert q.count() == 5 and q.where(F.col("ts").isNull()).count() == 5
+    # strict mode refuses the dirty batch outright
+    store2 = TranscriptStore(tmp_path / "nullts2", n_buckets=4)
+    with pytest.raises(MonotonicAppendError):
+        ingest_batch(store2, batch, run_id="nt", batch_id=0, strict=True)
+
+
+def test_reopen_with_conflicting_bucket_count_raises(spark, transcripts, tmp_path):
+    store = TranscriptStore(tmp_path / "layout", n_buckets=8)
+    store.write_tier(rollup_from_raw(transcripts.limit(200), "1h"), "1h")
+    reopened = TranscriptStore(tmp_path / "layout")  # sidecar governs
+    assert reopened.n_buckets == 8
+    with pytest.raises(ValueError, match="physically bucketed"):
+        TranscriptStore(tmp_path / "layout", n_buckets=32)

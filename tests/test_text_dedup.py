@@ -317,3 +317,16 @@ def test_near_dup_components_chain(spark):
     assert comp[20] == comp[21] == 20
     keep = set(got[got.keep].doc_id)
     assert keep == {1, 10, 20}
+
+
+def test_near_dup_components_long_chain_pointer_jumping(spark):
+    """A 40-node chain converges well inside max_iters thanks to the
+    pointer-jumping step (O(log diameter) rounds, not O(diameter))."""
+    from smos_spark.operators.dedup import near_dup_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], "id_a long, id_b long"
+    )
+    got = near_dup_components(pairs, max_iters=10).toPandas()
+    assert (got.component == 100).all()
+    assert set(got[got.keep].doc_id) == {100}
