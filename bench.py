@@ -83,6 +83,22 @@ def main() -> None:
     def q_cosine_topk():
         _force(cosine_topk(embs, query_id=0, k=10))
 
+    def q_ann_index():
+        # persisted-index lifecycle: one build (cell-partitioned write +
+        # centroid sidecar), then partition-pruned queries
+        import shutil
+        import tempfile
+
+        from smos_spark.operators.ann_index import build_ann_index
+
+        root = tempfile.mkdtemp(prefix="smos_bench_ann_")
+        try:
+            idx = build_ann_index(embs, root, strategy="ivf", cell_col="label")
+            for qid in (0, 101, 202, 303, 404):
+                _force(idx.topk(spark, query_id=qid, k=10, n_probe=3))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
     def q_sessionize():
         from smos_spark.operators.sessionize import session_stats
 
@@ -97,6 +113,7 @@ def main() -> None:
         "minhash_pairs": q_minhash_pairs,
         "text_profile": q_text_profile,
         "cosine_topk": q_cosine_topk,
+        "ann_index": q_ann_index,
     }
 
     timings: dict[str, float] = {}
