@@ -417,6 +417,43 @@ def _q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(_docs(spark, sf_dir))
 
 
+def _q_doc_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself: min-key survivor per content
+    hash via a broadcast left-semi join (the corpus is never
+    shuffled). IDs only."""
+    from smos_spark.operators.dedup import dedup_apply
+
+    return dedup_apply(_docs(spark, sf_dir)).select("doc_id")
+
+
+def _q_doc_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 token frequencies (vocabulary / heavy-hitter
+    analysis): explode → hash groupBy with map-side combine →
+    TakeOrderedAndProject."""
+    from smos_spark.operators.text import token_topk
+
+    return token_topk(_docs(spark, sf_dir), k=20)
+
+
+def _q_conv_len_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-conv text-length percentiles (p50/p90 linear
+    interpolation — Spark percentile() ≡ DuckDB quantile_cont), ppm
+    floors for hash-stable doubles."""
+    t = _transcripts(spark, sf_dir)
+    return (
+        t.where(F.col("text").isNotNull())
+        .groupBy("conv_id")
+        .agg(
+            F.floor(F.percentile(F.length("text"), F.lit(0.5)) * 1e6)
+            .cast("long")
+            .alias("len_p50_ppm"),
+            F.floor(F.percentile(F.length("text"), F.lit(0.9)) * 1e6)
+            .cast("long")
+            .alias("len_p90_ppm"),
+        )
+    )
+
+
 def _q_doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature head (4 hash fns over 5-char shingles) — the
     universal-hash family has an exact DuckDB twin."""
@@ -613,6 +650,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_punct": _q_doc_lang_punct,
         "doc_quality": _q_doc_quality,
         "doc_dedup_exact": _q_doc_dedup_exact,
+        "doc_dedup_apply": _q_doc_dedup_apply,
+        "doc_token_topk": _q_doc_token_topk,
+        "conv_len_percentiles": _q_conv_len_percentiles,
         "doc_minhash": _q_doc_minhash,
         "doc_minhash_pairs": _q_doc_minhash_pairs,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
@@ -969,6 +1009,27 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash": f"""
           SELECT doc_id, {mins}
           FROM documents WHERE text IS NOT NULL
+        """,
+        "doc_dedup_apply": f"""
+          SELECT doc_id FROM documents
+          WHERE text IS NULL
+             OR doc_id IN (
+               SELECT min(doc_id) FROM documents
+               WHERE text IS NOT NULL
+               GROUP BY {md5h.format('text')})
+        """,
+        "doc_token_topk": """
+          SELECT t.token, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+                FROM documents WHERE text IS NOT NULL) t
+          GROUP BY 1 ORDER BY cnt DESC, t.token ASC LIMIT 20
+        """,
+        "conv_len_percentiles": _T_CTE
+        + """
+          SELECT conv_id,
+                 CAST(floor(quantile_cont(length(text), 0.5) * 1000000.0) AS BIGINT) AS len_p50_ppm,
+                 CAST(floor(quantile_cont(length(text), 0.9) * 1000000.0) AS BIGINT) AS len_p90_ppm
+          FROM t WHERE text IS NOT NULL GROUP BY 1
         """,
         "doc_minhash_pairs": minhash_pairs_sql,
         "doc_simhash_pairs": simhash_pairs_sql,

@@ -60,6 +60,7 @@ __all__ = [
     "simhash_pairs",
     "embedding_near_dup",
     "near_dup_components",
+    "dedup_apply",
 ]
 
 
@@ -702,3 +703,16 @@ def embedding_near_dup(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def dedup_apply(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Materialize the deduplicated corpus: keep exactly the min-key
+    survivor of every distinct content hash (plus rows with NULL text,
+    which have no content to deduplicate on). The survivor set is a
+    small (hash, keep_id) frame — the join is a broadcast-able
+    left-semi on the key, so the corpus is never shuffled."""
+    keep = dedup_exact(df, text_col=text_col, key=key).select(
+        F.col("keep_id").alias(key)
+    )
+    survivors = df.join(F.broadcast(keep), key, "left_semi")
+    return survivors.unionByName(df.where(F.col(text_col).isNull()))

@@ -127,3 +127,23 @@ def text_profile(
         quality_score(c).alias("quality"),
         fingerprint(c, portable=portable).alias("fp"),
     )
+
+
+def token_topk(
+    df: DataFrame, k: int = 20, text_col: str = "text", pattern: str = "[a-z0-9]+"
+) -> DataFrame:
+    """Top-k most frequent tokens across the corpus (vocabulary /
+    heavy-hitter analysis). One explode + one hash-keyed groupBy with
+    map-side combine, then a k-row TakeOrderedAndProject — no full
+    sort, no collect. Deterministic tie-break: count desc, token asc."""
+    toks = F.explode(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), 0)
+    ).alias("token")
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(toks)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(k)
+    )

@@ -330,3 +330,25 @@ def test_near_dup_components_long_chain_pointer_jumping(spark):
     got = near_dup_components(pairs, max_iters=10).toPandas()
     assert (got.component == 100).all()
     assert set(got[got.keep].doc_id) == {100}
+
+
+def test_dedup_apply_and_token_topk(spark):
+    from smos_spark.operators.dedup import dedup_apply
+    from smos_spark.operators.text import token_topk
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat"),
+            (1, "the cat sat"),   # exact dup of 0 → dropped
+            (2, "the dog ran"),
+            (3, None),            # NULL text survives (nothing to hash)
+            (4, "the cat sat"),   # another dup → dropped
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup_apply(df).select("doc_id").collect())
+    assert kept == [0, 2, 3]
+
+    top = token_topk(df, k=2).toPandas()
+    assert top.token.tolist() == ["the", "cat"]
+    assert top.cnt.tolist() == [4, 3]
