@@ -36,6 +36,10 @@ from smos_spark.schema import TIERS
 
 DEFAULT_N_BUCKETS = 64
 
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer attempted tier maintenance on a locked store."""
+
 CHECKPOINT_SCHEMA = (
     "run_id string, batch_id long, tier string, partition_key string, "
     "rows_in long, rows_out long, min_ts timestamp, max_ts timestamp, "
@@ -265,6 +269,51 @@ class TranscriptStore:
         }
         out.save_overview(ov)
         return out
+
+    # --- writer exclusion ---
+    # The parquet+manifest substitute for Iceberg has no snapshot
+    # isolation: two concurrent ingest_batch runs could interleave
+    # partition overwrites and overview commits. This advisory lock
+    # (O_EXCL lock file carrying pid + timestamp, stale after
+    # `stale_sec`) makes the single-writer assumption explicit and
+    # enforced rather than silent — the reference has the same
+    # weakness via overview.yml and no lock at all.
+    @property
+    def lock_path(self) -> Path:
+        return self.root / "_writer.lock"
+
+    def acquire_writer_lock(self, stale_sec: int = 3600) -> None:
+        import time
+
+        payload = json.dumps({"pid": os.getpid(), "ts": time.time()})
+        try:
+            fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, payload.encode())
+            os.close(fd)
+            return
+        except FileExistsError:
+            pass
+        try:
+            held = json.loads(self.lock_path.read_text())
+        except Exception:
+            held = {}
+        if time.time() - held.get("ts", 0) > stale_sec:
+            # stale holder (crashed writer): steal atomically-ish
+            tmp = self.lock_path.with_suffix(".steal")
+            tmp.write_text(payload)
+            os.replace(tmp, self.lock_path)
+            return
+        raise ConcurrentWriterError(
+            f"store {self.root} is locked by writer {held.get('pid')} "
+            f"(age {time.time() - held.get('ts', 0):.0f}s); concurrent tier "
+            "maintenance would interleave partition overwrites"
+        )
+
+    def release_writer_lock(self) -> None:
+        import contextlib
+
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(self.lock_path)
 
     # --- state ---
     def load_overview(self) -> Overview:

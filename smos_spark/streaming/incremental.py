@@ -56,7 +56,26 @@ def ingest_batch(
     quarantine: bool = True,
 ) -> dict:
     """Append one batch of raw turns and incrementally maintain all
-    three tiers. Idempotent per (run_id, batch_id)."""
+    three tiers. Idempotent per (run_id, batch_id). Holds the store's
+    advisory writer lock for the duration: the parquet+manifest layout
+    has no snapshot isolation, so a second concurrent writer raises
+    ConcurrentWriterError instead of interleaving partition
+    overwrites."""
+    store.acquire_writer_lock()
+    try:
+        return _ingest_batch_locked(store, batch, run_id, batch_id, strict, quarantine)
+    finally:
+        store.release_writer_lock()
+
+
+def _ingest_batch_locked(
+    store: TranscriptStore,
+    batch: DataFrame,
+    run_id: str,
+    batch_id: int,
+    strict: bool,
+    quarantine: bool,
+) -> dict:
     spark = batch.sparkSession
     ov = store.load_overview()
 

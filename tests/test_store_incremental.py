@@ -297,3 +297,26 @@ def test_reopen_with_conflicting_bucket_count_raises(spark, transcripts, tmp_pat
     assert reopened.n_buckets == 8
     with pytest.raises(ValueError, match="physically bucketed"):
         TranscriptStore(tmp_path / "layout", n_buckets=32)
+
+
+def test_writer_lock_excludes_concurrent_ingest(spark, transcripts, tmp_path):
+    """A held (fresh) writer lock makes a second ingest raise instead
+    of interleaving partition overwrites; a stale lock is stolen."""
+    from smos_spark.sources.store import ConcurrentWriterError
+    from smos_spark.streaming.incremental import ingest_batch
+
+    store = TranscriptStore(tmp_path / "lock", n_buckets=4)
+    batch = transcripts.limit(30)
+    store.acquire_writer_lock()  # simulate another live writer
+    with pytest.raises(ConcurrentWriterError):
+        ingest_batch(store, batch, run_id="lk", batch_id=0)
+    store.release_writer_lock()
+    r = ingest_batch(store, batch, run_id="lk", batch_id=0)
+    assert r["rows_in"] == 30
+    assert not store.lock_path.exists()  # released after success
+    # stale lock (crashed writer) is stolen
+    store.acquire_writer_lock()
+    import json as _json
+    store.lock_path.write_text(_json.dumps({"pid": 1, "ts": 0}))
+    r2 = ingest_batch(store, batch, run_id="lk", batch_id=1)
+    assert r2["rows_in"] == 0  # all late vs last_day — quarantined path
