@@ -131,16 +131,27 @@ def decompress_series(
 
     def _dec(batches):
         for pdf in batches:
-            frames = []
-            for kv, ts_blob, *blobs in zip(
-                pdf[key], pdf["ts_blob"], *[pdf[b] for b in blob_cols]
-            ):
-                ts = dod_decode(bytes(ts_blob)).astype("datetime64[us]")
-                data = {key: kv, ts_col: ts}
-                for c, blob in zip(value_cols, blobs):
-                    data[c] = gorilla_decode(bytes(blob))
-                frames.append(pd.DataFrame(data))
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            if not len(pdf):
+                continue
+            # decode every block of the batch, then assemble ONE frame
+            # (np.repeat keys + concatenated arrays) — a DataFrame per
+            # block costs ~100 µs of pandas overhead each, which
+            # dominates at millions of tiny per-conv blocks
+            ts_arrays = [dod_decode(bytes(b)) for b in pdf["ts_blob"]]
+            lens = np.array([len(a) for a in ts_arrays], dtype=np.int64)
+            data = {
+                key: np.repeat(pdf[key].to_numpy(), lens),
+                ts_col: (
+                    np.concatenate(ts_arrays)
+                    if len(ts_arrays)
+                    else np.empty(0, dtype="int64")
+                ).astype("datetime64[us]"),
+            }
+            for c in value_cols:
+                arrs = [gorilla_decode(bytes(b)) for b in pdf[f"{c}_blob"]]
+                data[c] = (
+                    np.concatenate(arrs) if arrs else np.empty(0, dtype="float64")
+                )
+            yield pd.DataFrame(data)
 
     return comp.mapInPandas(_dec, schema=schema)
