@@ -419,8 +419,9 @@ def _q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_doc_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deduplicated corpus itself: min-key survivor per content
-    hash via a broadcast left-semi join (the corpus is never
-    shuffled). IDs only."""
+    hash, joined on content_hash against the aggregated survivors (the
+    aggregation's partitioning is reused; no forced broadcast of the
+    O(distinct-docs) survivor set). IDs only."""
     from smos_spark.operators.dedup import dedup_apply
 
     return dedup_apply(_docs(spark, sf_dir)).select("doc_id")
@@ -943,7 +944,7 @@ def oracle_sql() -> dict[str, str]:
           , marked AS (
             SELECT conv_id, turn_idx, ts, tool, text,
               CASE WHEN lag(ts) OVER w IS NULL
-                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                    THEN 1 ELSE 0 END AS brk
             FROM t
             WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)),

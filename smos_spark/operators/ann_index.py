@@ -92,6 +92,17 @@ def build_ann_index(
             ([r["cell"], list(r["centroid"])] for r in cent), key=lambda p: str(p[0])
         )
     elif strategy == "lsh":
+        # 2^n_planes cell= partition directories: n_planes=20 would
+        # silently write ~1M tiny partitions (driver + filesystem
+        # blowup) — guarded the same way ngram_jaccard_pairs guards
+        # its O(n²) edge
+        if n_planes > 16:
+            raise ValueError(
+                f"build_ann_index(strategy='lsh', n_planes={n_planes}) would "
+                f"create 2^{n_planes} = {1 << n_planes} partition directories; "
+                "use n_planes <= 16 (or IVF cells, which bound the partition "
+                "count at n_cells)"
+            )
         planes = _hyperplanes(dim, n_planes, seed)
         assigned = df.withColumn("cell", _lsh_bucket_udf(planes)(F.col(vec_col)))
         meta["n_planes"] = n_planes

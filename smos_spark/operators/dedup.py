@@ -708,11 +708,26 @@ def embedding_near_dup(
 def dedup_apply(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
     """Materialize the deduplicated corpus: keep exactly the min-key
     survivor of every distinct content hash (plus rows with NULL text,
-    which have no content to deduplicate on). The survivor set is a
-    small (hash, keep_id) frame — the join is a broadcast-able
-    left-semi on the key, so the corpus is never shuffled."""
-    keep = dedup_exact(df, text_col=text_col, key=key).select(
-        F.col("keep_id").alias(key)
+    which have no content to deduplicate on).
+
+    Scale strategy: the survivor set has one row per DISTINCT document
+    — at corpus scale that is billions of rows, NOT broadcastable, so
+    no broadcast hint is forced. The corpus joins the aggregated
+    survivors on `content_hash`: the aggregation's output is already
+    hash-partitioned by content_hash, so only the corpus side
+    shuffles (one Exchange, same key as the dedup groupBy), and AQE
+    is free to downgrade to a broadcast when the survivor set
+    actually is small. `keep_id == key` then picks the single
+    survivor row of each hash group."""
+    keep = dedup_exact(df, text_col=text_col, key=key).select("content_hash", "keep_id")
+    hashed = df.where(F.col(text_col).isNotNull()).withColumn(
+        "_ch", md5_hash64(F.col(text_col))
     )
-    survivors = df.join(F.broadcast(keep), key, "left_semi")
+    survivors = (
+        hashed.join(
+            keep,
+            (hashed["_ch"] == keep["content_hash"]) & (hashed[key] == keep["keep_id"]),
+        )
+        .select(*df.columns)
+    )
     return survivors.unionByName(df.where(F.col(text_col).isNull()))

@@ -88,6 +88,9 @@ def apply_retention(
 
     if lineage:
         store.append_checkpoint(spark, lineage)
+    # retention is the natural periodic maintenance hook: fold the
+    # per-batch single-file lineage appends back into one file
+    store.compact_checkpoint(spark)
     if floors:
         if not hasattr(ov, "extra") or ov.extra is None:
             ov.extra = {}

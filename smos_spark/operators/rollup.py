@@ -168,7 +168,22 @@ def detect_hot_convs(
     hot_threshold × sample_fraction < 1 every sampled key would
     qualify and the "tiny" collect would pull the whole key set to
     the driver (and route everything through the salted path).
-    The collect itself is capped as a second backstop."""
+    The collect itself is capped as a second backstop; when the clamp
+    actually raises the effective detection threshold (keys with true
+    counts between hot_threshold and 5/sample_fraction would be
+    silently missed) the caller is warned to raise sample_fraction."""
+    if hot_threshold * sample_fraction < 5.0:
+        import warnings
+
+        warnings.warn(
+            f"detect_hot_convs: hot_threshold*sample_fraction = "
+            f"{hot_threshold * sample_fraction:.2f} < 5 — the sampled cutoff "
+            f"is clamped to 5 rows, so keys with true counts in "
+            f"[{hot_threshold}, {5 / sample_fraction:.0f}) will NOT be "
+            "detected as hot; raise sample_fraction (or hot_threshold) to "
+            "make the sample selective",
+            stacklevel=2,
+        )
     cutoff = max(hot_threshold * sample_fraction, 5.0)
     max_hot = 10_000
     est = (

@@ -8,9 +8,9 @@ threshold (idle timeout). Two implementations, one semantics:
 * `sessionize` (batch): pure window expressions — `lag(ts)` marks
   gap-breaks, a running `sum` over the break flags numbers sessions.
   One shuffle on conv_id; whole-stage codegen; exact SQL twin. The
-  gap compares full-microsecond epoch doubles (NOT second-truncated
-  unix_timestamp), so batch and streaming split identically on
-  sub-second data.
+  gap compares exact int64 epoch MICROS (`unix_micros`, not
+  second-truncated unix_timestamp nor ~0.25 µs-ulp epoch doubles),
+  bit-identical to the streaming twin's state arithmetic.
 * `sessionize_stream` (streaming): `applyInPandasWithState` keeps
   (last_ts, open-session aggregate) per conv_id and emits a session
   row when the event-time timeout fires or a new turn breaks the gap
@@ -40,14 +40,17 @@ def sessionize(df: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     Stable under ts ties via the (ts, turn_idx) secondary order."""
     w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
     prev_ts = F.lag("ts").over(w)
-    # microsecond-resolution gap (ts cast double = epoch seconds with
-    # fractional micros) — mirrors the streaming twin's int64-µs test;
-    # the leading cast("timestamp") makes TIMESTAMP_NTZ inputs work
-    def _epoch(c):
-        return c.cast("timestamp").cast("double")
+    # exact int64 epoch-microsecond gap — the SAME arithmetic as the
+    # streaming twin's state function, so a gap within 1 ulp of
+    # gap_seconds can never split differently between the two paths
+    # (epoch doubles have ~0.25 µs ulp at current epochs); the leading
+    # cast("timestamp") makes TIMESTAMP_NTZ inputs work
+    def _us(c):
+        return F.unix_micros(c.cast("timestamp"))
 
     is_break = (
-        prev_ts.isNull() | (_epoch(F.col("ts")) - _epoch(prev_ts) > gap_seconds)
+        prev_ts.isNull()
+        | (_us(F.col("ts")) - _us(prev_ts) > F.lit(gap_seconds * 1_000_000).cast("long"))
     ).cast("long")
     return df.withColumn(
         "session_id",

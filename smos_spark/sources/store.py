@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -310,9 +311,26 @@ class TranscriptStore:
         )
 
     def release_writer_lock(self) -> None:
+        """Release only if WE still hold the lock. A writer that ran
+        past stale_sec may have had its lock stolen by a newer writer;
+        unconditionally unlinking would evict that new holder and let
+        a third writer interleave with its in-flight partition
+        overwrites."""
         import contextlib
 
         with contextlib.suppress(FileNotFoundError):
+            try:
+                held = json.loads(self.lock_path.read_text())
+            except Exception:
+                held = {}
+            if held.get("pid") not in (None, os.getpid()):
+                warnings.warn(
+                    f"store {self.root}: writer lock now held by pid "
+                    f"{held.get('pid')} (ours was stolen as stale) — "
+                    "leaving it in place",
+                    stacklevel=2,
+                )
+                return
             os.unlink(self.lock_path)
 
     # --- state ---
@@ -355,3 +373,28 @@ class TranscriptStore:
         if not Path(self.checkpoint_path).exists():
             return None
         return spark.read.parquet(self.checkpoint_path)
+
+    def compact_checkpoint(self, spark: SparkSession, max_files: int = 16) -> int:
+        """Compact the lineage table's per-batch coalesce(1) appends.
+        At minutes-cadence streaming the one-tiny-file-per-batch
+        appends pile up; once the directory exceeds `max_files`
+        parquet files, rewrite it as one file via an atomic directory
+        swap (readers either see the old layout or the new — never a
+        half-compacted one). Returns the resulting file count."""
+        import shutil
+
+        p = Path(self.checkpoint_path)
+        if not p.exists():
+            return 0
+        files = [f for f in p.glob("*.parquet") if f.is_file()]
+        if len(files) <= max_files:
+            return len(files)
+        tmp = Path(str(p) + "_compacting")
+        old = Path(str(p) + "_old")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        spark.read.parquet(str(p)).coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        os.replace(p, old)
+        os.replace(tmp, p)
+        shutil.rmtree(old)
+        return 1

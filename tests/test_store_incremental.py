@@ -320,3 +320,59 @@ def test_writer_lock_excludes_concurrent_ingest(spark, transcripts, tmp_path):
     store.lock_path.write_text(_json.dumps({"pid": 1, "ts": 0}))
     r2 = ingest_batch(store, batch, run_id="lk", batch_id=1)
     assert r2["rows_in"] == 0  # all late vs last_day — quarantined path
+
+
+def test_release_lock_respects_new_holder(tmp_path):
+    """A writer whose lock was stolen (it ran past stale_sec) must NOT
+    unlink the new holder's lock on exit — that would let a third
+    writer interleave with the second's in-flight overwrites."""
+    import json as _json
+    import time as _time
+
+    store = TranscriptStore(tmp_path / "lk2", n_buckets=4)
+    store.acquire_writer_lock()
+    # a second writer stole the lock while we were (too) long-running
+    store.lock_path.write_text(_json.dumps({"pid": 999999, "ts": _time.time()}))
+    with pytest.warns(UserWarning, match="stolen"):
+        store.release_writer_lock()
+    assert store.lock_path.exists()  # the new holder keeps its lock
+    held = _json.loads(store.lock_path.read_text())
+    assert held["pid"] == 999999
+    # cleanup path: our own lock IS released
+    store.lock_path.unlink()
+    store.acquire_writer_lock()
+    store.release_writer_lock()
+    assert not store.lock_path.exists()
+
+
+def test_checkpoint_compaction(spark, tmp_path):
+    """Per-batch coalesce(1) appends pile up one tiny file per batch;
+    compact_checkpoint folds them into one file, preserving rows, via
+    an atomic directory swap."""
+    from pathlib import Path
+
+    store = TranscriptStore(tmp_path / "ckpt", n_buckets=4)
+    row = {
+        "run_id": "r",
+        "batch_id": 0,
+        "tier": "1m",
+        "partition_key": "bucket_date=2025-01-01",
+        "rows_in": 10,
+        "rows_out": 5,
+        "min_ts": None,
+        "max_ts": None,
+        "committed_seq": 0,
+    }
+    for b in range(20):
+        store.append_checkpoint(spark, [{**row, "batch_id": b}])
+    p = Path(store.checkpoint_path)
+    n_before = len([f for f in p.glob("*.parquet") if f.is_file()])
+    assert n_before == 20
+    before = store.read_checkpoint(spark).orderBy("batch_id").collect()
+    assert store.compact_checkpoint(spark, max_files=16) == 1
+    n_after = len([f for f in p.glob("*.parquet") if f.is_file()])
+    assert n_after == 1
+    after = store.read_checkpoint(spark).orderBy("batch_id").collect()
+    assert after == before
+    # below the threshold: no rewrite, just reports the file count
+    assert store.compact_checkpoint(spark, max_files=16) == 1
