@@ -550,11 +550,15 @@ def _q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_emb_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over UNLABELED vectors: deterministic k-means-lite
-    coarse cells + probed search. Approximate → rows-only."""
+    coarse cells + probed search. portable=True makes every step —
+    md5 hash-order seeding, round-6 cosine assignment, quantized
+    integer-sum means (2 Lloyd iterations), probe ranking — an exact
+    DuckDB twin (the oracle unrolls the same two iterations in SQL)."""
     from smos_spark.operators.similarity import ivf_topk_auto
 
     return ivf_topk_auto(
-        _embs(spark, sf_dir).drop("label"), query_id=0, k=10, n_cells=8, n_probe=3
+        _embs(spark, sf_dir).drop("label"), query_id=0, k=10, n_cells=8, n_probe=3,
+        portable=True,
     ).select("vec_id")
 
 
@@ -839,6 +843,70 @@ def oracle_sql() -> dict[str, str]:
       LIMIT 10
     """
 
+    # --- k-means-lite IVF twin (UNLABELED vectors): the engine's
+    # deterministic pipeline unrolled in SQL — md5 hash-order seeding,
+    # 2 Lloyd iterations of (round-6 cosine argmax assignment,
+    # quantized integer-sum means with carry-forward for empty cells),
+    # final assignment, fresh quantized centroids, probe top-3 cells,
+    # exact within-cell ranking. Every float compare is round-6 on
+    # both engines, every sum is an order-independent int64.
+    from smos_spark.functions.texthash import md5_hash64_sql
+
+    def _assign_cte(name: str, cent: str) -> str:
+        return f"""
+      {name} AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round({cos_sql('e.embedding', 'c.cen')}, 6) DESC,
+                              c.cell ASC) AS rn
+          FROM embeddings e CROSS JOIN {cent} c) WHERE rn = 1)"""
+
+    def _means_cte(name: str, assigned: str, prev: str) -> str:
+        return f"""
+      {name}_raw AS (
+        SELECT cell, dims.i AS i,
+               sum(CAST(round(embedding[dims.i]::DOUBLE * 1000000.0) AS BIGINT)) AS s,
+               count(*) AS c
+        FROM {assigned}, (SELECT unnest(generate_series(1, 64)) AS i) dims
+        GROUP BY 1, 2),
+      {name} AS (
+        SELECT p.cell, coalesce(n.cen, p.cen) AS cen
+        FROM {prev} p LEFT JOIN (
+          SELECT cell, list(s::DOUBLE / (c::DOUBLE * 1000000.0) ORDER BY i) AS cen
+          FROM {name}_raw GROUP BY cell) n USING (cell))"""
+
+    ivf_auto_sql = f"""
+      WITH hseed AS (
+        SELECT vec_id, {md5_hash64_sql("vec_id::VARCHAR || ':' || '42'")} AS h
+        FROM embeddings),
+      seeds AS (
+        SELECT vec_id,
+               CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cell
+        FROM hseed QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 8),
+      c0 AS (
+        SELECT s.cell, list_transform(e.embedding, x -> x::DOUBLE) AS cen
+        FROM seeds s JOIN embeddings e USING (vec_id)),{_assign_cte('a1', 'c0')},{_means_cte('c1', 'a1', 'c0')},{_assign_cte('a2', 'c1')},{_means_cte('c2', 'a2', 'c1')},{_assign_cte('a3', 'c2')},
+      cfin_raw AS (
+        SELECT cell, dims.i AS i,
+               sum(CAST(round(embedding[dims.i]::DOUBLE * 1000000.0) AS BIGINT)) AS s,
+               count(*) AS c
+        FROM a3, (SELECT unnest(generate_series(1, 64)) AS i) dims
+        GROUP BY 1, 2),
+      cfin AS (
+        SELECT cell, list(s::DOUBLE / (c::DOUBLE * 1000000.0) ORDER BY i) AS cen
+        FROM cfin_raw GROUP BY cell),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      ranked AS (
+        SELECT cell FROM cfin, q
+        ORDER BY round({cos_sql('cen', 'qv')}, 6) DESC, cell ASC
+        LIMIT 3)
+      SELECT a.vec_id FROM a3 a, q
+      WHERE a.cell IN (SELECT cell FROM ranked) AND a.vec_id != 0
+      ORDER BY round({cos_sql('a.embedding', 'qv')}, 6) DESC, a.vec_id ASC
+      LIMIT 10
+    """
+
     return {
         "rollup_1m": _T_CTE + _tier_sql("minute"),
         "cascade_1h": _T_CTE + tier_1h,
@@ -1036,6 +1104,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_pairs": simhash_pairs_sql,
         "emb_ivf_topk": ivf_topk_sql,
         "emb_ann_index_topk": ivf_topk_sql,
+        "emb_ivf_auto": ivf_auto_sql,
         "emb_lsh_topk": lsh_topk_sql,
         "doc_ngram_pairs": """
           WITH toks AS (

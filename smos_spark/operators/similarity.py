@@ -262,11 +262,16 @@ def lsh_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc(key)).limit(k)
 
 
-def _assign_cells_udf(centroids: np.ndarray):
+def _assign_cells_udf(centroids: np.ndarray, round_to: int = 6):
     """Arrow-batched nearest-centroid assignment: batch matrix (n, d)
     against the driver-held (k, d) centroid matrix in one BLAS
     product. Centroids are tiny (k×d floats) — they ship inside the
-    UDF closure; the data itself never leaves the executors."""
+    UDF closure; the data itself never leaves the executors.
+
+    Similarities are rounded to `round_to` decimals before the argmax
+    (ties → lowest cell, np.argmax picks the first max): assignment
+    then has an exact SQL twin (`round(cos, 6)` with cell-asc
+    tie-break) instead of depending on BLAS summation order."""
     from pyspark.sql.functions import pandas_udf
 
     cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
@@ -275,7 +280,9 @@ def _assign_cells_udf(centroids: np.ndarray):
     def _assign(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy()).astype(np.float64)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(m @ cn.T, axis=1).astype(np.int32))
+        return pd.Series(
+            np.argmax(np.round(m @ cn.T, round_to), axis=1).astype(np.int32)
+        )
 
     return _assign
 
@@ -288,20 +295,33 @@ def kmeans_assign(
     key: str = "vec_id",
     seed: int = 42,
     cell_col: str = "cell",
+    portable: bool = False,
 ) -> DataFrame:
     """Lightweight Lloyd k-means over cosine distance for IVF coarse
     cells on UNLABELED data. Deterministic seeding (k rows chosen by
-    hash order); per iteration: one distributed assignment pass
-    (BLAS batch kernel) + one groupBy quantized-mean (order-exact
+    hash order, ties → key); per iteration: one distributed assignment
+    pass (BLAS batch kernel, round-6 similarities so assignment is
+    engine-portable) + one groupBy quantized-mean (order-exact
     integer sums); the (k, dim) centroid matrix lives on the driver.
     Returns df + `cell` column — at scale the table is written
     partitioned/clustered by this column, so IVF probes become
-    partition pruning."""
+    partition pruning.
+
+    portable=True seeds with the md5-based hash64 instead of xxhash64:
+    every step (seeding, round-6 assignment, quantized means) then has
+    an exact DuckDB twin — the whole k-means becomes verifiable SQL."""
+    from smos_spark.functions.texthash import md5_hash64
+
     dfd = df.withColumn("_v", F.col(vec_col).cast("array<double>"))
     dim = len(dfd.select(vec_col).limit(1).collect()[0][0])
+    hcol = (
+        md5_hash64(F.concat_ws(":", F.col(key).cast("string"), F.lit(str(seed))))
+        if portable
+        else F.xxhash64(F.col(key).cast("string"), F.lit(seed))
+    )
     seed_rows = (
-        dfd.select("_v", F.xxhash64(F.col(key).cast("string"), F.lit(seed)).alias("_h"))
-        .orderBy("_h")
+        dfd.select("_v", hcol.alias("_h"), F.col(key).alias("_k"))
+        .orderBy("_h", "_k")
         .limit(k)
         .collect()
     )
@@ -333,11 +353,15 @@ def ivf_topk_auto(
     vec_col: str = "embedding",
     key: str = "vec_id",
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """IVF ANN over unlabeled vectors: k-means-lite coarse cells +
-    probe-the-nearest-cells search (ivf_topk)."""
+    probe-the-nearest-cells search (ivf_topk). portable=True makes the
+    full pipeline (seeding→assignment→means→probe→rank) an exact
+    DuckDB twin — see kmeans_assign."""
     cells = kmeans_assign(
-        df, k=n_cells, vec_col=vec_col, key=key, seed=seed, cell_col="cell"
+        df, k=n_cells, vec_col=vec_col, key=key, seed=seed, cell_col="cell",
+        portable=portable,
     )
     return ivf_topk(
         cells, query_id=query_id, k=k, n_probe=n_probe,
