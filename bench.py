@@ -3,10 +3,22 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": ..., "turns_per_sec": ...}
+   "queries": {...per-query best-of-N sec...}, "sf": ...,
+   "trials": N, "all_trials": {...}, "turns_per_sec": ...}
 
 Each query is forced end-to-end with the `noop` DSv2 sink (full
 materialization, no collect-to-driver, no skipped aggregate columns).
+
+Noise control: the host shows up to 4× CPU-window variance between
+runs (BENCH.md "Host reality check"), so every query runs
+$SPARK_GRAFT_BENCH_TRIALS (default 2) ALTERNATING trials — the full
+suite repeats end-to-end rather than timing one query N times in a
+burst — and `queries` reports the per-query best. `all_trials` keeps
+every sample so round-over-round deltas are attributable to plan
+changes vs host noise. The persisted-ANN lifecycle is timed as two
+entries: ann_index_build (cell-partitioned write + sidecar) and
+ann_index_query (5 partition-pruned lookups) — the regression gate
+should watch the query half.
 """
 
 from __future__ import annotations
@@ -84,8 +96,8 @@ def main() -> None:
         _force(cosine_topk(embs, query_id=0, k=10))
 
     def q_ann_index():
-        # persisted-index lifecycle: one build (cell-partitioned write +
-        # centroid sidecar), then partition-pruned queries
+        # persisted-index lifecycle, split: build (cell-partitioned
+        # write + centroid sidecar) vs 5 partition-pruned queries
         import shutil
         import tempfile
 
@@ -93,9 +105,14 @@ def main() -> None:
 
         root = tempfile.mkdtemp(prefix="smos_bench_ann_")
         try:
+            t0 = time.time()
             idx = build_ann_index(embs, root, strategy="ivf", cell_col="label")
+            build_s = time.time() - t0
+            t0 = time.time()
             for qid in (0, 101, 202, 303, 404):
                 _force(idx.topk(spark, query_id=qid, k=10, n_probe=3))
+            query_s = time.time() - t0
+            return {"ann_index_build": build_s, "ann_index_query": query_s}
         finally:
             shutil.rmtree(root, ignore_errors=True)
 
@@ -104,6 +121,19 @@ def main() -> None:
 
         _force(session_stats(t, gap_seconds=1800))
 
+    e2e_stats: dict = {}
+
+    def q_dedup_e2e():
+        # the full training-data dedup path in one wall-time entry:
+        # exact survivors + minhash/LSH near-dup pairs → connected
+        # components → drop non-keep members of each dup cluster
+        from smos_spark.operators.dedup import dedup_apply, near_dup_components
+
+        pairs = minhash_dedup_pairs(docs, threshold=0.7, portable=False)
+        comp = near_dup_components(pairs, stats=e2e_stats)
+        drop = comp.where(~F.col("keep")).select("doc_id")
+        _force(dedup_apply(docs).join(drop, "doc_id", "left_anti"))
+
     queries = {
         "sessionize": q_sessionize,
         "rollup_cascade": q_rollup_cascade,
@@ -111,26 +141,38 @@ def main() -> None:
         "codec_roundtrip": q_codec_roundtrip,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
+        "dedup_e2e": q_dedup_e2e,
         "text_profile": q_text_profile,
         "cosine_topk": q_cosine_topk,
         "ann_index": q_ann_index,
     }
 
-    timings: dict[str, float] = {}
-    for name, fn in queries.items():
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    samples: dict[str, list[float]] = {}
+    for _trial in range(n_trials):
+        for name, fn in queries.items():
+            t0 = time.time()
+            sub = fn()
+            elapsed = round(time.time() - t0, 3)
+            if isinstance(sub, dict):  # query reports its own phase split
+                for sname, sv in sub.items():
+                    samples.setdefault(sname, []).append(round(sv, 3))
+            else:
+                samples.setdefault(name, []).append(elapsed)
 
+    timings = {k: min(v) for k, v in samples.items()}
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": "headline operator suite wall time",
+        "metric": "headline operator suite wall time (best-of-N per query)",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "trials": n_trials,
+        "all_trials": samples,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "turns": n_turns,
         "turns_per_sec_rollup": round(n_turns / timings["rollup_cascade"], 1),
+        "dedup_e2e_rounds": e2e_stats.get("rounds"),
     }
     # scaling evidence (local[8] vs local[32] on the identical job/input,
     # produced by scripts/bench_scaling.py — see BENCH.md protocol)

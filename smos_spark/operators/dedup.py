@@ -462,6 +462,7 @@ def near_dup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → the "keep one
     survivor per duplicate cluster" step of a training-data dedup
@@ -476,7 +477,8 @@ def near_dup_components(
     graph that fits in storage. Two joins + one groupBy shuffle per
     round, labels never leave the cluster; convergence is checked
     with a single-row aggregate. Raises on non-convergence instead of
-    silently splitting clusters."""
+    silently splitting clusters. Pass `stats={}` to receive
+    {'rounds': n} — the convergence round count."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -496,7 +498,9 @@ def near_dup_components(
         .localCheckpoint(eager=True)
     )
     changed = 1
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -544,6 +548,8 @@ def near_dup_components(
             "than max_iters would silently split clusters; raise max_iters"
         )
     edges.unpersist(False)
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("comp").alias("component"),
