@@ -9,6 +9,9 @@ extend-from-overview). Three subcommands over a TranscriptStore:
             incremental path (resumable, monotonic guard, quarantine)
   export  — subset re-export into a new day-partitioned store (the
             K2 subset-and-write round trip)
+  mirror  — sync new landing-area days into the store (the FTP
+            sync_period analog, S7; complete months batch as one scan,
+            the newest possibly-incomplete day is skipped by default)
 
 Usage:
   python scripts/store_tool.py read   --store ROOT --conv ID [--tier 1h]
@@ -73,6 +76,24 @@ def main() -> None:
     xp.add_argument("--ts-range", default=None, help="'START,END' inclusive")
     xp.add_argument("--parameters", default=None, help="comma list of tier columns")
 
+    from smos_spark.functions.parsing import str2bool
+
+    mi = sub.add_parser("mirror", help="sync new landing-area days into the store")
+    mi.add_argument("--store", required=True)
+    mi.add_argument("--landing", required=True, help="day=YYYY-MM-DD partitioned parquet")
+    mi.add_argument("--run-id", default="mirror")
+    mi.add_argument(
+        "--include-last-day",
+        type=str2bool,
+        default=False,
+        help="also sync the newest (possibly incomplete) landing day "
+        "(true/false — reference str2bool whitelist)",
+    )
+    mi.add_argument("--strict", action="store_true", help="refuse late data")
+    mi.add_argument(
+        "--n-buckets", type=int, default=None, help="bucket count for a NEW store"
+    )
+
     args = ap.parse_args()
 
     from smos_spark.session import get_spark
@@ -136,6 +157,20 @@ def main() -> None:
         )
         n = out.read_tier(spark, args.tier).count()
         print(json.dumps({"cmd": "export", "output": args.output, "rows": n}))
+
+    elif args.cmd == "mirror":
+        from smos_spark.sources.mirror import mirror_ingest
+
+        store = TranscriptStore(args.store, n_buckets=args.n_buckets)
+        res = mirror_ingest(
+            spark,
+            store,
+            args.landing,
+            run_id=args.run_id,
+            include_last_day=args.include_last_day,
+            strict=args.strict,
+        )
+        print(json.dumps({"cmd": "mirror", **{k: res[k] for k in ("ingested", "skipped", "batches")}}))
 
 
 if __name__ == "__main__":

@@ -102,3 +102,28 @@ def test_store_tool_read_extend_export(spark, transcripts, tmp_path):
     sub = spark.read.parquet(str(tmp_path / "sub" / "tiers" / "1h"))
     convs = {r.conv_id for r in sub.select("conv_id").distinct().collect()}
     assert convs and all(c <= "conv000009" for c in convs)
+
+
+def test_store_tool_mirror(spark, transcripts, tmp_path):
+    """CLI mirror: day-partitioned landing → store; the str2bool flag
+    gates the incomplete trailing day."""
+    days = sorted(
+        str(r.d)
+        for r in transcripts.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    landing = tmp_path / "landing"
+    for d in days:
+        transcripts.where(F.to_date("ts") == d).write.parquet(str(landing / f"day={d}"))
+    store_root = str(tmp_path / "mstore")
+
+    r = _run(
+        ["scripts/store_tool.py", "--master", "local[4]", "mirror",
+         "--store", store_root, "--landing", str(landing), "--n-buckets", "8"]
+    )
+    assert r["ingested"] == days[:-1] and days[-1] in r["skipped"]
+    r2 = _run(
+        ["scripts/store_tool.py", "--master", "local[4]", "mirror",
+         "--store", store_root, "--landing", str(landing),
+         "--include-last-day", "true"]
+    )
+    assert r2["ingested"] == [days[-1]]

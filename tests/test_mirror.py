@@ -1,0 +1,108 @@
+"""Landing-area mirror ingest (S7) + CLI parsing helpers (F1/F2).
+
+Archetype mirrors: sync_period's complete-month grouping and
+skip-the-incomplete-last-day policy
+(/root/reference/src/smos/smos_l2/download.py:270-306), str2bool
+whitelist (/root/reference/src/smos/reshuffle.py:77-81), mkdate
+two-format parse (reshuffle.py:60-75).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from smos_spark.functions.parsing import mkdate, str2bool
+from smos_spark.sources.mirror import (
+    discover_landing_days,
+    mirror_ingest,
+    plan_sync_batches,
+)
+from smos_spark.sources.store import TranscriptStore
+
+
+def test_str2bool_whitelist():
+    for v in ["True", "true", "t", "T", "1"]:
+        assert str2bool(v) is True
+    for v in ["False", "false", "0", "yes", "", "TRUE"]:
+        assert str2bool(v) is False
+
+
+def test_mkdate_two_formats():
+    assert mkdate("2025-03-01") == dt.datetime(2025, 3, 1)
+    assert mkdate("2025-03-01T12:30") == dt.datetime(2025, 3, 1, 12, 30)
+    with pytest.raises(ValueError):
+        mkdate("03/01/2025")
+
+
+def test_plan_sync_batches_complete_month_fast_path():
+    feb = [f"2025-02-{d:02d}" for d in range(1, 29)]  # 2025: 28 days
+    days = ["2025-01-30", "2025-01-31", *feb, "2025-03-01", "2025-03-02"]
+    batches = plan_sync_batches(days)
+    # January incomplete → per-day; February complete → ONE batch;
+    # March incomplete → per-day. Time-ordered throughout.
+    assert batches[0] == ["2025-01-30"]
+    assert batches[1] == ["2025-01-31"]
+    assert batches[2] == feb
+    assert batches[3] == ["2025-03-01"]
+    assert batches[4] == ["2025-03-02"]
+    flat = [d for b in batches for d in b]
+    assert flat == sorted(flat)
+
+
+@pytest.fixture(scope="module")
+def landing(spark, tmp_path_factory):
+    """Day-partitioned landing area from seeded synth transcripts."""
+    from smos_spark.synth import synth_transcripts
+
+    root = tmp_path_factory.mktemp("landing")
+    df = synth_transcripts(spark, n_conv=24, seed=77, span_days=4).cache()
+    days = [
+        str(r.d)
+        for r in df.select(F.to_date("ts").alias("d")).distinct().orderBy("d").collect()
+    ]
+    for d in days:
+        df.where(F.to_date("ts") == d).write.mode("overwrite").parquet(
+            str(root / f"day={d}")
+        )
+    return root, df, days
+
+
+def test_mirror_ingest_skips_last_day_and_is_idempotent(spark, landing, tmp_path):
+    root, df, days = landing
+    assert discover_landing_days(root) == days
+
+    store = TranscriptStore(tmp_path / "mirrored", n_buckets=4)
+    res = mirror_ingest(spark, store, root, run_id="m1")
+    # newest (possibly incomplete) day skipped, the rest ingested
+    assert res["ingested"] == days[:-1]
+    assert days[-1] in res["skipped"]
+
+    # tier content equals a one-shot rollup of exactly the synced days
+    from smos_spark.operators.rollup import rollup_from_raw
+
+    expect = (
+        rollup_from_raw(df.where(F.to_date("ts") < days[-1]), "1m")
+        .orderBy("conv_id", "bucket_start")
+        .collect()
+    )
+    got = (
+        store.read_tier(spark, "1m")
+        .select(*[c for c in expect[0].asDict()])
+        .orderBy("conv_id", "bucket_start")
+        .collect()
+    )
+    assert got == expect
+
+    # re-running mirrors nothing new (days <= last_day are skipped)
+    res2 = mirror_ingest(spark, store, root, run_id="m2")
+    assert res2["ingested"] == []
+    assert res2["batches"] == 0
+
+    # the trailing day arrives complete → include_last_day syncs it
+    res3 = mirror_ingest(spark, store, root, run_id="m3", include_last_day=True)
+    assert res3["ingested"] == [days[-1]]
+    n_all = store.read_tier(spark, "1m").count()
+    assert n_all == rollup_from_raw(df, "1m").count()
