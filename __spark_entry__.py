@@ -516,6 +516,24 @@ def _q_doc_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_components(pairs)
 
 
+def _q_doc_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data dedup path as one query: exact
+    survivors (min-key per content hash) MINUS the non-keep members of
+    near-dup clusters (connected components over the n-gram pair
+    graph). IDs only; the oracle composes the exact-dedup SQL with the
+    recursive-CTE components."""
+    from smos_spark.operators.dedup import (
+        dedup_apply,
+        near_dup_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, block_col="lang")
+    drop = near_dup_components(pairs).where(~F.col("keep")).select("doc_id")
+    return dedup_apply(docs).join(drop, "doc_id", "left_anti").select("doc_id")
+
+
 # --- embeddings: similarity / ANN ---
 
 
@@ -663,6 +681,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_ngram_pairs": _q_doc_ngram_pairs,
         "doc_dedup_near": _q_doc_dedup_near,
+        "doc_dedup_full": _q_doc_dedup_full,
         "emb_near_dup": _q_emb_near_dup,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_ivf_topk": _q_emb_ivf_topk,
@@ -1149,6 +1168,40 @@ def oracle_sql() -> dict[str, str]:
                  least(a, min(b)) AS component,
                  a = least(a, min(b)) AS keep
           FROM reach GROUP BY a
+        """,
+        "doc_dedup_full": f"""
+          WITH RECURSIVE toks AS (
+            SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS tk
+            FROM documents WHERE text IS NOT NULL),
+          grams AS (
+            SELECT doc_id, lang,
+              list_distinct(list_transform(
+                generate_series(1, greatest(len(tk) - 2, 1)),
+                i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS g
+            FROM toks),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE round(
+              len(list_intersect(a.g, b.g))::DOUBLE
+              / len(list_distinct(list_concat(a.g, b.g))), 6) >= 0.8),
+          edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          dropped AS (
+            SELECT a AS doc_id FROM reach GROUP BY a
+            HAVING a != least(a, min(b)))
+          SELECT doc_id FROM documents
+          WHERE (text IS NULL
+                 OR doc_id IN (
+                   SELECT min(doc_id) FROM documents
+                   WHERE text IS NOT NULL
+                   GROUP BY {md5h.format('text')}))
+            AND doc_id NOT IN (SELECT doc_id FROM dropped)
         """,
         "emb_near_dup": """
           SELECT a.vec_id AS id_a, b.vec_id AS id_b
