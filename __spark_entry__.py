@@ -610,12 +610,25 @@ def _q_emb_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column plumbing: deterministic synth blobs →
-    mapInPandas feature extraction (decode stubbed per environment).
-    Rows-only."""
+    mapInPandas feature extraction. The decoder is an honestly-marked
+    environment stub, but it is DETERMINISTIC and byte-driven, so the
+    whole path (portable-hash synth → binary column → Arrow batch →
+    kernel → float32 features) has an exact DuckDB twin; four feature
+    dims are emitted as ppm floors to pin the kernel's values."""
     from smos_spark.operators.multimodal import extract_features, synth_media
 
     media = synth_media(spark, n=64)
-    return extract_features(media, dim=8).select("media_id", "kind", "decode_ok")
+    feats = extract_features(media, dim=16)
+    ppm = [
+        F.floor(F.element_at("feat", j + 1).cast("double") * 1e6)
+        .cast("long")
+        .alias(f"f{j}_ppm")
+        for j in (0, 5, 10, 15)
+    ]
+    return feats.select(
+        "media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes"),
+        "decode_ok", *ppm,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1213,6 +1226,34 @@ def oracle_sql() -> dict[str, str]:
               / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
                * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
             6) >= 0.4
+        """,
+        "multimodal_features": f"""
+          WITH m AS (
+            SELECT r.range AS media_id,
+              (['image','audio','video'])[
+                (({md5h.format("'k:' || r.range::VARCHAR")}) % 3)::INT + 1] AS kind,
+              substr(repeat(sha256('p' || r.range::VARCHAR), 70), 1,
+                     (({md5h.format("'l:' || r.range::VARCHAR")}) % 4096 + 64)::INT
+              ) AS payload
+            FROM range(64) r),
+          codes AS (
+            SELECT media_id, kind, length(payload) AS n_bytes,
+                   (i.range // 8)::INT AS j,
+                   ascii(substr(payload,
+                                ((i.range % length(payload)) + 1)::INT, 1)) AS code
+            FROM m, range(128) i),
+          feats AS (
+            SELECT media_id, any_value(kind) AS kind,
+                   any_value(n_bytes) AS n_bytes, j,
+                   floor(((avg(code) / 255.0)::FLOAT)::DOUBLE * 1000000.0)::BIGINT AS ppm
+            FROM codes GROUP BY media_id, j)
+          SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+                 true AS decode_ok,
+                 max(CASE WHEN j = 0 THEN ppm END) AS f0_ppm,
+                 max(CASE WHEN j = 5 THEN ppm END) AS f5_ppm,
+                 max(CASE WHEN j = 10 THEN ppm END) AS f10_ppm,
+                 max(CASE WHEN j = 15 THEN ppm END) AS f15_ppm
+          FROM feats GROUP BY 1, 2, 3
         """,
         "emb_cosine_topk": """
           WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -42,13 +42,21 @@ FEATURE_SCHEMA = (
 )
 
 
-def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (hash-derived payload bytes)."""
+def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic fake media table (hash-derived payload bytes).
+    All derivations use the portable md5-based hash64 and sha2-256 hex
+    — identical in DuckDB — so the feature-extraction query has an
+    exact SQL oracle despite the stubbed decoder."""
+    from smos_spark.functions.texthash import md5_hash64
+
+    def h(tag: str):
+        return md5_hash64(F.concat(F.lit(tag + ":"), F.col("id").cast("string")))
+
     kinds = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.xxhash64(F.lit(seed), "id"), F.lit(3)) + 1).cast("int"),
+        (F.pmod(h("k"), F.lit(3)) + 1).cast("int"),
     )
-    payload_len = (F.pmod(F.xxhash64(F.lit(seed + 1), "id"), F.lit(4096)) + 64).cast("int")
+    payload_len = (F.pmod(h("l"), F.lit(4096)) + 64).cast("int")
     # deterministic pseudo-bytes: repeated sha2 hex of the id, truncated
     payload = F.substring(
         F.repeat(F.sha2(F.concat(F.lit("p"), F.col("id").cast("string")), 256), 70),
@@ -61,7 +69,7 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
         F.lit("application/octet-stream").alias("mime"),
         F.lit(64).alias("width"),
         F.lit(64).alias("height"),
-        (F.pmod(F.xxhash64(F.lit(seed + 2), "id"), F.lit(60000))).alias("duration_ms"),
+        F.pmod(h("d"), F.lit(60000)).alias("duration_ms"),
         payload.substr(F.lit(1), payload_len).cast("binary").alias("payload"),
     )
 
@@ -73,7 +81,9 @@ def _fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
     if payload is None:
         raise ValueError("null payload")
     arr = np.frombuffer(payload, dtype=np.uint8)
-    chunks = np.resize(arr.astype(np.float32), dim * 8).reshape(dim, 8)
+    # float64 mean (sum of 8 small ints is exact; /8 is a power-of-two
+    # division) — bit-identical to the SQL twin's avg(code)/255
+    chunks = np.resize(arr.astype(np.float64), dim * 8).reshape(dim, 8)
     return chunks.mean(axis=1) / 255.0
 
 
