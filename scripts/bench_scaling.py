@@ -58,6 +58,19 @@ def cpu_ceiling(lo: int, hi: int, units: int = 64) -> dict:
     return out
 
 
+def mini_probe(cores: int) -> float:
+    """~1-3 s ceiling probe at one pool size (units/s). Run adjacent to
+    each job trial so the ceiling used for efficiency_vs_ceiling comes
+    from the WINNING trials' host windows, not a single pre-run probe —
+    this host's deliverable parallelism swings 2-4× between windows,
+    so an unmatched probe makes the ratio unattributable."""
+    units = max(2 * cores, 16)
+    t0 = time.time()
+    with mp.Pool(cores) as pool:
+        pool.map(_cpu_unit, range(units))
+    return units / (time.time() - t0)
+
+
 def build_engine_zip(dest: Path) -> Path:
     zpath = dest / "engine.zip"
     with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
@@ -171,10 +184,14 @@ def main() -> None:
     results = {}
     for trial in range(args.trials):
         for cores in (lo, hi):
+            probe = mini_probe(cores)
             r = run_job(zpath, input_path, work / f"tiers_{cores}", cores,
                         args.salted, args.blocks)
+            r["window_probe_units_per_sec"] = round(probe, 2)
             print(f"trial {trial} local[{cores}]: {r['wall_sec']}s, "
-                  f"{r['turns_per_sec']} turns/sec, phases={r['phases']}", flush=True)
+                  f"{r['turns_per_sec']} turns/sec, "
+                  f"window_probe={probe:.1f} u/s, phases={r['phases']}",
+                  flush=True)
             if cores not in results or r["wall_sec"] < results[cores]["wall_sec"]:
                 results[cores] = r
 
@@ -182,6 +199,13 @@ def main() -> None:
         "tier outputs differ between parallelism levels"
     )
     eff = results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"] / (hi / lo)
+    # ceiling from the windows the WINNING trials actually ran in
+    winner_ceiling_eff = round(
+        results[hi]["window_probe_units_per_sec"]
+        / results[lo]["window_probe_units_per_sec"]
+        / (hi / lo),
+        3,
+    )
     out = {
         "turns": info["rows"],
         "cores": [lo, hi],
@@ -191,7 +215,12 @@ def main() -> None:
         f"wall_{hi}": results[hi]["wall_sec"],
         "scaling_efficiency": round(eff, 3),
         "host_cpu_ceiling": ceiling,
-        "efficiency_vs_ceiling": round(eff / ceiling["ceiling_efficiency"], 3),
+        "winner_window_probes": {
+            str(lo): results[lo]["window_probe_units_per_sec"],
+            str(hi): results[hi]["window_probe_units_per_sec"],
+        },
+        "winner_window_ceiling_efficiency": winner_ceiling_eff,
+        "efficiency_vs_ceiling": round(eff / winner_ceiling_eff, 3),
         "tier_rows": results[hi]["tier_rows"],
         "salted": args.salted,
         "blocks": args.blocks,
