@@ -223,6 +223,20 @@ def _q_forward_fill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forward_fill(filled, ["n_turns", "len_sum"])
 
 
+def _q_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of interior gaps on the regular hourly grid
+    (north-star 'forward-fill/linear'): positional blend
+    prev + (next-prev) * (rn-prev_rn)/(next_rn-prev_rn), pure window
+    expressions — the oracle replicates the identical IEEE-double
+    operation order, so values hash-match bit-for-bit."""
+    from smos_spark.operators.gapfill import gap_fill, interpolate_linear
+
+    filled = gap_fill(_tier_1h(spark, sf_dir), "1h").select(
+        "conv_id", "bucket_start", "n_turns", "len_sum"
+    )
+    return interpolate_linear(filled, ["n_turns", "len_sum"])
+
+
 def _q_gapfill_dropna_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9: gap-fill then drop-all-NULL rows returns exactly the
     original tier (reference drop_missing=True round trip)."""
@@ -670,6 +684,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derived_1h": _q_derived_1h,
         "gap_fill_1h": _q_gap_fill_1h,
         "forward_fill_1h": _q_forward_fill_1h,
+        "gap_fill_linear": _q_gap_fill_linear,
         "gapfill_dropna_roundtrip": _q_gapfill_dropna_roundtrip,
         "masked_read": _q_masked_read,
         "ts_range_scan": _q_ts_range_scan,
@@ -992,6 +1007,60 @@ def oracle_sql() -> dict[str, str]:
           FROM filled
           WINDOW w AS (PARTITION BY conv_id ORDER BY bucket_start
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "gap_fill_linear": _T_CTE
+        + f", tier AS ({tier_1h}),\n"
+        + """
+          bounds AS (
+            SELECT conv_id, min(bucket_start) AS lo, max(bucket_start) AS hi
+            FROM tier GROUP BY 1),
+          grid AS (
+            SELECT conv_id,
+                   unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+            FROM bounds),
+          filled AS (
+            SELECT g.conv_id, g.bucket_start, tr.n_turns, tr.len_sum
+            FROM grid g LEFT JOIN tier tr
+              ON g.conv_id = tr.conv_id AND g.bucket_start = tr.bucket_start),
+          pos AS (
+            SELECT *, row_number() OVER
+              (PARTITION BY conv_id ORDER BY bucket_start) AS rn
+            FROM filled),
+          br AS (
+            SELECT conv_id, bucket_start, rn, n_turns, len_sum,
+              last_value(CASE WHEN n_turns IS NOT NULL THEN rn END IGNORE NULLS)
+                OVER wb AS pp_n,
+              last_value(CASE WHEN n_turns IS NOT NULL THEN n_turns::DOUBLE END
+                IGNORE NULLS) OVER wb AS pv_n,
+              first_value(CASE WHEN n_turns IS NOT NULL THEN rn END IGNORE NULLS)
+                OVER wf AS np_n,
+              first_value(CASE WHEN n_turns IS NOT NULL THEN n_turns::DOUBLE END
+                IGNORE NULLS) OVER wf AS nv_n,
+              last_value(CASE WHEN len_sum IS NOT NULL THEN rn END IGNORE NULLS)
+                OVER wb AS pp_l,
+              last_value(CASE WHEN len_sum IS NOT NULL THEN len_sum::DOUBLE END
+                IGNORE NULLS) OVER wb AS pv_l,
+              first_value(CASE WHEN len_sum IS NOT NULL THEN rn END IGNORE NULLS)
+                OVER wf AS np_l,
+              first_value(CASE WHEN len_sum IS NOT NULL THEN len_sum::DOUBLE END
+                IGNORE NULLS) OVER wf AS nv_l
+            FROM pos
+            WINDOW wb AS (PARTITION BY conv_id ORDER BY bucket_start
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY conv_id ORDER BY bucket_start
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+          SELECT conv_id, bucket_start,
+            CASE WHEN n_turns IS NOT NULL THEN n_turns::DOUBLE
+                 WHEN pv_n IS NOT NULL AND nv_n IS NOT NULL
+                 THEN pv_n + (nv_n - pv_n) *
+                      ((rn - pp_n)::DOUBLE / (np_n - pp_n)::DOUBLE)
+            END AS n_turns,
+            CASE WHEN len_sum IS NOT NULL THEN len_sum::DOUBLE
+                 WHEN pv_l IS NOT NULL AND nv_l IS NOT NULL
+                 THEN pv_l + (nv_l - pv_l) *
+                      ((rn - pp_l)::DOUBLE / (np_l - pp_l)::DOUBLE)
+            END AS len_sum
+          FROM br
         """,
         "gapfill_dropna_roundtrip": _T_CTE + tier_1h,
         "masked_read": _T_CTE
