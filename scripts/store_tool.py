@@ -94,6 +94,13 @@ def main() -> None:
         "--n-buckets", type=int, default=None, help="bucket count for a NEW store"
     )
 
+    co = sub.add_parser(
+        "compact", help="rewrite small-file day partitions of the raw table"
+    )
+    co.add_argument("--store", required=True)
+    co.add_argument("--target-file-mb", type=int, default=128)
+    co.add_argument("--min-files", type=int, default=8)
+
     args = ap.parse_args()
 
     from smos_spark.session import get_spark
@@ -171,6 +178,19 @@ def main() -> None:
             strict=args.strict,
         )
         print(json.dumps({"cmd": "mirror", **{k: res[k] for k in ("ingested", "skipped", "batches")}}))
+
+    elif args.cmd == "compact":
+        store = TranscriptStore(args.store)
+        store.acquire_writer_lock()
+        try:
+            res = store.compact_transcripts(
+                spark,
+                target_file_mb=args.target_file_mb,
+                min_files=args.min_files,
+            )
+        finally:
+            store.release_writer_lock()
+        print(json.dumps({"cmd": "compact", **res}))
 
 
 if __name__ == "__main__":

@@ -398,3 +398,78 @@ class TranscriptStore:
         os.replace(tmp, p)
         shutil.rmtree(old)
         return 1
+
+    def compact_transcripts(
+        self,
+        spark: SparkSession,
+        target_file_mb: int = 128,
+        min_files: int = 8,
+    ) -> dict:
+        """Small-file compaction for the append-only raw table — the
+        Iceberg ``rewrite_data_files`` maintenance analog. Each
+        ``append_transcripts`` batch adds a file wave per touched day
+        partition; at minutes-cadence ingest a day collects hundreds of
+        tiny files, and at corpus scale every downstream scan pays that
+        in task-scheduling and footer-read overhead.
+
+        Strategy (one Spark job, not one per partition): list day
+        directories DRIVER-side (cheap: O(days) + O(files) stat calls,
+        no Spark jobs), pick dates whose file count exceeds both
+        `min_files` and their byte-proportional target
+        ``ceil(bytes / target_file_mb)``, then rewrite ONLY those
+        dates with a single dynamic-partition-overwrite write. Rows are
+        spread over each date's target file count via a salt column
+        derived from a broadcast date→n_files map, so big days still
+        get multiple parallel writers/files. Untouched dates keep
+        their files byte-identical; readers see old-or-new per
+        partition (same contract as overwrite_tier_partitions).
+        Callers doing concurrent maintenance hold the advisory writer
+        lock, like tier merges. Returns
+        ``{"dates": k, "files_before": a, "files_after": b}``."""
+        root = Path(self.transcripts_path)
+        if not root.exists():
+            return {"dates": 0, "files_before": 0, "files_after": 0}
+        plan: dict[str, int] = {}
+        before = 0
+        for d in sorted(root.glob("ts_date=*")):
+            if not d.is_dir():
+                continue
+            files = [f for f in d.glob("*.parquet") if f.is_file()]
+            before += len(files)
+            nbytes = sum(f.stat().st_size for f in files)
+            target = max(1, -(-nbytes // (target_file_mb << 20)))
+            if len(files) > max(min_files, target):
+                plan[d.name.split("=", 1)[1]] = int(target)
+        if not plan:
+            return {"dates": 0, "files_before": before, "files_after": before}
+
+        nmap = spark.createDataFrame(
+            [(k, v) for k, v in plan.items()], "ts_date_str string, _nf int"
+        )
+        import datetime as _dt
+
+        dates = [_dt.date.fromisoformat(k) for k in plan]
+        df = (
+            spark.read.parquet(str(root))
+            .where(F.col("ts_date").isin(dates))  # partition pruning
+            .withColumn("ts_date_str", F.col("ts_date").cast("string"))
+            .join(F.broadcast(nmap), "ts_date_str")
+            .withColumn("_fno", F.pmod(F.xxhash64("conv_id"), F.col("_nf")))
+            .repartition("ts_date", "_fno")
+            .sortWithinPartitions("ts_date", "conv_id", "turn_idx")
+            .drop("ts_date_str", "_nf", "_fno")
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            df.write.partitionBy("ts_date").mode("overwrite").parquet(str(root))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        after = sum(
+            1
+            for d in root.glob("ts_date=*")
+            if d.is_dir()
+            for f in d.glob("*.parquet")
+            if f.is_file()
+        )
+        return {"dates": len(plan), "files_before": before, "files_after": after}

@@ -127,3 +127,24 @@ def test_store_tool_mirror(spark, transcripts, tmp_path):
          "--include-last-day", "true"]
     )
     assert r2["ingested"] == [days[-1]]
+
+
+def test_store_tool_compact(spark, transcripts, tmp_path):
+    """CLI compact: multi-wave appends then one rewrite job under the
+    writer lock; rerun is a no-op."""
+    from smos_spark.sources.store import TranscriptStore
+
+    store = TranscriptStore(tmp_path / "cstore")
+    for i in range(4):
+        store.append_transcripts(transcripts.where(F.col("turn_idx") % 4 == i))
+
+    r = _run(
+        ["scripts/store_tool.py", "--master", "local[4]", "compact",
+         "--store", str(tmp_path / "cstore"), "--min-files", "2"]
+    )
+    assert r["dates"] > 0 and r["files_after"] < r["files_before"]
+    r2 = _run(
+        ["scripts/store_tool.py", "--master", "local[4]", "compact",
+         "--store", str(tmp_path / "cstore"), "--min-files", "2"]
+    )
+    assert r2["dates"] == 0

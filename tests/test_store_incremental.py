@@ -376,3 +376,47 @@ def test_checkpoint_compaction(spark, tmp_path):
     assert after == before
     # below the threshold: no rewrite, just reports the file count
     assert store.compact_checkpoint(spark, max_files=16) == 1
+
+
+def test_compact_transcripts(spark, transcripts, tmp_path):
+    """Iceberg rewrite_data_files analog: repeated appends pile up
+    small files per day partition; one dynamic-overwrite job rewrites
+    only the over-threshold dates, round-trips every row, and a rerun
+    is a no-op."""
+    from pathlib import Path
+
+    store = TranscriptStore(tmp_path / "store")
+    for i in range(6):  # 6 append waves -> >=6 files per day dir
+        store.append_transcripts(transcripts.where(F.col("turn_idx") % 6 == i))
+    root = Path(store.transcripts_path)
+    day_files = {
+        d.name: len([f for f in d.glob("*.parquet") if f.is_file()])
+        for d in root.glob("ts_date=*")
+    }
+    assert all(n >= 6 for n in day_files.values())
+    before = (
+        store.read_transcripts(spark)
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+
+    res = store.compact_transcripts(spark, target_file_mb=128, min_files=2)
+    assert res["dates"] == len(day_files)
+    assert res["files_after"] < res["files_before"]
+    after_files = {
+        d.name: len([f for f in d.glob("*.parquet") if f.is_file()])
+        for d in root.glob("ts_date=*")
+    }
+    # tiny test days fit one target file each
+    assert all(n == 1 for n in after_files.values())
+    after = (
+        store.read_transcripts(spark)
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    assert after == before
+
+    # second pass finds nothing over threshold
+    res2 = store.compact_transcripts(spark, target_file_mb=128, min_files=2)
+    assert res2["dates"] == 0
+    assert res2["files_before"] == res["files_after"]
