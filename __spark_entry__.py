@@ -450,6 +450,30 @@ def _q_doc_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_topk(_docs(spark, sf_dir), k=20)
 
 
+def _q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment by key hash — pure
+    codegen expression, no shuffle; same doc_id → same split on any
+    cluster size or rerun (leakage-safe across re-ingestion)."""
+    from smos_spark.operators.sampling import hash_split
+
+    return hash_split(
+        _docs(spark, sf_dir),
+        key="doc_id",
+        fractions={"train": 0.9, "val": 0.05, "test": 0.05},
+    ).select("doc_id", "split")
+
+
+def _q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sample (3 docs per lang):
+    rank by (portable hash, key) inside each stratum, keep first n —
+    one window shuffle on the stratum column."""
+    from smos_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), stratum="lang", n_per_stratum=3
+    ).select("doc_id", "lang")
+
+
 def _q_conv_len_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-conv text-length percentiles (p50/p90 linear
     interpolation — Spark percentile() ≡ DuckDB quantile_cont), ppm
@@ -703,6 +727,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_dedup_apply": _q_doc_dedup_apply,
         "doc_token_topk": _q_doc_token_topk,
+        "doc_hash_split": _q_doc_hash_split,
+        "doc_stratified_sample": _q_doc_stratified_sample,
         "conv_len_percentiles": _q_conv_len_percentiles,
         "doc_minhash": _q_doc_minhash,
         "doc_minhash_pairs": _q_doc_minhash_pairs,
@@ -1200,6 +1226,25 @@ def oracle_sql() -> dict[str, str]:
                  CAST(floor(quantile_cont(length(text), 0.5) * 1000000.0) AS BIGINT) AS len_p50_ppm,
                  CAST(floor(quantile_cont(length(text), 0.9) * 1000000.0) AS BIGINT) AS len_p90_ppm
           FROM t WHERE text IS NOT NULL GROUP BY 1
+        """,
+        # hash64 is non-negative (< 2^60), so plain % ≡ Spark pmod
+        "doc_hash_split": f"""
+          SELECT doc_id,
+            CASE WHEN bucket < 900000 THEN 'train'
+                 WHEN bucket < 950000 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM (SELECT doc_id,
+                  {md5h.format("doc_id::VARCHAR || ':42'")} % 1000000 AS bucket
+                FROM documents)
+        """,
+        "doc_stratified_sample": f"""
+          SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY {md5h.format("doc_id::VARCHAR || ':42'")} ASC,
+                         doc_id ASC) AS rk
+            FROM documents)
+          WHERE rk <= 3
         """,
         "doc_minhash_pairs": minhash_pairs_sql,
         "doc_simhash_pairs": simhash_pairs_sql,
