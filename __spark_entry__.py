@@ -1230,7 +1230,8 @@ def oracle_sql() -> dict[str, str]:
         # hash64 is non-negative (< 2^60), so plain % ≡ Spark pmod
         "doc_hash_split": f"""
           SELECT doc_id,
-            CASE WHEN bucket < 900000 THEN 'train'
+            CASE WHEN doc_id IS NULL THEN NULL
+                 WHEN bucket < 900000 THEN 'train'
                  WHEN bucket < 950000 THEN 'val'
                  ELSE 'test' END AS split
           FROM (SELECT doc_id,
@@ -1243,7 +1244,7 @@ def oracle_sql() -> dict[str, str]:
               row_number() OVER (PARTITION BY lang
                 ORDER BY {md5h.format("doc_id::VARCHAR || ':42'")} ASC,
                          doc_id ASC) AS rk
-            FROM documents)
+            FROM documents WHERE doc_id IS NOT NULL)
           WHERE rk <= 3
         """,
         "doc_minhash_pairs": minhash_pairs_sql,

@@ -729,11 +729,15 @@ def dedup_apply(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> D
     hashed = df.where(F.col(text_col).isNotNull()).withColumn(
         "_ch", md5_hash64(F.col(text_col))
     )
+    # Join on content_hash ALONE: the aggregation's output is already
+    # hash-partitioned on it, so the survivor side joins without a
+    # second Exchange (a composite (hash, keep_id) condition would
+    # re-shuffle the O(distinct-docs) frame). content_hash is unique
+    # in `keep`, so the join never fans out; the keep_id filter then
+    # selects the one survivor row of each hash group.
     survivors = (
-        hashed.join(
-            keep,
-            (hashed["_ch"] == keep["content_hash"]) & (hashed[key] == keep["keep_id"]),
-        )
+        hashed.join(keep, hashed["_ch"] == keep["content_hash"])
+        .where(hashed[key] == keep["keep_id"])
         .select(*df.columns)
     )
     return survivors.unionByName(df.where(F.col(text_col).isNull()))

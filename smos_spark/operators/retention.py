@@ -45,7 +45,27 @@ def apply_retention(
 
     `now` is an explicit timestamp/date (never wall clock — jobs must
     be replayable); policy values are day counts or None (keep all).
+
+    Holds the store's advisory writer lock for the duration (don't
+    call while already holding it): partition drops and the lineage
+    compaction would otherwise race a concurrent ingest_batch — the
+    compaction snapshots the checkpoint directory, so an append
+    landing mid-swap would be moved aside and deleted with it.
     """
+    store.acquire_writer_lock()
+    try:
+        return _apply_retention_locked(spark, store, now, policy, run_id)
+    finally:
+        store.release_writer_lock()
+
+
+def _apply_retention_locked(
+    spark: SparkSession,
+    store: TranscriptStore,
+    now,
+    policy: dict[str, int | None] | None,
+    run_id: str,
+) -> dict[str, list[str]]:
     policy = {**DEFAULT_RETENTION, **(policy or {})}
     if isinstance(now, str):
         now = dt.date.fromisoformat(now[:10])

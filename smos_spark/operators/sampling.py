@@ -63,7 +63,9 @@ def hash_split(
     pure integer comparison — identical on every run, cluster size,
     and engine. Rows with the same key always land in the same split
     (the property that prevents train/test leakage across duplicate
-    or re-ingested keys)."""
+    or re-ingested keys). Rows with a NULL key get a NULL split —
+    they have no identity to hash, and silently defaulting them into
+    one label would skew that split; the caller decides their fate."""
     fractions = dict(fractions or {"train": 0.98, "val": 0.01, "test": 0.01})
     if not fractions:
         raise ValueError("fractions must be non-empty")
@@ -84,7 +86,7 @@ def hash_split(
         )
     last = F.lit(labels[-1])
     out = last if expr is None else expr.otherwise(last)
-    return df.withColumn(out_col, out)
+    return df.withColumn(out_col, F.when(F.col(key).isNotNull(), out))
 
 
 def stratified_sample(
@@ -98,14 +100,20 @@ def stratified_sample(
     """Exactly `n_per_stratum` deterministic rows per stratum (fewer
     only when the stratum is smaller): rank rows inside each stratum
     by (hash64(key||seed), key) — a reproducible shuffle order — and
-    keep the first n. One window shuffle on the stratum column."""
+    keep the first n. One window shuffle on the stratum column.
+
+    Rows with a NULL key are EXCLUDED: without an identity there is
+    no deterministic rank for them (two NULL-key rows are mutually
+    unordered in every engine, and Spark and SQL engines disagree on
+    where NULLs sort), which would silently break reproducibility."""
     if n_per_stratum < 1:
         raise ValueError("n_per_stratum must be >= 1")
     tagged = F.concat(F.col(key).cast("string"), F.lit(f":{seed}"))
     h = md5_hash64(tagged) if portable else fast_hash64(tagged)
     w = Window.partitionBy(stratum).orderBy(h.asc(), F.col(key).asc())
     return (
-        df.withColumn("_rk", F.row_number().over(w))
+        df.where(F.col(key).isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )

@@ -348,9 +348,27 @@ class TranscriptStore:
             self.save_overview(Overview(extra={}))
 
     # --- checkpoint lineage ---
+    def _recover_checkpoint_swap(self) -> None:
+        """Self-heal a compaction interrupted between its two directory
+        renames: if `_checkpoint` is missing but `_checkpoint_old`
+        survives, the old directory is the ONLY copy of the lineage —
+        restore it. Called by every checkpoint entry point so a crashed
+        compaction can never strand (or let a later run delete) the
+        sole surviving history."""
+        import shutil
+
+        p = Path(self.checkpoint_path)
+        old = Path(str(p) + "_old")
+        tmp = Path(str(p) + "_compacting")
+        if not p.exists() and old.exists():
+            os.replace(old, p)
+        # leftover tmp from an incomplete rewrite is garbage either way
+        shutil.rmtree(tmp, ignore_errors=True)
+
     def append_checkpoint(self, spark: SparkSession, rows: list[dict]) -> None:
         if not rows:
             return
+        self._recover_checkpoint_swap()
         spark.createDataFrame(
             [
                 (
@@ -370,6 +388,7 @@ class TranscriptStore:
         ).coalesce(1).write.mode("append").parquet(self.checkpoint_path)
 
     def read_checkpoint(self, spark: SparkSession) -> DataFrame | None:
+        self._recover_checkpoint_swap()
         if not Path(self.checkpoint_path).exists():
             return None
         return spark.read.parquet(self.checkpoint_path)
@@ -380,9 +399,14 @@ class TranscriptStore:
         appends pile up; once the directory exceeds `max_files`
         parquet files, rewrite it as one file via an atomic directory
         swap (readers either see the old layout or the new — never a
-        half-compacted one). Returns the resulting file count."""
+        half-compacted one, and every entry point first restores a
+        compaction that crashed between its two renames). Callers must
+        hold the advisory writer lock — compaction moves files a
+        concurrent append may be writing into. Returns the resulting
+        file count."""
         import shutil
 
+        self._recover_checkpoint_swap()
         p = Path(self.checkpoint_path)
         if not p.exists():
             return 0
@@ -391,7 +415,6 @@ class TranscriptStore:
             return len(files)
         tmp = Path(str(p) + "_compacting")
         old = Path(str(p) + "_old")
-        shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
         spark.read.parquet(str(p)).coalesce(1).write.mode("overwrite").parquet(str(tmp))
         os.replace(p, old)

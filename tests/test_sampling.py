@@ -71,3 +71,21 @@ def test_stratified_sample_small_stratum(spark):
     got = {r["lang"]: 1 for r in out.collect()}
     n_only = out.where(F.col("lang") == "only").count()
     assert n_only == 1 and "many" in got
+
+
+def test_null_keys_are_explicit(spark):
+    """NULL keys: hash_split emits NULL split (never silently lands in
+    a real label); stratified_sample excludes them (no deterministic
+    rank exists)."""
+    df = spark.createDataFrame(
+        [(None, "en"), (1, "en"), (2, "en"), (None, "fr")],
+        "doc_id long, lang string",
+    )
+    s = hash_split(df, fractions={"train": 0.5, "test": 0.5})
+    by_key = {r["doc_id"]: r["split"] for r in s.collect()}
+    assert by_key[None] is None
+    assert all(v in ("train", "test") for k, v in by_key.items() if k is not None)
+
+    out = stratified_sample(df, stratum="lang", n_per_stratum=10)
+    assert out.where(F.col("doc_id").isNull()).count() == 0
+    assert out.count() == 2

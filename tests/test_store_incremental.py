@@ -420,3 +420,39 @@ def test_compact_transcripts(spark, transcripts, tmp_path):
     res2 = store.compact_transcripts(spark, target_file_mb=128, min_files=2)
     assert res2["dates"] == 0
     assert res2["files_before"] == res["files_after"]
+
+
+def test_checkpoint_swap_crash_recovery(spark, tmp_path):
+    """A compaction that crashed between its two directory renames
+    (checkpoint moved to _old, replacement not yet in place) must be
+    self-healed by the next checkpoint access, not stranded/deleted."""
+    import os
+    from pathlib import Path
+
+    store = TranscriptStore(tmp_path / "store")
+    row = {
+        "run_id": "r",
+        "batch_id": 0,
+        "tier": "1d",
+        "partition_key": "bucket_date=2025-01-01",
+        "rows_in": 1,
+        "rows_out": 1,
+        "min_ts": None,
+        "max_ts": None,
+        "committed_seq": 0,
+    }
+    for b in range(3):
+        store.append_checkpoint(spark, [{**row, "batch_id": b}])
+    p = Path(store.checkpoint_path)
+    # simulate the crash window: first rename done, second never ran
+    os.replace(p, Path(str(p) + "_old"))
+    assert not p.exists()
+
+    df = store.read_checkpoint(spark)
+    assert df is not None and df.count() == 3
+    assert p.exists() and not Path(str(p) + "_old").exists()
+
+    # and compaction itself recovers + proceeds
+    os.replace(p, Path(str(p) + "_old"))
+    assert store.compact_checkpoint(spark, max_files=1) == 1
+    assert store.read_checkpoint(spark).count() == 3
