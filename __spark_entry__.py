@@ -474,6 +474,47 @@ def _q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals over per-conversation documents
+    (turn texts joined by newline in (ts, event_id) order — the sf
+    `documents` table is single-line, so the conversation rebuild is
+    what gives the signal real duplicate lines to count). Exact
+    integer counts (n_dup_lines / dup_chars / total_chars), no floats
+    in the compare."""
+    from smos_spark.operators.text import repetition_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    turn = F.struct(F.col("ts"), F.col("event_id"), F.col("props").alias("text"))
+    docs = (
+        ev.where(F.col("props").isNotNull() & (F.trim("props") != ""))
+        .groupBy(F.col("user_id").cast("string").alias("conv_id"))
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(turn)), lambda s: s.getField("text")
+                ),
+            ).alias("text")
+        )
+    )
+    return repetition_profile(docs, counts=True)
+
+
+def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: ids of corpus docs sharing any token
+    n-gram with the held-out eval slice (doc_id % 41 == 0). n=4 here —
+    the sf corpus has a tiny synthetic vocabulary, so the published
+    n=13 standard would match nothing; the operator defaults to 13."""
+    from smos_spark.operators.text import ngram_decontaminate
+
+    d = _docs(spark, sf_dir)
+    return ngram_decontaminate(
+        d.where(F.col("doc_id") % 41 != 0),
+        d.where(F.col("doc_id") % 41 == 0),
+        n=4,
+    )
+
+
 def _q_conv_len_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-conv text-length percentiles (p50/p90 linear
     interpolation — Spark percentile() ≡ DuckDB quantile_cont), ppm
@@ -727,6 +768,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_dedup_apply": _q_doc_dedup_apply,
         "doc_token_topk": _q_doc_token_topk,
+        "doc_repetition": _q_doc_repetition,
+        "doc_decontaminate": _q_doc_decontaminate,
         "doc_hash_split": _q_doc_hash_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "conv_len_percentiles": _q_conv_len_percentiles,
@@ -1219,6 +1262,51 @@ def oracle_sql() -> dict[str, str]:
           FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
                 FROM documents WHERE text IS NOT NULL) t
           GROUP BY 1 ORDER BY cnt DESC, t.token ASC LIMIT 20
+        """,
+        # sort-adjacent dup formulation: count/chars of elements equal to
+        # their sorted predecessor ≡ sum over groups (cnt-1)[*len] — sort-
+        # order independent, so Spark/DuckDB collation differences can't bite
+        "doc_repetition": """
+          WITH d AS (
+            SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                   string_agg(props, chr(10) ORDER BY ts, event_id) AS text
+            FROM events
+            WHERE props IS NOT NULL AND trim(props) <> ''
+            GROUP BY 1
+          ), l AS (
+            SELECT conv_id,
+              list_filter(list_transform(string_split(text, chr(10)),
+                                         x -> trim(x)), x -> x <> '') AS lines
+            FROM d
+          ), s AS (
+            SELECT conv_id, lines, list_sort(lines) AS srt FROM l
+          )
+          SELECT conv_id,
+            CAST(len(lines) AS BIGINT) AS n_lines,
+            CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
+            CAST(coalesce(list_sum(list_transform(
+              generate_series(2, len(lines)),
+              i -> CASE WHEN srt[i] = srt[i-1] THEN len(srt[i]) ELSE 0 END)), 0)
+              AS BIGINT) AS dup_chars,
+            CAST(coalesce(list_sum(list_transform(lines, x -> len(x))), 0)
+              AS BIGINT) AS total_chars
+          FROM s
+        """,
+        "doc_decontaminate": f"""
+          WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents WHERE text IS NOT NULL
+          ), grams AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, len(t) - 3),
+                i -> {md5h.format("array_to_string(list_slice(t, i, i + 3), ' ')")}
+            ))) AS gram
+            FROM toks WHERE len(t) >= 4
+          )
+          SELECT DISTINCT g.doc_id FROM grams g
+          JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % 41 = 0) e
+            USING (gram)
+          WHERE g.doc_id % 41 <> 0
         """,
         "conv_len_percentiles": _T_CTE
         + """

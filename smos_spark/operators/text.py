@@ -147,3 +147,140 @@ def token_topk(
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(k)
     )
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", counts: bool = False
+) -> DataFrame:
+    """Gopher-style repetition signals per document: count of non-empty
+    lines, fraction of lines that are duplicates, and the char-weighted
+    duplicate-line fraction (the signal the published quality filters
+    threshold on — e.g. drop docs with >30% chars in duplicate lines).
+
+    Pure Column expressions, single scan, no shuffle. The char-weighted
+    term sorts the line array once and charges the length of every line
+    equal to its sorted predecessor — O(L log L) per doc instead of the
+    naive O(L^2) distinct-x-filter scan, so a pathological million-line
+    document costs ~20M comparisons, not 10^12. Exact DuckDB twin in
+    __spark_entry__.oracle_sql() (same sort-adjacent formulation).
+
+    counts=True emits the exact integer numerators/denominators
+    (n_dup_lines, dup_chars, total_chars) instead of rounded ratios —
+    the float-free form the correctness oracle compares.
+    """
+    keep = [x for x in df.columns if x != text_col]
+    # Two projection boundaries so the line array and its sorted copy
+    # materialize once per row: the sorted array is referenced from
+    # inside the aggregate() lambda, and an inlined array_sort(split(…))
+    # would re-evaluate per lambda iteration — O(L^2 log L) per doc
+    # (Catalyst keeps a projection whose alias is multiply referenced
+    # by a non-cheap expression; same pitfall as ngram_decontaminate).
+    base = df.where(F.col(text_col).isNotNull()).select(
+        *keep,
+        F.filter(
+            F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+            lambda x: x != "",
+        ).alias("_lines"),
+    )
+    base = base.select(*keep, "_lines", F.array_sort("_lines").alias("_srt"))
+    lines, srt = F.col("_lines"), F.col("_srt")
+    n_lines = F.size(lines)
+    # chars of every element equal to its sorted predecessor
+    dup_chars = F.when(
+        n_lines >= 2,
+        F.aggregate(
+            F.sequence(F.lit(2), n_lines),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                F.element_at(srt, i) == F.element_at(srt, i - 1),
+                F.length(F.element_at(srt, i)).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    )
+    n_dup = (n_lines - F.size(F.array_distinct(lines))).cast("long")
+    if counts:
+        return base.select(
+            *keep,
+            n_lines.cast("long").alias("n_lines"),
+            n_dup.alias("n_dup_lines"),
+            dup_chars.alias("dup_chars"),
+            total_chars.alias("total_chars"),
+        )
+    return base.select(
+        *keep,
+        n_lines.cast("long").alias("n_lines"),
+        F.round(
+            F.when(n_lines > 0, n_dup.cast("double") / n_lines).otherwise(0.0), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(total_chars > 0, dup_chars.cast("double") / total_chars).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: return the ids of corpus docs that
+    share any token n-gram with the evaluation set (the published
+    standard is 13-gram overlap; training docs containing eval-set
+    n-grams leak test answers and must be dropped before training).
+
+    Shape at 100 TB: each side is one scan producing distinct per-doc
+    n-gram hashes (md5_hash64 of the space-joined token window — 8
+    bytes shuffled per gram instead of the gram text), then a left-semi
+    join. The eval side is a benchmark suite — MBs, not TBs — so AQE
+    broadcasts it on its own; no forced broadcast hint (a survivor-set
+    lesson: never hint a side whose size grows with the data, see
+    PLANS.md dedup_apply note). The final distinct is one shuffle on
+    the contaminated id subset only.
+
+    Reference analog: the reference engine has no text ops; this
+    extends the dedup family (dedup.py) the way SURVEY.md §2's
+    training-pipeline addendum specifies.
+    """
+
+    def grams(df: DataFrame) -> DataFrame:
+        # Materialize the token array in its own projection: the alias
+        # is referenced from inside the transform() lambda, and Catalyst
+        # does not collapse a projection whose alias is multiply
+        # referenced by a non-cheap expression — so the O(len) regex
+        # extraction runs once per row. Inlined, it re-runs inside every
+        # lambda iteration: O(len^2) per doc, which hangs on multi-KB
+        # documents (observed: 130 KB doc -> minutes).
+        base = df.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col),
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+            ).alias("_toks"),
+        )
+        tc = F.col("_toks")
+        g = F.when(
+            F.size(tc) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tc) - (n - 1)),
+                lambda i: md5_hash64(F.array_join(F.slice(tc, i, F.lit(n)), " ")),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        return base.select(
+            F.col(id_col), F.explode(F.array_distinct(g)).alias("gram")
+        )
+
+    eval_grams = grams(eval_df).select("gram").distinct()
+    return (
+        grams(docs)
+        .join(eval_grams, "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )

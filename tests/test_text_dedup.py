@@ -352,3 +352,80 @@ def test_dedup_apply_and_token_topk(spark):
     top = token_topk(df, k=2).toPandas()
     assert top.token.tolist() == ["the", "cat"]
     assert top.cnt.tolist() == [4, 3]
+
+
+def test_repetition_profile_known_values(spark):
+    from smos_spark.operators.text import repetition_profile
+
+    df = spark.createDataFrame(
+        [
+            # 5 lines: "aa" x3 (dup 2, chars 4), "bbb" x2 (dup 1, chars 3)
+            (1, "aa\naa\nbbb\n aa \nbbb"),
+            (2, "unique one\nunique two"),  # no dups
+            (3, "   \n\n  x"),  # blanks dropped -> 1 line
+            (4, ""),  # zero lines
+            (5, None),  # filtered out
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_profile(df, counts=True).collect()
+    }
+    assert 5 not in got
+    assert got[1] == {
+        "doc_id": 1,
+        "n_lines": 5,
+        "n_dup_lines": 3,
+        "dup_chars": 7,
+        "total_chars": 12,
+    }
+    assert got[2]["n_dup_lines"] == 0 and got[2]["dup_chars"] == 0
+    assert got[3] == {
+        "doc_id": 3,
+        "n_lines": 1,
+        "n_dup_lines": 0,
+        "dup_chars": 0,
+        "total_chars": 1,
+    }
+    assert got[4]["n_lines"] == 0 and got[4]["total_chars"] == 0
+
+    fr = {
+        r["doc_id"]: r.asDict() for r in repetition_profile(df).collect()
+    }
+    assert fr[1]["dup_line_frac"] == 0.6  # 3/5
+    assert fr[1]["dup_line_char_frac"] == round(7 / 12, 6)
+    assert fr[4]["dup_line_frac"] == 0.0
+
+
+def test_ngram_decontaminate_known_overlap(spark):
+    from smos_spark.operators.text import ngram_decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox yesterday"),  # shares 4-gram
+            (2, "a quick brown dog sat"),  # only 3-gram overlap
+            (3, "completely different text here"),
+            (4, None),
+            (5, "short"),  # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    hit = sorted(
+        r["doc_id"] for r in ngram_decontaminate(corpus, eval_df, n=4).collect()
+    )
+    assert hit == [1]
+    # n=3: doc 2's "quick brown dog"? not in eval (eval has quick brown fox).
+    hit3 = sorted(
+        r["doc_id"] for r in ngram_decontaminate(corpus, eval_df, n=3).collect()
+    )
+    assert hit3 == [1]
+    # case-insensitivity + punctuation stripping
+    corpus2 = spark.createDataFrame(
+        [(9, "The QUICK, brown fox!")], "doc_id long, text string"
+    )
+    assert [r["doc_id"] for r in ngram_decontaminate(corpus2, eval_df, n=4).collect()] == [9]
