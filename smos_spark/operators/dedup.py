@@ -329,16 +329,24 @@ def ngram_jaccard_pairs(
             "join; pass block_col=... or allow_unblocked=True for "
             "small data"
         )
-    toks = F.split(F.lower(F.col(text_col)), "\\s+")
+    # tokenize behind a projection boundary: `_t` is referenced from
+    # inside the transform() lambda, and an inlined split() would
+    # re-evaluate per element — O(len^2) per doc (see
+    # text.ngram_decontaminate for the measured version of this trap)
+    extra = [F.col(block_col)] if block_col else []
+    toked = df.where(F.col(text_col).isNotNull()).select(
+        F.col(key),
+        F.split(F.lower(F.col(text_col)), "\\s+").alias("_t"),
+        *extra,
+    )
+    tc = F.col("_t")
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            F.sequence(F.lit(0), F.greatest(F.size(tc) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(tc, i + 1, n)),
         )
     )
-    base = df.where(F.col(text_col).isNotNull()).select(
-        F.col(key), grams.alias("_g"), *( [F.col(block_col)] if block_col else [] )
-    )
+    base = toked.select(F.col(key), grams.alias("_g"), *extra)
     a = base.alias("a")
     b = base.alias("b")
     cond = F.col(f"a.{key}") < F.col(f"b.{key}")
