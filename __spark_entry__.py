@@ -483,21 +483,7 @@ def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the compare."""
     from smos_spark.operators.text import repetition_profile
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    turn = F.struct(F.col("ts"), F.col("event_id"), F.col("props").alias("text"))
-    docs = (
-        ev.where(F.col("props").isNotNull() & (F.trim("props") != ""))
-        .groupBy(F.col("user_id").cast("string").alias("conv_id"))
-        .agg(
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.array_sort(F.collect_list(turn)), lambda s: s.getField("text")
-                ),
-            ).alias("text")
-        )
-    )
-    return repetition_profile(docs, counts=True)
+    return repetition_profile(_conv_docs(spark, sf_dir), counts=True)
 
 
 def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,6 +499,80 @@ def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(F.col("doc_id") % 41 == 0),
         n=4,
     )
+
+
+def _conv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation documents: turn texts joined by newline in
+    (ts, event_id) order — the multi-line corpus the line-level
+    operators need (the sf `documents` table is single-line)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    turn = F.struct(F.col("ts"), F.col("event_id"), F.col("props").alias("text"))
+    return (
+        ev.where(F.col("props").isNotNull() & (F.trim("props") != ""))
+        .groupBy(F.col("user_id").cast("string").alias("conv_id"))
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(turn)), lambda s: s.getField("text")
+                ),
+            ).alias("text")
+        )
+    )
+
+
+def _q_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate-line removal over the per-conv docs:
+    drop lines whose trimmed form appears in >= 72 distinct docs (the
+    sf0.01 line-DF median — roughly half the distinct lines drop),
+    rebuild in position order. Emits the rebuilt text's length and
+    line count (integers) plus its md5 head — exact, float-free."""
+    from smos_spark.operators.text import drop_boilerplate_lines
+
+    out = drop_boilerplate_lines(
+        _conv_docs(spark, sf_dir), max_df=72, id_col="conv_id"
+    )
+    return out.select(
+        "conv_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.when(F.length("text") == 0, F.lit(0))
+        .otherwise(F.size(F.split("text", "\n")))
+        .cast("long")
+        .alias("n_lines"),
+        F.substring(F.md5("text"), 1, 16).alias("text_md5"),
+    )
+
+
+def _q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/web-artifact counts + redaction. The sf corpus contains no
+    natural emails/URLs/IPs, so the query plants them deterministically
+    from doc_id before profiling — the regex machinery under test is
+    identical either way."""
+    from smos_spark.operators.text import pii_profile, redact_pii
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact a"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit("@mail.com or 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1 see https://ex"),
+                    (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".org/x"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    prof = pii_profile(planted)
+    red = planted.select(
+        "doc_id", F.substring(F.md5(redact_pii(F.col("text"))), 1, 16).alias("red_md5")
+    )
+    return prof.join(red, "doc_id")
 
 
 def _q_conv_len_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -770,6 +830,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_topk": _q_doc_token_topk,
         "doc_repetition": _q_doc_repetition,
         "doc_decontaminate": _q_doc_decontaminate,
+        "doc_boilerplate": _q_doc_boilerplate,
+        "doc_pii_redact": _q_doc_pii_redact,
         "doc_hash_split": _q_doc_hash_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "conv_len_percentiles": _q_conv_len_percentiles,
@@ -1291,6 +1353,64 @@ def oracle_sql() -> dict[str, str]:
             CAST(coalesce(list_sum(list_transform(lines, x -> len(x))), 0)
               AS BIGINT) AS total_chars
           FROM s
+        """,
+        "doc_boilerplate": """
+          WITH d AS (
+            SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                   string_agg(props, chr(10) ORDER BY ts, event_id) AS text
+            FROM events
+            WHERE props IS NOT NULL AND trim(props) <> ''
+            GROUP BY 1
+          ), lines AS (
+            SELECT conv_id,
+                   generate_subscripts(ls, 1) AS pos,
+                   unnest(ls) AS line
+            FROM (SELECT conv_id, string_split(text, chr(10)) AS ls FROM d)
+          ), boiler AS (
+            SELECT trim(line) AS tl FROM lines WHERE trim(line) <> ''
+            GROUP BY 1 HAVING count(DISTINCT conv_id) >= 72
+          ), reb AS (
+            SELECT conv_id, string_agg(line, chr(10) ORDER BY pos) AS text
+            FROM lines
+            WHERE trim(line) = '' OR trim(line) NOT IN (SELECT tl FROM boiler)
+            GROUP BY conv_id
+          )
+          SELECT conv_id,
+                 CAST(len(text) AS BIGINT) AS n_chars,
+                 CAST(CASE WHEN len(text) = 0 THEN 0
+                           ELSE len(string_split(text, chr(10))) END AS BIGINT)
+                   AS n_lines,
+                 substr(md5(text), 1, 16) AS text_md5
+          FROM reb
+        """,
+        "doc_pii_redact": """
+          WITH planted AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 3 = 0 THEN
+                     ' contact a' || CAST(doc_id % 7 AS VARCHAR)
+                     || '@mail.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.1 see https://ex' || CAST(doc_id % 5 AS VARCHAR)
+                     || '.org/x' ELSE '' END AS text
+            FROM documents WHERE text IS NOT NULL
+          )
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+              AS n_emails,
+            CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT)
+              AS n_urls,
+            CAST(len(regexp_extract_all(text,
+              '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+              AS BIGINT) AS n_ipv4,
+            substr(md5(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'),
+                '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                '<IPV4>', 'g')), 1, 16) AS red_md5
+          FROM planted
         """,
         "doc_decontaminate": f"""
           WITH toks AS (

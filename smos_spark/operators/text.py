@@ -284,3 +284,81 @@ def ngram_decontaminate(
         .select(id_col)
         .distinct()
     )
+
+
+def drop_boilerplate_lines(
+    df: DataFrame,
+    max_df: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide boilerplate removal (the C4-family filter): rebuild
+    each document dropping every line whose trimmed form appears in
+    >= max_df distinct documents (nav bars, cookie banners, license
+    headers). Blank lines are kept verbatim and never counted.
+
+    Shape at 100 TB: posexplode -> line-hash document-frequency count
+    (two-phase countDistinct, map-side partial) -> anti join on the
+    8-byte line hash (boilerplate side is the high-DF tail -- small;
+    AQE broadcasts when it fits, no forced hint) -> one groupBy
+    rebuild per doc ordered by line position. Three shuffles total,
+    all on hashed keys; line text itself is never shuffled twice.
+    """
+    lined = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    lined = lined.select(
+        id_col, "_pos", "_line", F.xxhash64(F.trim("_line")).alias("_lh")
+    )
+    boiler = (
+        lined.where(F.trim("_line") != "")
+        .groupBy("_lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .where(F.col("_df") >= max_df)
+        .select("_lh")
+    )
+    kept = lined.join(
+        boiler.withColumnRenamed("_lh", "_bh"),
+        (F.col("_lh") == F.col("_bh")) & (F.trim("_line") != ""),
+        "left_anti",
+    )
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s.getField("_line"),
+            ),
+        ).alias(text_col)
+    )
+
+
+# web-artifact / PII patterns — shared by Spark (Java regex) and the
+# DuckDB oracle (RE2): no lookaround, no backrefs, ASCII classes only,
+# so both engines scan leftmost/non-overlapping identically
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_RE = "https?://[^\\s]+"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def pii_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc web-artifact / PII counts (emails, URLs, IPv4s) — the
+    filter inputs of the C4/RefinedWeb-style cleaning passes. Pure
+    codegen regexp_count expressions, single scan, no shuffle."""
+    c = F.col(text_col)
+    return df.where(c.isNotNull()).select(
+        *[x for x in df.columns if x != text_col],
+        F.regexp_count(c, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(c, F.lit(URL_RE)).cast("long").alias("n_urls"),
+        F.regexp_count(c, F.lit(IPV4_RE)).cast("long").alias("n_ipv4"),
+    )
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace URLs, then emails, then bare IPv4s with typed sentinels
+    (URLs first so an address inside a query string is consumed by the
+    <URL> token, not double-redacted)."""
+    out = F.regexp_replace(col, URL_RE, "<URL>")
+    out = F.regexp_replace(out, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, IPV4_RE, "<IPV4>")

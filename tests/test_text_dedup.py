@@ -429,3 +429,55 @@ def test_ngram_decontaminate_known_overlap(spark):
         [(9, "The QUICK, brown fox!")], "doc_id long, text string"
     )
     assert [r["doc_id"] for r in ngram_decontaminate(corpus2, eval_df, n=4).collect()] == [9]
+
+
+def test_drop_boilerplate_lines_known(spark):
+    from smos_spark.operators.text import drop_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nreal content one\n\nfooter"),
+            (2, "COOKIE BANNER\nreal content two\nfooter"),
+            (3, "COOKIE BANNER\nunique three\nfooter"),
+            (4, "COOKIE BANNER"),  # fully boilerplate -> dropped doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in drop_boilerplate_lines(df, max_df=3).collect()
+    }
+    # banner + footer appear in 3 docs -> dropped; blank line kept
+    assert out[1] == "real content one\n"
+    assert out[2] == "real content two"
+    assert out[3] == "unique three"
+    assert 4 not in out
+    # max_df=4: only the banner (df=4... actually banner df=4? it's in
+    # all 4 docs; footer df=3) is dropped
+    out4 = {
+        r["doc_id"]: r["text"]
+        for r in drop_boilerplate_lines(df, max_df=4).collect()
+    }
+    assert out4[1] == "real content one\n\nfooter"
+    assert 4 not in out4
+
+
+def test_pii_profile_and_redact(spark):
+    from smos_spark.operators.text import pii_profile, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-site.org then http://x.io/p?q=1 at 192.168.0.1 done"),
+            (2, "no artifacts here"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    prof = {r["doc_id"]: r.asDict() for r in pii_profile(df).collect()}
+    assert 3 not in prof
+    assert prof[1]["n_emails"] == 1 and prof[1]["n_urls"] == 1 and prof[1]["n_ipv4"] == 1
+    assert prof[2] == {"doc_id": 2, "n_emails": 0, "n_urls": 0, "n_ipv4": 0}
+    red = df.where(F.col("doc_id") == 1).select(
+        redact_pii(F.col("text")).alias("t")
+    ).collect()[0]["t"]
+    assert red == "mail <EMAIL> then <URL> at <IPV4> done"
