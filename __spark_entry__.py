@@ -575,6 +575,45 @@ def _q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.join(red, "doc_id")
 
 
+def _q_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: every purchase gets the most recent prior
+    (or simultaneous) click by the same user. Implemented as a union +
+    one ordered window per key — ONE shuffle, no range-join candidate
+    blowup; oracle is DuckDB's native ASOF LEFT JOIN (an independent
+    engine's implementation of the same semantics)."""
+    from smos_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    return asof_join(left, right, on="user_id").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_right").alias("click_ts"),
+        F.col("click_id_right").alias("click_id"),
+    )
+
+
+def _q_rolling_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 10-minute per-user window at every event: count, exact
+    centi-unit integer sum (order-independent — float sums over RANGE
+    frames are not engine-portable), min, max. RANGE frame on int64
+    epoch micros; one shuffle on the key."""
+    from smos_spark.operators.asof import rolling_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return rolling_stats(ev, window_sec=600.0, on="user_id").select(
+        "event_id", "roll_cnt", "roll_sum_cents", "roll_min", "roll_max"
+    )
+
+
 def _q_conv_len_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-conv text-length percentiles (p50/p90 linear
     interpolation — Spark percentile() ≡ DuckDB quantile_cont), ppm
@@ -832,6 +871,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_boilerplate": _q_doc_boilerplate,
         "doc_pii_redact": _q_doc_pii_redact,
+        "asof_click": _q_asof_click,
+        "rolling_10m": _q_rolling_10m,
         "doc_hash_split": _q_doc_hash_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "conv_len_percentiles": _q_conv_len_percentiles,
@@ -1411,6 +1452,25 @@ def oracle_sql() -> dict[str, str]:
                 '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
                 '<IPV4>', 'g')), 1, 16) AS red_md5
           FROM planted
+        """,
+        "asof_click": """
+          SELECT l.event_id, l.user_id, l.ts,
+                 r.ts AS click_ts, r.event_id AS click_id
+          FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+            ON l.user_id = r.user_id AND r.ts <= l.ts
+        """,
+        "rolling_10m": """
+          SELECT event_id,
+                 count(*) OVER w AS roll_cnt,
+                 sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                   AS roll_sum_cents,
+                 min(value) OVER w AS roll_min,
+                 max(value) OVER w AS roll_max
+          FROM events
+          WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
         """,
         "doc_decontaminate": f"""
           WITH toks AS (
