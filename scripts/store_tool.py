@@ -94,6 +94,12 @@ def main() -> None:
         "--n-buckets", type=int, default=None, help="bucket count for a NEW store"
     )
 
+    ml = sub.add_parser(
+        "merge-late", help="backfill quarantined late rows into raw + tiers"
+    )
+    ml.add_argument("--store", required=True)
+    ml.add_argument("--run-id", default="merge-late")
+
     co = sub.add_parser(
         "compact", help="rewrite small-file day partitions of the raw table"
     )
@@ -178,6 +184,13 @@ def main() -> None:
             strict=args.strict,
         )
         print(json.dumps({"cmd": "mirror", **{k: res[k] for k in ("ingested", "skipped", "batches")}}))
+
+    elif args.cmd == "merge-late":
+        from smos_spark.streaming.incremental import merge_quarantine
+
+        store = TranscriptStore(args.store)
+        res = merge_quarantine(store, spark, run_id=args.run_id)
+        print(json.dumps({"cmd": "merge-late", **res}))
 
     elif args.cmd == "compact":
         store = TranscriptStore(args.store)

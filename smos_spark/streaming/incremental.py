@@ -202,3 +202,137 @@ def ingest_batches(
         ingest_batch(store, b, run_id, i)
         for i, b in enumerate(batches[start_batch:], start=start_batch)
     ]
+
+
+def merge_quarantine(
+    store: TranscriptStore,
+    spark: SparkSession,
+    run_id: str,
+) -> dict:
+    """Late-data backfill — the Iceberg-MERGE analog the append-only
+    ingest refuses to do inline. Quarantined rows (ts at/before the
+    store's last_day) are merged into the raw table and every tier
+    partition they touch is recomputed FROM RAW, so the store ends
+    byte-identical to one built with the late rows on time.
+
+    Idempotent under a crash at ANY point, without transactions:
+
+    * the quarantine directory is FROZEN first by an atomic rename to
+      ``_quarantine_merging`` — new late rows keep accumulating in a
+      fresh ``_quarantine``; a leftover frozen dir on entry means a
+      prior merge crashed and is simply re-processed;
+    * the raw table is NOT appended to: the affected ``ts_date``
+      partitions are rewritten as dedup(existing ∪ late) on the
+      (conv_id, turn_idx) turn key via dynamic partition overwrite —
+      re-running after any crash converges to the same bytes;
+    * tiers are recomputed for the affected bucket_dates from the
+      MERGED raw days (1m/1h/1d buckets never span a day, so a day
+      recompute is self-contained) — also a dynamic overwrite;
+    * the lineage row commits, then the frozen dir is deleted.
+      A crash in between re-runs the (idempotent) rewrites once more.
+
+    NULL-ts rows can never be placed on the time axis; they are moved
+    to ``_quarantine_unplaceable`` (mode=overwrite per merge — also
+    rerun-safe) instead of poisoning retries forever.
+
+    Scale shape: late data clusters near the append boundary, so the
+    rewrite set is a handful of day partitions regardless of table
+    size; everything else is partition-pruned out of both the read
+    and the write. One shuffle per tier recompute, same plans as the
+    original ingest.
+    """
+    import shutil
+    from pathlib import Path
+
+    store.acquire_writer_lock()
+    try:
+        qdir = Path(store.root) / "_quarantine"
+        frozen = Path(store.root) / "_quarantine_merging"
+        if not frozen.exists():
+            if not qdir.exists():
+                return {"merged": 0, "unplaceable": 0, "days": []}
+            qdir.rename(frozen)
+
+        from smos_spark.schema import TRANSCRIPTS_SCHEMA
+
+        late = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(str(frozen))
+        placeable = late.where(F.col("ts").isNotNull()).cache()
+        b = late.agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count("ts").alias("n_late"),
+            F.min("ts").alias("lo"),
+            F.max("ts").alias("hi"),
+        ).collect()[0]
+        n_null, n_late = b.n_all - b.n_late, b.n_late
+        if n_null:
+            (
+                late.where(F.col("ts").isNull())
+                .write.mode("overwrite")
+                .parquet(str(Path(store.root) / "_quarantine_unplaceable"))
+            )
+        days = [
+            str(r.d)
+            for r in placeable.select(
+                F.to_date("ts").alias("d")
+            ).distinct().collect()
+        ]
+        if not days:
+            shutil.rmtree(frozen)
+            return {"merged": 0, "unplaceable": n_null, "days": []}
+
+        # --- raw merge: rewrite only the affected day partitions ---
+        raw = spark.read.parquet(store.transcripts_path)
+        existing_days = raw.where(F.col("ts_date").isin(days)).drop("ts_date")
+        merged_days = (
+            existing_days.unionByName(placeable)
+            .dropDuplicates(["conv_id", "turn_idx"])
+            .withColumn("ts_date", F.to_date("ts"))
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                merged_days.repartition("ts_date")
+                .write.partitionBy("ts_date")
+                .mode("overwrite")
+                .parquet(store.transcripts_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+        # --- tier recompute from the merged raw days ---
+        raw_days = (
+            spark.read.parquet(store.transcripts_path)
+            .where(F.col("ts_date").isin(days))
+            .drop("ts_date")
+        )
+        tiers = {"1m": rollup_from_raw(raw_days, "1m")}
+        tiers["1h"] = reaggregate(tiers["1m"], "1h")
+        tiers["1d"] = reaggregate(tiers["1h"], "1d")
+        stats = []
+        ov = store.load_overview()
+        merge_batch = ov.last_batch_id + 1
+        for tier, out in tiers.items():
+            store.overwrite_tier_partitions(out, tier)
+            stats.append(
+                {
+                    "run_id": run_id,
+                    "batch_id": merge_batch,
+                    "tier": tier,
+                    "partition_key": ",".join(sorted(days)),
+                    "rows_in": n_late,
+                    "rows_out": -1,  # dynamic overwrite; day-scoped
+                    "min_ts": b.lo,
+                    "max_ts": b.hi,
+                    "committed_seq": merge_batch * 10
+                    + {"1m": 0, "1h": 1, "1d": 2}[tier],
+                }
+            )
+        store.append_checkpoint(spark, stats)
+        ov.last_batch_id = merge_batch
+        store.save_overview(ov)
+        placeable.unpersist()
+        shutil.rmtree(frozen)
+        return {"merged": n_late, "unplaceable": n_null, "days": sorted(days)}
+    finally:
+        store.release_writer_lock()

@@ -456,3 +456,91 @@ def test_checkpoint_swap_crash_recovery(spark, tmp_path):
     os.replace(p, Path(str(p) + "_old"))
     assert store.compact_checkpoint(spark, max_files=1) == 1
     assert store.read_checkpoint(spark).count() == 3
+
+
+def test_merge_quarantine_backfill(spark, small, days, tmp_path):
+    """Late-data backfill: quarantined rows merged via day-partition
+    rewrite + tier recompute == a store built with them on time; a
+    repeat merge is a no-op; NULL-ts rows land in _unplaceable."""
+    from smos_spark.streaming.incremental import merge_quarantine
+
+    # hold back a slice of day-0 rows, ingest days in order -> the
+    # held-back rows arrive "late" in a trailing batch and quarantine
+    late_mask = (F.to_date("ts") == days[0]) & (
+        F.crc32(F.col("conv_id")) % 3 == 0
+    )
+    on_time = small.where(~late_mask)
+    late = small.where(late_mask)
+    assert late.count() > 0
+
+    store = TranscriptStore(tmp_path / "lq", n_buckets=8)
+    ingest_batches(store, day_batches(on_time, days), run_id="r1")
+    # the trailing batch: late rows + one NULL-ts row
+    null_row = spark.createDataFrame(
+        [("convNULL", 0, "user", "t", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    res = ingest_batch(
+        store, late.unionByName(null_row), run_id="r1", batch_id=len(days)
+    )
+    assert res["rows_in"] == 0  # everything was late/NULL
+
+    out = merge_quarantine(store, spark, run_id="r1-merge")
+    assert out["merged"] == late.count()
+    assert out["unplaceable"] == 1
+    assert out["days"] == [days[0]]
+
+    # tiers == one-shot rollup over the FULL data (late included)
+    for tier in ("1m", "1h", "1d"):
+        got = tier_pdf(spark, store, tier)
+        ref = (
+            rollup_from_raw(small, tier)
+            .toPandas()
+            .sort_values(["conv_id", "bucket_start"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[ref.columns], ref, check_dtype=True)
+
+    # raw table: no duplicates, full row count
+    raw = store.read_transcripts(spark)
+    assert raw.count() == small.count()
+    assert raw.select("conv_id", "turn_idx").distinct().count() == small.count()
+
+    # unplaceable row preserved; repeat merge is a no-op
+    unp = spark.read.parquet(str(store.root / "_quarantine_unplaceable"))
+    assert unp.count() == 1 and unp.first()["conv_id"] == "convNULL"
+    assert merge_quarantine(store, spark, run_id="r2")["merged"] == 0
+
+
+def test_merge_quarantine_crash_resume(spark, small, days, tmp_path):
+    """A merge interrupted after the raw rewrite (frozen dir left on
+    disk, checkpoint row absent) converges on re-run."""
+    from smos_spark.streaming.incremental import merge_quarantine
+
+    late_mask = (F.to_date("ts") == days[0]) & (
+        F.crc32(F.col("conv_id")) % 3 == 1
+    )
+    store = TranscriptStore(tmp_path / "cr", n_buckets=8)
+    ingest_batches(store, day_batches(small.where(~late_mask), days), run_id="r1")
+    ingest_batch(store, small.where(late_mask), run_id="r1", batch_id=len(days))
+
+    # simulate the crash point: freeze the dir manually (rename), then
+    # run the merge — it must pick the frozen dir up and finish
+    (store.root / "_quarantine").rename(store.root / "_quarantine_merging")
+    out = merge_quarantine(store, spark, run_id="rm")
+    assert out["merged"] > 0
+    # run ONCE more on the already-merged store: dedupe keeps it exact
+    (store.root / "_quarantine_merging").mkdir()
+    spark.createDataFrame([], small.schema).write.mode("overwrite").parquet(
+        str(store.root / "_quarantine_merging")
+    )
+    merge_quarantine(store, spark, run_id="rm2")
+    ref = (
+        rollup_from_raw(small, "1h")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    got = tier_pdf(spark, store, "1h")
+    pd.testing.assert_frame_equal(got[ref.columns], ref, check_dtype=True)
+    assert store.read_transcripts(spark).count() == small.count()
