@@ -116,10 +116,13 @@ WITH t AS (
 
 # DuckDB tier aggregate over t at a given date_trunc unit; column names
 # and types mirror smos_spark.operators.rollup._partial_aggs exactly.
-def _tier_sql(unit: str, src: str = "t", ts_col: str = "ts") -> str:
+def _tier_sql(
+    unit: str, src: str = "t", ts_col: str = "ts", bucket_sql: str | None = None
+) -> str:
+    bucket = bucket_sql or f"CAST(date_trunc('{unit}', {ts_col}) AS TIMESTAMP)"
     return f"""
   SELECT conv_id,
-         CAST(date_trunc('{unit}', {ts_col}) AS TIMESTAMP) AS bucket_start,
+         {bucket} AS bucket_start,
          CAST(count(*) AS BIGINT)                              AS n_turns,
          CAST(count(CASE WHEN role = 'user' THEN 1 END) AS BIGINT)      AS n_role_user,
          CAST(count(CASE WHEN role = 'assistant' THEN 1 END) AS BIGINT) AS n_role_assistant,
@@ -575,6 +578,15 @@ def _q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.join(red, "doc_id")
 
 
+def _q_resample_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-width downsample: 15-minute buckets by exact int64
+    epoch floor (off - pmod(off, width)) — widths the calendar tiers
+    don't cover, same partial-aggregate contract."""
+    from smos_spark.operators.rollup import resample
+
+    return resample(_transcripts(spark, sf_dir), 900)
+
+
 def _q_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join: every purchase gets the most recent prior
     (or simultaneous) click by the same user. Implemented as a union +
@@ -871,6 +883,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_boilerplate": _q_doc_boilerplate,
         "doc_pii_redact": _q_doc_pii_redact,
+        "resample_15m": _q_resample_15m,
         "asof_click": _q_asof_click,
         "rolling_10m": _q_rolling_10m,
         "doc_hash_split": _q_doc_hash_split,
@@ -1128,6 +1141,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "rollup_1m": _T_CTE + _tier_sql("minute"),
+        "resample_15m": _T_CTE
+        + _tier_sql(
+            "",
+            bucket_sql="make_timestamp(epoch_us(ts) - epoch_us(ts) % 900000000)",
+        ),
         "cascade_1h": _T_CTE + tier_1h,
         "cascade_1d": _T_CTE + _tier_sql("day"),
         "salted_1h": _T_CTE + tier_1h,

@@ -32,6 +32,8 @@ __all__ = [
     "salted_rollup_from_raw",
     "detect_hot_convs",
     "rollup_auto",
+    "resample",
+    "reaggregate_width",
 ]
 
 
@@ -226,3 +228,48 @@ def rollup_auto(
     cold_part = rollup_from_raw(df.where(~is_hot), tier)
     hot_part = salted_rollup_from_raw(df.where(is_hot), tier, n_salts=n_salts)
     return cold_part.unionByName(hot_part)
+
+
+def _width_bucket(col: Column, width_sec: float, origin: str | None = None) -> Column:
+    """Floor `col` to a width_sec-wide bucket in exact int64 epoch
+    micros (`off - pmod(off, width)` — correct for any sign, no float
+    epoch, no DST surprises; calendar-aware tiers use date_trunc)."""
+    width_us = int(round(width_sec * 1_000_000))
+    if width_us <= 0:
+        raise ValueError(f"width_sec must be positive, got {width_sec}")
+    us = F.unix_micros(col.cast("timestamp"))
+    if origin is not None:
+        origin_us = F.unix_micros(F.lit(origin).cast("timestamp"))
+        off = us - origin_us
+        return F.timestamp_micros(off - F.pmod(off, F.lit(width_us)) + origin_us)
+    return F.timestamp_micros(us - F.pmod(us, F.lit(width_us)))
+
+
+def resample(df: DataFrame, width_sec: float, origin: str | None = None) -> DataFrame:
+    """Arbitrary-width downsample: raw turns → tier-shaped partials at
+    ANY bucket width (15 s, 5 min, 6 h, …), not just the named
+    calendar tiers. Same partial-aggregate contract as
+    `rollup_from_raw`, so everything downstream (gap-fill, derived
+    views, stores, codecs) composes unchanged. `origin` anchors the
+    grid (e.g. '2025-01-01 00:30:00' for half-hour-offset buckets).
+
+    One shuffle on (conv_id, bucket_start), map-side combine — the
+    identical plan shape as the named tiers at any width and scale.
+    """
+    return df.groupBy(
+        F.col("conv_id"),
+        _width_bucket(F.col("ts"), width_sec, origin).alias("bucket_start"),
+    ).agg(*_partial_aggs())
+
+
+def reaggregate_width(
+    tier_df: DataFrame, width_sec: float, origin: str | None = None
+) -> DataFrame:
+    """Exact re-aggregation of width partials into a coarser width.
+    The caller guarantees the coarser width is an integer multiple of
+    (and grid-aligned with) the finer one — same contract as the
+    named-tier cascade, where 1h ⊇ 1m and 1d ⊇ 1h."""
+    return tier_df.groupBy(
+        F.col("conv_id"),
+        _width_bucket(F.col("bucket_start"), width_sec, origin).alias("bucket_start"),
+    ).agg(*_merge_aggs())

@@ -157,3 +157,46 @@ def test_rollup_auto_equals_plain(spark, transcripts):
     assert auto.count() == plain.count()
     assert auto.exceptAll(plain).count() == 0
     assert plain.exceptAll(auto).count() == 0
+
+
+def test_resample_matches_named_tier(spark, transcripts):
+    """width=60 s resample ≡ the named 1m tier (date_trunc and epoch
+    floor agree at minute width)."""
+    from smos_spark.operators.rollup import resample, rollup_from_raw
+
+    a = resample(transcripts, 60).orderBy("conv_id", "bucket_start").collect()
+    b = rollup_from_raw(transcripts, "1m").orderBy("conv_id", "bucket_start").collect()
+    assert a == b
+
+
+def test_resample_cascade_exact(spark, transcripts):
+    """5m partials re-aggregated to 15m ≡ 15m direct from raw."""
+    from smos_spark.operators.rollup import reaggregate_width, resample
+
+    fine = resample(transcripts, 300)
+    casc = reaggregate_width(fine, 900).orderBy("conv_id", "bucket_start").collect()
+    direct = resample(transcripts, 900).orderBy("conv_id", "bucket_start").collect()
+    assert casc == direct
+
+
+def test_resample_origin_anchor(spark):
+    """origin shifts the grid: 10-minute buckets anchored at :05."""
+    import datetime as dt
+
+    from smos_spark.operators.rollup import resample
+
+    rows = [
+        ("a", 0, "user", "x", None, dt.datetime(2025, 1, 1, 0, 4, 59)),
+        ("a", 1, "user", "x", None, dt.datetime(2025, 1, 1, 0, 5, 0)),
+        ("a", 2, "user", "x", None, dt.datetime(2025, 1, 1, 0, 14, 59)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {
+        str(r["bucket_start"]): r["n_turns"]
+        for r in resample(df, 600, origin="2025-01-01 00:05:00").collect()
+    }
+    # :04:59 falls in the PREVIOUS anchored bucket [-00:05, 00:05)
+    assert got == {"2024-12-31 23:55:00": 1, "2025-01-01 00:05:00": 2}
