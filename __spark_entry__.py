@@ -626,6 +626,25 @@ def _q_rolling_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_burst_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly flag over the trailing window: events whose value
+    exceeds 3× the trailing-24-hour per-user mean (current row in the
+    frame; ≥3 events so a lone spike can't flag itself). The predicate
+    is PURE int64 — 100·value·cnt > 3·sum_cents — so the flag is
+    engine-exact with no float-mean rounding hazard."""
+    from smos_spark.operators.asof import rolling_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    r = rolling_stats(ev, window_sec=86400.0, on="user_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return r.where(
+        (F.col("roll_cnt") >= 3)
+        & (cents * F.col("roll_cnt") > 3 * F.col("roll_sum_cents"))
+    ).select("event_id", "user_id", "ts", "value", "roll_cnt", "roll_sum_cents")
+
+
 def _q_conv_len_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-conv text-length percentiles (p50/p90 linear
     interpolation — Spark percentile() ≡ DuckDB quantile_cont), ppm
@@ -886,6 +905,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_15m": _q_resample_15m,
         "asof_click": _q_asof_click,
         "rolling_10m": _q_rolling_10m,
+        "burst_events": _q_burst_events,
         "doc_hash_split": _q_doc_hash_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "conv_len_percentiles": _q_conv_len_percentiles,
@@ -1477,6 +1497,23 @@ def oracle_sql() -> dict[str, str]:
           FROM (SELECT * FROM events WHERE event_type = 'purchase') l
           ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
             ON l.user_id = r.user_id AND r.ts <= l.ts
+        """,
+        "burst_events": """
+          WITH r AS (
+            SELECT event_id, user_id, ts, value,
+                   count(*) OVER w AS roll_cnt,
+                   sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                     AS roll_sum_cents
+            FROM events
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+          )
+          SELECT event_id, user_id, ts, value, roll_cnt, roll_sum_cents
+          FROM r
+          WHERE roll_cnt >= 3
+            AND CAST(round(value * 100) AS BIGINT) * roll_cnt
+                > 3 * roll_sum_cents
         """,
         "rolling_10m": """
           SELECT event_id,
