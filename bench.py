@@ -121,6 +121,27 @@ def main() -> None:
 
         _force(session_stats(t, gap_seconds=1800))
 
+    def q_asof_rolling():
+        # the round-3 window operators: point-in-time join (union +
+        # one ordered window) and trailing RANGE-frame stats
+        from smos_spark.operators.asof import asof_join, rolling_stats
+
+        evf = spark.read.parquet(f"{sf_dir}/events.parquet")
+        left = evf.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        right = evf.where(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        _force(asof_join(left, right, on="user_id"))
+        _force(
+            rolling_stats(
+                evf.select("event_id", "user_id", "ts", "value"),
+                window_sec=86400.0,
+                on="user_id",
+            )
+        )
+
     e2e_stats: dict = {}
 
     def q_dedup_e2e():
@@ -143,6 +164,7 @@ def main() -> None:
         "minhash_pairs": q_minhash_pairs,
         "dedup_e2e": q_dedup_e2e,
         "text_profile": q_text_profile,
+        "asof_rolling": q_asof_rolling,
         "cosine_topk": q_cosine_topk,
         "ann_index": q_ann_index,
     }
