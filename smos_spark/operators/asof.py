@@ -42,7 +42,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "rolling_stats"]
+__all__ = ["asof_join", "rolling_stats", "rolling_stats_bucketed"]
 
 
 def asof_join(
@@ -170,3 +170,59 @@ def rolling_stats(
         F.min(v).over(w).alias(f"{prefix}min"),
         F.max(v).over(w).alias(f"{prefix}max"),
     )
+
+
+def rolling_stats_bucketed(
+    df: DataFrame,
+    window_sec: float,
+    value_col: Column | str = "value",
+    on: str | Sequence[str] = "conv_id",
+    ts_col: str = "ts",
+    prefix: str = "roll_",
+) -> DataFrame:
+    """`rolling_stats` with BOUNDED window partitions — the hot-key
+    path. The plain implementation partitions by key alone, so one
+    pathologically hot key (a 10^9-turn conversation) is a single
+    sort+scan task. This variant exploits that a trailing RANGE frame
+    of width w spans at most TWO width-w time buckets: every row is
+    sent to its own bucket plus (as a ghost copy) the next one, the
+    window runs inside (key, bucket) — partition size is bounded by
+    2× the rows per window width, for ANY key — and ghost rows are
+    dropped from the output. Results are identical to
+    `rolling_stats` (asserted in tests); cost is 2× the shuffled rows
+    in exchange for straggler-free scaling.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    cents = F.round(v * 100).cast("long")
+    win_us = int(round(window_sec * 1_000_000))
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bkt = F.floor(us / F.lit(win_us))  # floor div is exact on int64 here
+    base = df.select(
+        *df.columns,
+        us.alias("_us"),
+        cents.alias("_cents"),
+        v.alias("_v"),
+    )
+    real = base.select("*", bkt.alias("_bkt"), F.lit(False).alias("_ghost"))
+    ghost = base.select("*", (bkt + 1).alias("_bkt"), F.lit(True).alias("_ghost"))
+    unioned = real.unionByName(ghost)
+
+    w = (
+        Window.partitionBy(*keys, "_bkt")
+        .orderBy("_us")
+        .rangeBetween(-win_us, 0)
+    )
+    out = (
+        unioned.select(
+            "*",
+            F.count(F.lit(1)).over(w).alias(f"{prefix}cnt"),
+            F.sum("_cents").over(w).alias(f"{prefix}sum_cents"),
+            F.min("_v").over(w).alias(f"{prefix}min"),
+            F.max("_v").over(w).alias(f"{prefix}max"),
+        )
+        .where(~F.col("_ghost"))
+        .drop("_us", "_cents", "_v", "_bkt", "_ghost")
+    )
+    return out

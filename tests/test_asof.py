@@ -150,3 +150,33 @@ def test_rolling_stats_known(spark):
     assert out[("a", _ts(10.0))] == (3, 750, 1.0, 4.0)   # 0.0 is inside [0,10]
     assert out[("a", _ts(100.0))] == (1, 800, 8.0, 8.0)
     assert out[("b", _ts(10.0))] == (1, 700, 7.0, 7.0)
+
+
+def test_rolling_bucketed_equals_plain(spark):
+    """Ghost-bucket variant ≡ plain keyed windows, including boundary
+    rows exactly at bucket edges and sf events data."""
+    from smos_spark.operators.asof import rolling_stats, rolling_stats_bucketed
+
+    edge = spark.createDataFrame(
+        [
+            ("a", _ts(0.0), 1.0),
+            ("a", _ts(10.0), 2.0),    # exactly one window width later
+            ("a", _ts(10.5), 3.0),
+            ("a", _ts(20.0), 4.0),    # frame [10, 20] spans two buckets
+            ("a", _ts(29.999999), 5.0),
+            ("b", _ts(15.0), 6.0),
+        ],
+        "conv_id string, ts timestamp, value double",
+    )
+    for df, w in ((edge, 10.0),):
+        a = sorted(map(tuple, rolling_stats(df, w).collect()))
+        b = sorted(map(tuple, rolling_stats_bucketed(df, w).collect()))
+        assert a == b
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id", F.col("user_id").cast("string").alias("conv_id"), "ts", "value")
+    )
+    a = sorted(map(tuple, rolling_stats(ev, 86400.0).collect()))
+    b = sorted(map(tuple, rolling_stats_bucketed(ev, 86400.0).collect()))
+    assert a == b and len(a) > 100
