@@ -42,7 +42,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "rolling_stats", "rolling_stats_bucketed"]
+__all__ = ["asof_join", "asof_join_bucketed", "rolling_stats", "rolling_stats_bucketed"]
 
 
 def asof_join(
@@ -123,7 +123,9 @@ def asof_join(
     m = F.col("_match")
     if tolerance_sec is not None:
         tol_us = int(round(tolerance_sec * 1_000_000))
-        dist = F.unix_micros(F.col("_ts")) - F.unix_micros(m[ts_col])
+        dist = F.unix_micros(F.col("_ts").cast("timestamp")) - F.unix_micros(
+            m[ts_col].cast("timestamp")
+        )
         if direction == "forward":
             dist = -dist
         m = F.when(dist <= F.lit(tol_us), F.col("_match"))
@@ -226,3 +228,79 @@ def rolling_stats_bucketed(
         .drop("_us", "_cents", "_v", "_bkt", "_ghost")
     )
     return out
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    tolerance_sec: float,
+    on: str | Sequence[str] = "conv_id",
+    ts_col: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "_right",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Backward as-of join with BOUNDED window partitions — the
+    hot-key path, available whenever a staleness bound (`tolerance`)
+    exists. A backward match within tolerance w lies in
+    [left.ts - w, left.ts], which spans at most two width-w time
+    buckets — so right rows are sent to their own bucket plus a ghost
+    copy in the next, left rows to their own bucket only, and the
+    ordered last-payload window runs inside (key, bucket): partition
+    size is bounded for ANY key. Results are identical to
+    `asof_join(..., tolerance_sec=w)` (asserted in tests); exact
+    matches are allowed (the backward default).
+    """
+    if tolerance_sec is None or tolerance_sec <= 0:
+        raise ValueError("asof_join_bucketed requires a positive tolerance_sec")
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (*keys, ts_col)]
+    right_cols = list(right_cols)
+    if not right_cols:
+        raise ValueError("right side must contribute at least one column")
+    order_col = order_col or right_cols[0]
+    win_us = int(round(tolerance_sec * 1_000_000))
+
+    payload = F.struct(
+        F.col(order_col).alias("_tie"),
+        F.col(ts_col).alias(ts_col),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bkt = F.floor(us / F.lit(win_us))
+    r_base = right.select(
+        *keys,
+        us.alias("_us"),
+        F.lit(0).alias("_side"),
+        payload.alias("_payload"),
+    )
+    r = r_base.select("*", F.floor(F.col("_us") / F.lit(win_us)).alias("_bkt")).unionByName(
+        r_base.select(
+            "*", (F.floor(F.col("_us") / F.lit(win_us)) + 1).alias("_bkt")
+        )
+    )
+    l = left.select(
+        *left.columns,
+        us.alias("_us"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        bkt.alias("_bkt"),
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys, "_bkt")
+        .orderBy(F.col("_us").asc(), F.col("_side").asc(), F.col("_payload._tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(
+        "_match", F.last("_payload", ignorenulls=True).over(w)
+    ).where(F.col("_side") == 1)
+    m = F.col("_match")
+    dist = F.col("_us") - F.unix_micros(m[ts_col].cast("timestamp"))
+    m = F.when(dist <= F.lit(win_us), F.col("_match"))
+    return matched.select(
+        *left.columns,
+        m[ts_col].alias(f"{ts_col}{suffix}"),
+        *[m[c].alias(f"{c}{suffix}") for c in right_cols],
+    )

@@ -180,3 +180,41 @@ def test_rolling_bucketed_equals_plain(spark):
     a = sorted(map(tuple, rolling_stats(ev, 86400.0).collect()))
     b = sorted(map(tuple, rolling_stats_bucketed(ev, 86400.0).collect()))
     assert a == b and len(a) > 100
+
+
+def test_asof_bucketed_equals_plain(spark):
+    """Ghost-bucket as-of ≡ plain asof_join with the same tolerance,
+    on bucket-edge cases and the sf events purchase←click join."""
+    from smos_spark.operators.asof import asof_join, asof_join_bucketed
+
+    left = spark.createDataFrame(
+        [
+            ("a", _ts(10.0), "L1"),   # exact bucket edge
+            ("a", _ts(19.9), "L2"),
+            ("a", _ts(20.0), "L3"),
+            ("a", _ts(35.0), "L4"),   # no right row within 10 s
+        ],
+        "conv_id string, ts timestamp, lbl string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts(10.0), 1),
+            ("a", _ts(12.5), 2),
+            ("a", _ts(19.9), 3),
+        ],
+        "conv_id string, ts timestamp, rid int",
+    )
+    a = sorted(map(tuple, asof_join(left, right, tolerance_sec=10.0).collect()))
+    b = sorted(map(tuple, asof_join_bucketed(left, right, 10.0).collect()))
+    assert a == b
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    pl = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    pr = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    a = sorted(
+        map(tuple, asof_join(pl, pr, on="user_id", tolerance_sec=86400.0).collect())
+    )
+    b = sorted(map(tuple, asof_join_bucketed(pl, pr, 86400.0, on="user_id").collect()))
+    assert a == b and len(a) > 50
