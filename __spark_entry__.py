@@ -428,6 +428,22 @@ def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage removal accounting for the default cleaning cascade
+    (nonempty → min_len → lang → quality → exact dedup) — one scan,
+    one window, one exploded single-row aggregate."""
+    from smos_spark.operators.text import quality_funnel
+
+    return quality_funnel(_docs(spark, sf_dir))
+
+
+def _q_doc_funnel_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus surviving the default cleaning cascade."""
+    from smos_spark.operators.text import apply_funnel
+
+    return apply_funnel(_docs(spark, sf_dir)).select("doc_id")
+
+
 def _q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smos_spark.operators.dedup import dedup_exact
 
@@ -895,6 +911,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_lang_punct": _q_doc_lang_punct,
         "doc_quality": _q_doc_quality,
+        "doc_quality_funnel": _q_doc_quality_funnel,
+        "doc_funnel_apply": _q_doc_funnel_apply,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_dedup_apply": _q_doc_dedup_apply,
         "doc_token_topk": _q_doc_token_topk,
@@ -923,6 +941,34 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_index_topk": _q_emb_ann_index_topk,
         "multimodal_features": _q_multimodal_features,
     }
+
+
+# Cumulative-stage CTE chain for the quality-funnel twins: each fN
+# layers one cleaning predicate on the previous survivors; f4 marks the
+# first surviving occurrence per exact content hash (window min over
+# survivors only, matching the Spark row_number ordering).
+_FUNNEL_CTE = """
+  WITH scored AS (
+    SELECT doc_id, text,
+      len(regexp_extract_all(lower(text), '(^| )(the|and|of|to|is|in|that|it)( |$)')) AS en,
+      len(regexp_extract_all(lower(text), '(^| )(el|la|de|que|los|una|por|con)( |$)')) AS es,
+      len(regexp_extract_all(lower(text), '(^| )(der|die|und|das|ist|nicht|ein|mit)( |$)')) AS de,
+      len(regexp_extract_all(lower(text), '(^| )(le|les|des|est|une|dans|pour|sur)( |$)')) AS fr
+    FROM documents),
+  f0 AS (SELECT *, coalesce(text IS NOT NULL AND trim(text) <> '', FALSE) AS c0 FROM scored),
+  f1 AS (SELECT *, c0 AND coalesce(len(text) >= 20, FALSE) AS c1 FROM f0),
+  f2 AS (SELECT *, c1 AND coalesce(({lang_case}) = 'en', FALSE) AS c2 FROM f1),
+  f3 AS (SELECT *, c2 AND coalesce(({quality_sql}) >= 500000, FALSE) AS c3 FROM f2),
+  f4 AS (SELECT *, c3 AND doc_id = min(CASE WHEN c3 THEN doc_id END)
+           OVER (PARTITION BY md5(coalesce(text, ''))) AS c4 FROM f3),
+  agg AS (SELECT CAST(count(*) AS BIGINT) AS k_in,
+      CAST(sum(CASE WHEN c0 THEN 1 ELSE 0 END) AS BIGINT) AS k0,
+      CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+      CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+      CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+      CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS k4
+    FROM f4)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1379,6 +1425,19 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": f"""
           SELECT doc_id, {quality_sql} AS quality_ppm
           FROM documents WHERE text IS NOT NULL
+        """,
+        "doc_quality_funnel": f"""
+          {_FUNNEL_CTE.format(lang_case=lang_case, quality_sql=quality_sql)}
+          SELECT CAST(0 AS INTEGER) AS stage_idx, 'nonempty' AS stage,
+                 k_in AS n_in, k0 AS n_kept, k_in - k0 AS n_dropped FROM agg
+          UNION ALL SELECT CAST(1 AS INTEGER), 'min_len_20', k0, k1, k0 - k1 FROM agg
+          UNION ALL SELECT CAST(2 AS INTEGER), 'lang_en', k1, k2, k1 - k2 FROM agg
+          UNION ALL SELECT CAST(3 AS INTEGER), 'quality_500000', k2, k3, k2 - k3 FROM agg
+          UNION ALL SELECT CAST(4 AS INTEGER), 'dedup_exact', k3, k4, k3 - k4 FROM agg
+        """,
+        "doc_funnel_apply": f"""
+          {_FUNNEL_CTE.format(lang_case=lang_case, quality_sql=quality_sql)}
+          SELECT doc_id FROM f4 WHERE c4
         """,
         "doc_dedup_exact": f"""
           SELECT {md5h.format('text')} AS content_hash,

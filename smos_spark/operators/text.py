@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from smos_spark.functions.texthash import md5_hash64
 
@@ -362,3 +363,115 @@ def redact_pii(col: Column) -> Column:
     out = F.regexp_replace(col, URL_RE, "<URL>")
     out = F.regexp_replace(out, EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(out, IPV4_RE, "<IPV4>")
+
+
+def default_funnel_stages(
+    text_col: str = "text",
+    min_len: int = 20,
+    lang: str = "en",
+    quality_ppm: int = 500_000,
+) -> list[tuple[str, Column]]:
+    """The default corpus-cleaning cascade: non-empty → minimum length
+    → language → quality threshold. The quality stage thresholds the
+    exact ppm floor (integer), never the raw double, so the cut is
+    engine-portable."""
+    c = F.col(text_col)
+    q_ppm = F.floor(quality_score(c, round_to=12) * 1e6).cast("long")
+    return [
+        ("nonempty", c.isNotNull() & (F.trim(c) != "")),
+        (f"min_len_{min_len}", F.length(c) >= min_len),
+        (f"lang_{lang}", lang_id(c) == lang),
+        (f"quality_{quality_ppm}", q_ppm >= quality_ppm),
+    ]
+
+
+def quality_funnel(
+    df: DataFrame,
+    stages: list[tuple[str, Column]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dedup_exact: bool = True,
+) -> DataFrame:
+    """Per-stage removal accounting for a composed cleaning pipeline —
+    the number every large corpus run reports ("X% dropped by the
+    language filter, Y% by dedup"). Stages apply CUMULATIVELY; the
+    optional terminal dedup stage keeps the first (lowest id) doc per
+    exact content hash AMONG the stage survivors only.
+
+    Returns (stage_idx, stage, n_in, n_kept, n_dropped) — one row per
+    stage. Shape at 100 TB: one scan computing all cumulative flags as
+    codegen expressions, one window on the content hash (only if
+    dedup_exact), and ONE single-row aggregate exploded to the funnel
+    rows — no per-stage passes, no driver-side loops over data.
+    """
+    stages = list(stages or default_funnel_stages(text_col))
+    flags = []
+    cum = None
+    for name, pred in stages:
+        pred = F.coalesce(pred, F.lit(False))
+        cum = pred if cum is None else (cum & pred)
+        flags.append((name, cum))
+    work = df.select(
+        F.col(id_col), F.col(text_col), *[c.alias(f"_c{i}") for i, (_, c) in enumerate(flags)]
+    )
+    if dedup_exact:
+        last = F.col(f"_c{len(flags) - 1}")
+        w = Window.partitionBy(
+            F.md5(F.coalesce(F.col(text_col), F.lit("")))
+        ).orderBy(F.when(last, 0).otherwise(1), F.col(id_col))
+        # survivors sort first per hash group, so rn==1 is the first
+        # SURVIVING occurrence whenever any survivor exists
+        work = work.select(
+            "*", (last & (F.row_number().over(w) == 1)).alias(f"_c{len(flags)}")
+        )
+        flags.append(("dedup_exact", None))
+    agg = work.agg(
+        F.count(F.lit(1)).cast("long").alias("_k_in"),
+        *[
+            F.sum(F.when(F.col(f"_c{i}"), 1).otherwise(0)).cast("long").alias(f"_k{i}")
+            for i in range(len(flags))
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                (F.col("_k_in") if i == 0 else F.col(f"_k{i - 1}")).alias("n_in"),
+                F.col(f"_k{i}").alias("n_kept"),
+                (
+                    (F.col("_k_in") if i == 0 else F.col(f"_k{i - 1}"))
+                    - F.col(f"_k{i}")
+                ).alias("n_dropped"),
+            )
+            for i, (name, _) in enumerate(flags)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def apply_funnel(
+    df: DataFrame,
+    stages: list[tuple[str, Column]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dedup_exact: bool = True,
+) -> DataFrame:
+    """The corpus that survives `quality_funnel`'s cascade (same
+    semantics, same window; returns the input columns)."""
+    stages = list(stages or default_funnel_stages(text_col))
+    cum = None
+    for _, pred in stages:
+        pred = F.coalesce(pred, F.lit(False))
+        cum = pred if cum is None else (cum & pred)
+    kept = df.where(cum)
+    if dedup_exact:
+        w = Window.partitionBy(
+            F.md5(F.coalesce(F.col(text_col), F.lit("")))
+        ).orderBy(F.col(id_col))
+        kept = (
+            kept.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return kept

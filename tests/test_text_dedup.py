@@ -481,3 +481,53 @@ def test_pii_profile_and_redact(spark):
         redact_pii(F.col("text")).alias("t")
     ).collect()[0]["t"]
     assert red == "mail <EMAIL> then <URL> at <IPV4> done"
+
+
+def test_quality_funnel_known(spark):
+    from smos_spark.operators.text import apply_funnel, quality_funnel
+
+    base = "the and of to is in that it " * 10   # quality-passing English
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                            # exact dup of 1
+            (3, "el la de que los una por con " * 10),  # Spanish
+            (4, "short"),                          # < 20 chars
+            (5, ""),                               # empty
+            (6, None),                             # null
+            (7, base + "tail"),                    # unique survivor
+        ],
+        "doc_id long, text string",
+    )
+    funnel = {r["stage"]: r.asDict() for r in quality_funnel(df).collect()}
+    assert funnel["nonempty"]["n_in"] == 7 and funnel["nonempty"]["n_kept"] == 5
+    assert funnel["min_len_20"] == {
+        "stage_idx": 1, "stage": "min_len_20", "n_in": 5, "n_kept": 4, "n_dropped": 1
+    }
+    assert funnel["lang_en"]["n_kept"] == 3          # drops the Spanish doc
+    assert funnel["quality_500000"]["n_kept"] == 3
+    assert funnel["dedup_exact"]["n_kept"] == 2      # 1 survives, 2 dropped
+    kept = sorted(r["doc_id"] for r in apply_funnel(df).collect())
+    assert kept == [1, 7]
+
+
+def test_quality_funnel_dedup_among_survivors_only(spark):
+    """A dup whose earlier twin FAILED an upstream stage must survive
+    dedup — first occurrence is counted among survivors."""
+    from smos_spark.operators.text import apply_funnel
+
+    good = "the and of to is in that it " * 10
+    df = spark.createDataFrame(
+        [(1, "short"), (2, good), (3, good)],
+        "doc_id long, text string",
+    )
+    # doc 1 is short — but docs 2/3 are dups of EACH OTHER, not of 1
+    stages = [("nonshort", F.length("text") >= 20)]
+    kept = sorted(r["doc_id"] for r in apply_funnel(df, stages=stages).collect())
+    assert kept == [2]
+    df2 = spark.createDataFrame(
+        [(1, good), (2, good)], "doc_id long, text string"
+    )
+    # doc 1 fails min_len? no — both pass; sanity: plain dedup keeps min id
+    kept2 = sorted(r["doc_id"] for r in apply_funnel(df2, stages=stages).collect())
+    assert kept2 == [1]
