@@ -661,6 +661,57 @@ def _q_burst_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "value", "roll_cnt", "roll_sum_cents")
 
 
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+
+def _q_m4_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 presentation downsample: per (user, hour pixel) keep only
+    the rows realizing first/last/min/max — error-free line-chart
+    rendering at 1-hour width. Ordering-only math; one Exchange on
+    (user, bucket)."""
+    from smos_spark.operators.downsample import m4_downsample
+
+    return m4_downsample(_read_events(spark, sf_dir), width_sec=3600.0)
+
+
+def _q_counter_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware hourly increase of a cumulative counter (Prometheus
+    increase() semantics). The counter is synthesized deterministically
+    from events: positive integer centi-values cumsum'd per user then
+    wrapped mod 50000, so resets genuinely occur and every delta is
+    exact int64."""
+    from smos_spark.operators.downsample import counter_rate
+    from pyspark.sql.window import Window
+
+    ev = _read_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.floor(F.col("value") * 100).cast("long") + 100
+    counters = ev.where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.pmod(F.sum(cents).over(w), F.lit(50000)).alias("counter"),
+    )
+    return counter_rate(counters, width_sec=3600.0)
+
+
+def _q_top_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 largest inter-event gaps per user (outage detection);
+    int64-µs gaps, deterministic ranking."""
+    from smos_spark.operators.downsample import largest_gaps
+
+    return largest_gaps(_read_events(spark, sf_dir), top_k=3)
+
+
 def _q_conv_len_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-conv text-length percentiles (p50/p90 linear
     interpolation — Spark percentile() ≡ DuckDB quantile_cont), ppm
@@ -924,6 +975,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click": _q_asof_click,
         "rolling_10m": _q_rolling_10m,
         "burst_events": _q_burst_events,
+        "m4_hourly": _q_m4_hourly,
+        "counter_rate_1h": _q_counter_rate_1h,
+        "top_gaps": _q_top_gaps,
         "doc_hash_split": _q_doc_hash_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "conv_len_percentiles": _q_conv_len_percentiles,
@@ -1585,6 +1639,67 @@ def oracle_sql() -> dict[str, str]:
           WINDOW w AS (
             PARTITION BY user_id ORDER BY ts
             RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+        """,
+        "m4_hourly": """
+          WITH pts AS (
+            SELECT user_id, event_id, ts, value,
+              make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000)
+                AS bucket_start
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+          r AS (
+            SELECT *,
+              row_number() OVER (PARTITION BY user_id, bucket_start
+                ORDER BY ts, event_id) = 1 AS is_first,
+              row_number() OVER (PARTITION BY user_id, bucket_start
+                ORDER BY ts DESC, event_id DESC) = 1 AS is_last,
+              row_number() OVER (PARTITION BY user_id, bucket_start
+                ORDER BY value, ts, event_id) = 1 AS is_min,
+              row_number() OVER (PARTITION BY user_id, bucket_start
+                ORDER BY value DESC, ts, event_id) = 1 AS is_max
+            FROM pts)
+          SELECT user_id, bucket_start, event_id, ts, value,
+                 is_first, is_last, is_min, is_max
+          FROM r WHERE is_first OR is_last OR is_min OR is_max
+        """,
+        "counter_rate_1h": """
+          WITH c AS (
+            SELECT user_id, event_id, ts,
+              sum(CAST(floor(value * 100) AS BIGINT) + 100) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                % 50000 AS counter
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+          d AS (
+            SELECT user_id, ts, counter,
+              lag(counter) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS prev
+            FROM c)
+          SELECT user_id,
+            make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000)
+              AS bucket_start,
+            CAST(sum(CASE WHEN prev IS NULL THEN 0
+                          WHEN counter >= prev THEN counter - prev
+                          ELSE counter END) AS BIGINT) AS increase,
+            CAST(count(*) AS BIGINT) AS n_samples
+          FROM d GROUP BY 1, 2
+        """,
+        "top_gaps": """
+          WITH g AS (
+            SELECT user_id, event_id, ts AS gap_end,
+              lag(ts) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS gap_start
+            FROM events WHERE ts IS NOT NULL),
+          d AS (
+            SELECT user_id, gap_start, gap_end,
+              epoch_us(gap_end) - epoch_us(gap_start) AS gap_us,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY epoch_us(gap_end) - epoch_us(gap_start) DESC,
+                         gap_end, event_id) AS gap_rank
+            FROM g WHERE gap_start IS NOT NULL)
+          SELECT user_id, gap_start, gap_end,
+                 CAST(gap_us AS BIGINT) AS gap_us,
+                 CAST(gap_rank AS INTEGER) AS gap_rank
+          FROM d WHERE gap_rank <= 3
         """,
         "doc_decontaminate": f"""
           WITH toks AS (

@@ -1,0 +1,183 @@
+"""M4 downsample, reset-aware counter rate, largest-gap detection.
+
+Hand-computed expectations on tiny frames (the FIXTURES.md §1 unit
+size), plus invariants on a denser synthetic series.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from smos_spark.operators.downsample import counter_rate, largest_gaps, m4_downsample
+
+UTC = dt.timezone.utc
+
+
+def _t(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 3, 1, 10, minute, second, tzinfo=UTC)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+
+
+def test_m4_keeps_exactly_the_four_anchor_rows(spark):
+    # one user, one 1-hour bucket: first(e1), max(e3=9.0), min(e4=1.0),
+    # last(e5); e2 is interior and must be dropped
+    df = _events(
+        spark,
+        [
+            (1, 7, _t(0), 5.0),
+            (2, 7, _t(10), 6.0),
+            (3, 7, _t(20), 9.0),
+            (4, 7, _t(30), 1.0),
+            (5, 7, _t(40), 4.0),
+        ],
+    )
+    out = {r["event_id"]: r.asDict() for r in m4_downsample(df).collect()}
+    assert sorted(out) == [1, 3, 4, 5]
+    assert out[1]["is_first"] and not out[1]["is_last"]
+    assert out[3]["is_max"] and not out[3]["is_min"]
+    assert out[4]["is_min"]
+    assert out[5]["is_last"]
+    assert all(
+        r["bucket_start"] == dt.datetime(2024, 3, 1, 10, 0) for r in out.values()
+    )
+
+
+def test_m4_single_point_bucket_carries_all_flags(spark):
+    df = _events(spark, [(1, 7, _t(0), 5.0), (2, 8, _t(1), 2.0)])
+    rows = m4_downsample(df).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["is_first"] and r["is_last"] and r["is_min"] and r["is_max"]
+
+
+def test_m4_tie_break_is_deterministic(spark):
+    # two rows with identical (ts, value): event_id breaks every tie,
+    # so e1 is first+min+max and e2 is last
+    df = _events(spark, [(1, 7, _t(0), 5.0), (2, 7, _t(0), 5.0)])
+    out = {r["event_id"]: r.asDict() for r in m4_downsample(df).collect()}
+    assert out[1]["is_first"] and out[1]["is_min"] and out[1]["is_max"]
+    assert not out[1]["is_last"]
+    assert out[2]["is_last"] and not out[2]["is_first"]
+
+
+def test_m4_pixel_error_free_invariant(spark):
+    """The defining M4 property: per (key, bucket) the kept rows
+    realize the bucket's exact min, max, first-ts and last-ts."""
+    rows = [
+        (i, i % 3, _t((7 * i) % 60, i % 60), float((i * 37) % 101))
+        for i in range(300)
+    ]
+    df = _events(spark, rows)
+    kept = m4_downsample(df, width_sec=600.0)
+    full = df.withColumn(
+        "bucket_start",
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.pmod(F.unix_micros(F.col("ts").cast("timestamp")), F.lit(600_000_000))
+        ),
+    )
+    truth = full.groupBy("user_id", "bucket_start").agg(
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    got = kept.groupBy("user_id", "bucket_start").agg(
+        F.min(F.when(F.col("is_min"), F.col("value"))).alias("g_v_min"),
+        F.max(F.when(F.col("is_max"), F.col("value"))).alias("g_v_max"),
+        F.min(F.when(F.col("is_first"), F.col("ts"))).alias("g_ts_min"),
+        F.max(F.when(F.col("is_last"), F.col("ts"))).alias("g_ts_max"),
+    )
+    j = truth.join(got, ["user_id", "bucket_start"], "full_outer")
+    ok = (
+        (F.col("v_min") == F.col("g_v_min"))
+        & (F.col("v_max") == F.col("g_v_max"))
+        & (F.col("ts_min") == F.col("g_ts_min"))
+        & (F.col("ts_max") == F.col("g_ts_max"))
+    )
+    assert j.where(~F.coalesce(ok, F.lit(False))).count() == 0
+    # compression actually happened: ≤4 rows kept per bucket
+    over = (
+        kept.groupBy("user_id", "bucket_start")
+        .count()
+        .where(F.col("count") > 4)
+        .count()
+    )
+    assert over == 0
+
+
+def test_counter_rate_handles_resets(spark):
+    # counter: 10 → 40 → 5 (reset) → 25 across two hourly buckets
+    df = spark.createDataFrame(
+        [
+            (1, 7, _t(0), 10),
+            (2, 7, _t(20), 40),
+            (3, 7, _t(40), 5),
+            (4, 7, dt.datetime(2024, 3, 1, 11, 5, tzinfo=UTC), 25),
+        ],
+        "event_id long, user_id long, ts timestamp, counter long",
+    )
+    out = {
+        r["bucket_start"].hour: r.asDict()
+        for r in counter_rate(df, counter_col="counter").collect()
+    }
+    # hour 10: first sample 0 + (40-10) + reset→5  = 35
+    assert out[10]["increase"] == 35 and out[10]["n_samples"] == 3
+    # hour 11: 25-5 = 20
+    assert out[11]["increase"] == 20 and out[11]["n_samples"] == 1
+
+
+def test_counter_rate_monotone_equals_plain_delta(spark):
+    # without resets the total increase telescopes to last-first
+    rows = [(i, 7, _t(i % 60, (i * 7) % 60), 100 + 3 * i) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, counter long"
+    )
+    total = (
+        counter_rate(df, counter_col="counter", width_sec=600.0)
+        .agg(F.sum("increase"))
+        .collect()[0][0]
+    )
+    assert total == 3 * 49
+
+
+def test_largest_gaps_known(spark):
+    df = _events(
+        spark,
+        [
+            (1, 7, _t(0), 1.0),
+            (2, 7, _t(1), 1.0),     # gap 60 s
+            (3, 7, _t(31), 1.0),    # gap 1800 s  <- largest
+            (4, 7, _t(41), 1.0),    # gap 600 s   <- second
+            (5, 8, _t(0), 1.0),     # other user: no gap (single sample)
+        ],
+    )
+    out = largest_gaps(df, top_k=2).collect()
+    by_rank = {(r["user_id"], r["gap_rank"]): r.asDict() for r in out}
+    assert len(out) == 2  # user 8 emits nothing
+    assert by_rank[(7, 1)]["gap_us"] == 1800 * 1_000_000
+    assert by_rank[(7, 1)]["gap_end"] == dt.datetime(2024, 3, 1, 10, 31)
+    assert by_rank[(7, 2)]["gap_us"] == 600 * 1_000_000
+
+
+def test_largest_gaps_rank_tie_prefers_earlier(spark):
+    # two equal 120 s gaps: the earlier gap_end must get rank 1
+    df = _events(
+        spark,
+        [
+            (1, 7, _t(0), 1.0),
+            (2, 7, _t(2), 1.0),
+            (3, 7, _t(4), 1.0),
+        ],
+    )
+    out = {r["gap_rank"]: r.asDict() for r in largest_gaps(df, top_k=2).collect()}
+    assert out[1]["gap_end"] == dt.datetime(2024, 3, 1, 10, 2)
+    assert out[2]["gap_end"] == dt.datetime(2024, 3, 1, 10, 4)
