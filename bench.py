@@ -155,6 +155,43 @@ def main() -> None:
         drop = comp.where(~F.col("keep")).select("doc_id")
         _force(dedup_apply(docs).join(drop, "doc_id", "left_anti"))
 
+    def q_quality_funnel():
+        # composed cleaning cascade: per-stage accounting + surviving
+        # corpus (flags codegen on one scan; boolean-only dedup shuffle)
+        from smos_spark.operators.text import apply_funnel, quality_funnel
+
+        _force(quality_funnel(docs))
+        _force(apply_funnel(docs))
+
+    def q_downsample():
+        # presentation downsample + series diagnostics: M4 hourly
+        # anchors, reset-aware counter rate, top-3 gap detection
+        from smos_spark.operators.downsample import (
+            counter_rate,
+            largest_gaps,
+            m4_downsample,
+        )
+        from pyspark.sql.window import Window
+
+        evf = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        _force(m4_downsample(evf, width_sec=3600.0))
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cents = F.floor(F.col("value") * 100).cast("long") + 100
+        counters = evf.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.pmod(F.sum(cents).over(w), F.lit(50000)).alias("counter"),
+        )
+        _force(counter_rate(counters, width_sec=3600.0))
+        _force(largest_gaps(evf, top_k=3))
+
     queries = {
         "sessionize": q_sessionize,
         "rollup_cascade": q_rollup_cascade,
@@ -164,7 +201,9 @@ def main() -> None:
         "minhash_pairs": q_minhash_pairs,
         "dedup_e2e": q_dedup_e2e,
         "text_profile": q_text_profile,
+        "quality_funnel": q_quality_funnel,
         "asof_rolling": q_asof_rolling,
+        "downsample": q_downsample,
         "cosine_topk": q_cosine_topk,
         "ann_index": q_ann_index,
     }
