@@ -712,6 +712,27 @@ def _q_top_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return largest_gaps(_read_events(spark, sf_dir), top_k=3)
 
 
+def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase: earliest completion per
+    step, step i+1 strictly after step i's earliest completion. One
+    window partition per user — no join chain."""
+    from smos_spark.operators.events import event_funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return event_funnel(ev, steps=("view", "click", "purchase"))
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention: distinct users active at each
+    (first-seen day, day offset); explicit two-level distinct."""
+    from smos_spark.operators.events import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts")
+    return cohort_retention(ev, width_sec=86400.0)
+
+
 def _q_conv_len_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-conv text-length percentiles (p50/p90 linear
     interpolation — Spark percentile() ≡ DuckDB quantile_cont), ppm
@@ -978,6 +999,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_hourly": _q_m4_hourly,
         "counter_rate_1h": _q_counter_rate_1h,
         "top_gaps": _q_top_gaps,
+        "event_funnel": _q_event_funnel,
+        "cohort_retention": _q_cohort_retention,
         "doc_hash_split": _q_doc_hash_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "conv_len_percentiles": _q_conv_len_percentiles,
@@ -1682,6 +1705,47 @@ def oracle_sql() -> dict[str, str]:
                           ELSE counter END) AS BIGINT) AS increase,
             CAST(count(*) AS BIGINT) AS n_samples
           FROM d GROUP BY 1, 2
+        """,
+        "event_funnel": """
+          WITH o AS (
+            SELECT user_id, event_id, ts, event_type,
+              CASE WHEN event_type = 'view' THEN ts END AS q0
+            FROM events WHERE ts IS NOT NULL),
+          o1 AS (
+            SELECT *, CASE WHEN event_type = 'click' AND
+                min(q0) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) < ts
+              THEN ts END AS q1
+            FROM o),
+          o2 AS (
+            SELECT *, CASE WHEN event_type = 'purchase' AND
+                min(q1) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) < ts
+              THEN ts END AS q2
+            FROM o1),
+          f AS (
+            SELECT user_id, min(q0) AS t1, min(q1) AS t2, min(q2) AS t3
+            FROM o2 GROUP BY 1)
+          SELECT user_id, t1, t2, t3,
+            CAST((t1 IS NOT NULL)::int + (t2 IS NOT NULL)::int
+                 + (t3 IS NOT NULL)::int AS INTEGER) AS steps_completed
+          FROM f
+        """,
+        "cohort_retention": """
+          WITH b AS (
+            SELECT DISTINCT user_id,
+              make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000)
+                AS bucket_start
+            FROM events WHERE ts IS NOT NULL),
+          c AS (
+            SELECT user_id, bucket_start,
+              min(bucket_start) OVER (PARTITION BY user_id) AS cohort_start
+            FROM b)
+          SELECT cohort_start,
+            CAST((epoch_us(bucket_start) - epoch_us(cohort_start))
+                 / 86400000000 AS BIGINT) AS offset_buckets,
+            CAST(count(*) AS BIGINT) AS n_active
+          FROM c GROUP BY 1, 2
         """,
         "top_gaps": """
           WITH g AS (

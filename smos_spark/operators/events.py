@@ -1,0 +1,126 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+The reference engine's consumers ask "did this key progress through
+the expected states, and do keys come back?" — the per-point
+quality-flag progression reads in /root/reference/src/smos/
+interface.py:42-162 are the degenerate single-step case.  Here the
+general operators, Spark-first:
+
+* ``event_funnel`` — per key, the earliest time each step of an
+  ordered sequence is reached, where step *i+1* must occur STRICTLY
+  after the earliest completion of step *i* (the standard ordered
+  funnel).  One window partition per key — not a join chain: a
+  running ``min`` of each step's qualified timestamps makes the
+  "strictly after" constraint a pure cumulative-frame expression, so
+  the whole funnel is ONE Exchange + one sort regardless of the
+  number of steps.
+* ``cohort_retention`` — cohort keys by their first-seen bucket, then
+  count distinct keys active at each (cohort, offset_buckets).  The distinct
+  is the explicit two-level aggregate (dedup on (cohort, offset, key)
+  first), the shape that scales: the wide shuffle carries one row per
+  ACTIVE key-bucket, never a per-event stream, and the second level
+  is a map-side-combinable count.
+
+All outputs are timestamps and int64 counts — the DuckDB twins in
+``__spark_entry__.oracle_sql`` are exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from smos_spark.operators.rollup import _width_bucket
+
+__all__ = ["event_funnel", "cohort_retention"]
+
+
+def event_funnel(
+    df: DataFrame,
+    steps: Sequence[str] = ("view", "click", "purchase"),
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Earliest completion time of each ordered step, per key.
+
+    Semantics: ``t_1`` = earliest event of ``steps[0]``; ``t_{i+1}`` =
+    earliest event of ``steps[i+1]`` strictly after ``t_i``.  A row
+    qualifies for step i+1 iff some step-i event happened strictly
+    earlier — expressed as a cumulative ``min`` over the key's
+    time-ordered events, so every step adds one window expression on
+    the SAME partitioning, never another join or shuffle.
+
+    Output: key cols, ``t1..tN`` (NULL where the funnel stalls) and
+    ``steps_completed``.  Keys with no ``steps[0]`` event appear with
+    all-NULL step times — total key count is preserved for funnel
+    denominators.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    keys = [F.col(k) for k in key_cols]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col), *[F.col(t) for t in tie_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    work = df.where(F.col(ts_col).isNotNull())
+    ts = F.col(ts_col)
+    # q_i: this row's ts iff it completes step i respecting order
+    qual = F.when(F.col(type_col) == steps[0], ts)
+    work = work.withColumn("_q0", qual)
+    for i in range(1, len(steps)):
+        # earliest qualified completion of the previous step, up to and
+        # including this row; strictly-earlier check keeps order strict
+        prev_min = F.min(F.col(f"_q{i - 1}")).over(w)
+        work = work.withColumn(
+            f"_q{i}",
+            F.when((F.col(type_col) == steps[i]) & (prev_min < ts), ts),
+        )
+    agg = work.groupBy(*key_cols).agg(
+        *[F.min(f"_q{i}").alias(f"t{i + 1}") for i in range(len(steps))]
+    )
+    n_done = sum(
+        (F.when(F.col(f"t{i + 1}").isNotNull(), 1).otherwise(0))
+        for i in range(len(steps))
+    )
+    return agg.withColumn("steps_completed", n_done.cast("int"))
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    width_sec: float = 86400.0,
+) -> DataFrame:
+    """Distinct active keys per (first-seen cohort bucket, offset).
+
+    ``cohort_start`` is the key's first active bucket; ``offset_buckets`` is
+    whole buckets since then (0 = the cohort bucket itself, whose
+    count is the cohort size).  Exact int64 bucket math, explicit
+    two-level distinct.
+    """
+    keys = [F.col(k) for k in key_cols]
+    bucket = _width_bucket(F.col(ts_col), width_sec)
+    w = Window.partitionBy(*keys)
+    width_us = int(round(width_sec * 1_000_000))
+    active = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(*key_cols, bucket.alias("bucket_start"))
+        .withColumn("cohort_start", F.min("bucket_start").over(w))
+        # level 1: dedup to one row per (key, bucket) — the only wide
+        # row stream; level 2 below is a plain combinable count
+        .dropDuplicates([*key_cols, "bucket_start"])
+    )
+    off_us = F.unix_micros(F.col("bucket_start").cast("timestamp")) - F.unix_micros(
+        F.col("cohort_start").cast("timestamp")
+    )
+    return (
+        active.withColumn("offset_buckets", (off_us / F.lit(width_us)).cast("long"))
+        .groupBy("cohort_start", "offset_buckets")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

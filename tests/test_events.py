@@ -1,0 +1,118 @@
+"""Ordered event funnel + cohort retention: hand-computed cases."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from smos_spark.operators.events import cohort_retention, event_funnel
+
+UTC = dt.timezone.utc
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+
+
+def _t(day: int, hour: int = 0, minute: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 3, day, hour, minute, tzinfo=UTC)
+
+
+def test_funnel_requires_strict_order(spark):
+    df = _ev(
+        spark,
+        [
+            # user 1: completes in order
+            (1, 1, _t(1, 9), "view"),
+            (2, 1, _t(1, 10), "click"),
+            (3, 1, _t(1, 11), "purchase"),
+            # user 2: purchase BEFORE click — funnel stalls at click
+            (4, 2, _t(1, 9), "view"),
+            (5, 2, _t(1, 10), "purchase"),
+            (6, 2, _t(1, 11), "click"),
+            # user 3: never views — everything NULL despite click
+            (7, 3, _t(1, 9), "click"),
+        ],
+    )
+    out = {r["user_id"]: r.asDict() for r in event_funnel(df).collect()}
+    assert out[1]["steps_completed"] == 3
+    assert out[1]["t3"] == dt.datetime(2024, 3, 1, 11)
+    assert out[2]["steps_completed"] == 2 and out[2]["t3"] is None
+    assert out[2]["t2"] == dt.datetime(2024, 3, 1, 11)  # the LATER click
+    assert out[3]["steps_completed"] == 0 and out[3]["t1"] is None
+    assert len(out) == 3  # user 3 still present (denominator preserved)
+
+
+def test_funnel_earliest_completion_wins(spark):
+    # two clicks after view: t2 must be the earlier one; a click at the
+    # exact same timestamp as the view does NOT count (strict order)
+    df = _ev(
+        spark,
+        [
+            (1, 1, _t(1, 9), "view"),
+            (2, 1, _t(1, 9), "click"),   # simultaneous — ignored
+            (3, 1, _t(1, 12), "click"),
+            (4, 1, _t(1, 15), "click"),
+        ],
+    )
+    out = event_funnel(df).collect()[0]
+    assert out["t2"] == dt.datetime(2024, 3, 1, 12)
+    assert out["steps_completed"] == 2
+
+
+def test_funnel_view_after_first_click_can_still_gate_purchase(spark):
+    # earliest view is at 10:00; click at 09:00 precedes it (no), click
+    # at 11:00 qualifies; purchase at 10:30 precedes the qualifying
+    # click so the funnel stalls at step 2
+    df = _ev(
+        spark,
+        [
+            (1, 1, _t(1, 10, 0), "view"),
+            (2, 1, _t(1, 9, 0), "click"),
+            (3, 1, _t(1, 11, 0), "click"),
+            (4, 1, _t(1, 10, 30), "purchase"),
+        ],
+    )
+    out = event_funnel(df).collect()[0]
+    assert out["t1"] == dt.datetime(2024, 3, 1, 10, 0)
+    assert out["t2"] == dt.datetime(2024, 3, 1, 11, 0)
+    assert out["t3"] is None
+
+
+def test_cohort_retention_known(spark):
+    rows = [
+        # user 1: days 1, 2, 4  (cohort day1 → offsets 0,1,3)
+        (1, 1, _t(1, 8), "view"),
+        (2, 1, _t(2, 9), "view"),
+        (3, 1, _t(4, 7), "view"),
+        # user 2: day 1 twice, day 4  (offsets 0,3 — dup day collapses)
+        (4, 2, _t(1, 1), "view"),
+        (5, 2, _t(1, 23), "view"),
+        (6, 2, _t(4, 12), "view"),
+        # user 3: day 2 only (own cohort, offset 0)
+        (7, 3, _t(2, 5), "view"),
+    ]
+    out = {
+        (r["cohort_start"].day, r["offset_buckets"]): r["n_active"]
+        for r in cohort_retention(_ev(spark, rows)).collect()
+    }
+    assert out[(1, 0)] == 2       # users 1+2 on their cohort day
+    assert out[(1, 1)] == 1       # user 1 back on day 2
+    assert out[(1, 3)] == 2       # both back on day 4
+    assert out[(2, 0)] == 1       # user 3's own cohort
+    assert len(out) == 4
+
+
+def test_cohort_total_equals_distinct_users(spark):
+    rows = [(i, i % 5, _t(1 + i % 7, i % 24), "view") for i in range(200)]
+    df = _ev(spark, rows)
+    total_cohort0 = (
+        cohort_retention(df)
+        .where(F.col("offset_buckets") == 0)
+        .agg(F.sum("n_active"))
+        .collect()[0][0]
+    )
+    assert total_cohort0 == 5  # every user appears in exactly one cohort
