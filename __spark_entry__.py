@@ -941,6 +941,91 @@ def entry(spark: SparkSession) -> DataFrame:
     return with_derived(_tier_1h(spark, "/root/testdata/sf0.001"), round_to=6)
 
 
+def _q_events_kmv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV cardinality sketch: approximate distinct users per day from
+    k=64 minimum hash values — the shuffle is O(days*64) rows however
+    large the input (dense_rank <= k is map-side WindowGroupLimited).
+    est_milli = floor(estimate*1000): one double division of exactly
+    representable operands, bit-identical to the SQL twin."""
+    from smos_spark.operators.sketch import kmv_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    return kmv_distinct(ev, key="user_id", group_cols=["day"], k=64)
+
+
+def _q_events_kmv_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGE through the correctness gate: weekly estimates are
+    built by merging the per-day k=32 sketches (kmv_merge — never
+    rescanning raw rows), while the oracle computes the weekly sketch
+    DIRECTLY from the raw table. They match exactly because the union
+    of per-day k-min sets contains the week's k-min set — the same
+    partial-reaggregation contract as the rollup tier cascade, proven
+    here for cardinality state."""
+    from smos_spark.operators.sketch import kmv_distinct, kmv_merge
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    daily = kmv_distinct(
+        ev, key="user_id", group_cols=["day"], k=32, keep_hashes=True
+    ).withColumn("week", F.date_trunc("week", "day"))
+    return kmv_merge(daily.select("week", "kmv_hashes"), ["week"], k=32)
+
+
+def _q_doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-screened decontamination: the corpus side is ONE scan with
+    a codegen membership expression against an 8 KB bitmap literal (no
+    join, no shuffle of corpus grams — compare doc_decontaminate's
+    exact semi-join); the eval side (doc_id%41==0, the same benchmark
+    proxy) aggregates into the bitmap once. Zero false negatives by
+    construction; the oracle replicates bitmap build + probes in SQL."""
+    from smos_spark.operators.sketch import bloom_decontaminate
+
+    d = _docs(spark, sf_dir)
+    return bloom_decontaminate(
+        d.where(F.col("doc_id") % 41 != 0),
+        d.where(F.col("doc_id") % 41 == 0),
+        n=4,
+    )
+
+
+def _q_emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force ANN over int8-quantized vectors: integer dot/norms
+    (exact in any order) + one final double division — 4-8× less scan
+    bandwidth than float, bit-deterministic ranking, same
+    TakeOrderedAndProject shape as emb_cosine_topk. IDs only."""
+    from smos_spark.operators.similarity import quantized_topk
+
+    return quantized_topk(_embs(spark, sf_dir), query_id=0, k=10).select("vec_id")
+
+
+def _q_doc_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into capacity-1024 training
+    shards over a deterministic hash order; the bucketed two-level
+    prefix sum (no single global window task) reproduces the oracle's
+    global window EXACTLY."""
+    from smos_spark.operators.sampling import pack_documents
+    from smos_spark.operators.text import token_count_re
+
+    d = _docs(spark, sf_dir).withColumn("n_tokens", token_count_re(F.col("text")))
+    return pack_documents(d, capacity=1024, n_buckets=8).select(
+        "doc_id", "n_tokens", "start_off", "shard_id"
+    )
+
+
+def _q_doc_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture curation: the 3 largest docs per language label
+    (n_chars desc, doc_id tiebreak) — row_number <= k with a map-side
+    WindowGroupLimit partial top-k."""
+    from smos_spark.operators.sampling import topk_per_group
+
+    return topk_per_group(
+        _docs(spark, sf_dir), "lang", [F.desc("n_chars")], 3
+    ).select("lang", "doc_id", "n_chars")
+
+
 def _with_dist(fn: Callable) -> Callable:
     def _wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_dist(spark)
@@ -1003,6 +1088,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "doc_hash_split": _q_doc_hash_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
+        "doc_topk_per_lang": _q_doc_topk_per_lang,
+        "doc_pack_shards": _q_doc_pack_shards,
+        "doc_bloom_decontaminate": _q_doc_bloom_decontaminate,
+        "events_kmv_daily": _q_events_kmv_daily,
+        "events_kmv_weekly": _q_events_kmv_weekly,
+        "emb_quantized_topk": _q_emb_quantized_topk,
         "conv_len_percentiles": _q_conv_len_percentiles,
         "doc_minhash": _q_doc_minhash,
         "doc_minhash_pairs": _q_doc_minhash_pairs,
@@ -1280,6 +1371,54 @@ def oracle_sql() -> dict[str, str]:
       WHERE a.cell IN (SELECT cell FROM ranked) AND a.vec_id != 0
       ORDER BY round({cos_sql('a.embedding', 'qv')}, 6) DESC, a.vec_id ASC
       LIMIT 10
+    """
+
+    # Bloom-filter decontamination twin: build the SAME 2^16-bit bitmap
+    # (32-bit words — no shift ever reaches the int64 sign bit, which
+    # DuckDB rejects) from the eval side's 4-gram hashes via 4 Mersenne
+    # universal-hash probes, then test every corpus gram against it.
+    bloom_probes = ", ".join(f"({a}, {b})" for a, b in hash_params(4, seed=42))
+    gram_expr = md5h.format("array_to_string(list_slice(t, i, i + 3), ' ')")
+    _bloom_decontaminate_sql = f"""
+      WITH probes(a, b) AS (VALUES {bloom_probes}),
+      toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents WHERE text IS NOT NULL AND doc_id % 41 <> 0
+      ), grams AS (
+        SELECT doc_id,
+          CASE WHEN len(t) >= 4 THEN
+            list_distinct(list_transform(generate_series(1, len(t) - 3),
+                                         i -> {gram_expr}))
+          ELSE [] END AS gs
+        FROM toks
+      ), etoks AS (
+        SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents WHERE text IS NOT NULL AND doc_id % 41 = 0
+      ), egrams AS (
+        SELECT DISTINCT unnest(list_transform(
+          generate_series(1, len(t) - 3), i -> {gram_expr})) AS g
+        FROM etoks WHERE len(t) >= 4
+      ), bitmap AS (
+        SELECT pos >> 5 AS word, bit_or(1::BIGINT << (pos & 31)) AS bits
+        FROM (SELECT ((p.a * (e.g % 2147483647) + p.b) % 2147483647) % 65536 AS pos
+              FROM egrams e, probes p)
+        GROUP BY 1
+      ), dprobes AS (
+        SELECT dg.doc_id, dg.g,
+          ((p.a * (dg.g % 2147483647) + p.b) % 2147483647) % 65536 AS pos
+        FROM (SELECT doc_id, unnest(gs) AS g FROM grams) dg, probes p
+      ), hit AS (
+        SELECT doc_id, g,
+          bool_and(b.bits IS NOT NULL AND ((b.bits >> (pos & 31)) & 1) = 1) AS h
+        FROM dprobes LEFT JOIN bitmap b ON (dprobes.pos >> 5) = b.word
+        GROUP BY doc_id, g
+      ), per_doc AS (
+        SELECT doc_id, count(*) FILTER (WHERE h) AS hits FROM hit GROUP BY doc_id
+      )
+      SELECT g.doc_id, CAST(len(g.gs) AS BIGINT) AS n_grams,
+             CAST(coalesce(p.hits, 0) AS BIGINT) AS n_hits,
+             coalesce(p.hits, 0) > 0 AS flagged
+      FROM grams g LEFT JOIN per_doc p USING (doc_id)
     """
 
     return {
@@ -1807,6 +1946,103 @@ def oracle_sql() -> dict[str, str]:
                          doc_id ASC) AS rk
             FROM documents WHERE doc_id IS NOT NULL)
           WHERE rk <= 3
+        """,
+        "doc_topk_per_lang": """
+          SELECT lang, doc_id, n_chars FROM (
+            SELECT lang, doc_id, n_chars,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY n_chars DESC, doc_id ASC) AS rk
+            FROM documents WHERE doc_id IS NOT NULL)
+          WHERE rk <= 3
+        """,
+        # the oracle computes the SINGLE global window the bucketed
+        # two-level prefix sum in pack_documents must reproduce exactly
+        "doc_pack_shards": f"""
+          WITH d AS (
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+              {md5h.format("doc_id::VARCHAR || ':42'")} AS h
+            FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+          ), w AS (
+            SELECT doc_id, n_tokens,
+              sum(n_tokens) OVER (ORDER BY h % 8, h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                AS start_off
+            FROM d)
+          SELECT doc_id, n_tokens, start_off::BIGINT AS start_off,
+                 (start_off // 1024)::BIGINT AS shard_id
+          FROM w
+        """,
+        # KMV sketch: k smallest DISTINCT md5 hashes per group;
+        # est = (k-1)*2^60/kth as floor(est*1000) — the double literal
+        # (k-1)*2^60 and the int64->double casts are exactly
+        # representable, so the division is bit-identical cross-engine.
+        "events_kmv_daily": f"""
+          WITH h AS (
+            SELECT date_trunc('day', ts) AS day,
+                   {md5h.format("user_id::VARCHAR || ':42'")} AS h
+            FROM events WHERE user_id IS NOT NULL
+          ), r AS (
+            SELECT day, h,
+                   dense_rank() OVER (PARTITION BY day ORDER BY h) AS dr
+            FROM h)
+          SELECT day, count(DISTINCT h) AS n_kept,
+            CAST(floor(
+              CASE WHEN count(DISTINCT h) < 64 THEN count(DISTINCT h)::DOUBLE
+                   ELSE 63.0 * 1152921504606846976 / max(h)::DOUBLE END
+              * 1000) AS BIGINT) AS est_milli
+          FROM r WHERE dr <= 64 GROUP BY day
+        """,
+        # the Spark side MERGES per-day k=32 sketches (kmv_merge, no
+        # raw rescans); the oracle sketches the week DIRECTLY — equal
+        # by the exact-merge property of k-min sets.
+        "events_kmv_weekly": f"""
+          WITH h AS (
+            SELECT date_trunc('week', ts) AS week,
+                   {md5h.format("user_id::VARCHAR || ':42'")} AS h
+            FROM events WHERE user_id IS NOT NULL
+          ), r AS (
+            SELECT week, h,
+                   dense_rank() OVER (PARTITION BY week ORDER BY h) AS dr
+            FROM h)
+          SELECT week, count(DISTINCT h) AS n_kept,
+            CAST(floor(
+              CASE WHEN count(DISTINCT h) < 32 THEN count(DISTINCT h)::DOUBLE
+                   ELSE 31.0 * 1152921504606846976 / max(h)::DOUBLE END
+              * 1000) AS BIGINT) AS est_milli
+          FROM r WHERE dr <= 32 GROUP BY week
+        """,
+        "doc_bloom_decontaminate": _bloom_decontaminate_sql,
+        # int8 symmetric quantization (floor(x/s*127+0.5) — the same
+        # round-half-up in both engines), integer dot/norms, one final
+        # double division: bit-deterministic ranking.
+        "emb_quantized_topk": """
+          WITH base AS (
+            SELECT vec_id, embedding,
+              list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)))) AS s
+            FROM embeddings
+          ), qz AS (
+            SELECT vec_id,
+              CASE WHEN s > 0 THEN list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE)/s*127 + 0.5) AS BIGINT))
+                   ELSE list_transform(embedding, x -> 0::BIGINT) END AS q
+            FROM base
+          ), n AS (
+            SELECT vec_id, q,
+              list_sum(list_transform(q, x -> x*x)) AS n2
+            FROM qz
+          ), qv AS (SELECT q AS qq, n2 AS qn2 FROM n WHERE vec_id = 0)
+          SELECT n.vec_id
+          FROM n, qv
+          WHERE n.vec_id != 0
+          ORDER BY
+            CASE WHEN n.n2 > 0 AND qv.qn2 > 0 THEN
+              CAST(list_sum(list_transform(generate_series(1, len(n.q)),
+                   i -> n.q[i] * qv.qq[i])) AS DOUBLE)
+              / sqrt(CAST(n.n2 * qv.qn2 AS DOUBLE))
+            ELSE 0.0 END DESC, n.vec_id ASC
+          LIMIT 10
         """,
         "doc_minhash_pairs": minhash_pairs_sql,
         "doc_simhash_pairs": simhash_pairs_sql,

@@ -33,7 +33,13 @@ from pyspark.sql import functions as F
 
 from smos_spark.functions.texthash import fast_hash64, md5_hash64
 
-__all__ = ["hash_split", "split_bucket", "stratified_sample"]
+__all__ = [
+    "hash_split",
+    "split_bucket",
+    "stratified_sample",
+    "topk_per_group",
+    "pack_documents",
+]
 
 #: split buckets resolve in millionths — fractions finer than 1e-6
 #: (meaningless for corpus splits) would silently floor to 0.
@@ -116,4 +122,105 @@ def stratified_sample(
         .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group: str,
+    order_by: list[Column],
+    k: int,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Mixture curation: keep the top-k rows per group under an
+    explicit score order (e.g. the k highest-quality docs per
+    language). `order_by` MUST reach a total order — the key column is
+    appended as the final tiebreak so ties never make the selection
+    partition-dependent.
+
+    One window shuffle on the group column; `row_number() <= k` is a
+    rank limit Catalyst rewrites to WindowGroupLimit with a map-side
+    partial top-k, so each input task forwards at most k rows per
+    group before the exchange — the same shuffle bound as
+    stratified_sample, with a score order instead of a hash order."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy(group).orderBy(*order_by, F.col(key).asc())
+    return (
+        df.where(F.col(key).isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    capacity: int,
+    tokens_col: str = "n_tokens",
+    key: str = "doc_id",
+    n_buckets: int = 64,
+    seed: int = 42,
+    portable: bool = True,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign every document a
+    training shard under the standard LLM-pretraining layout — shuffle
+    the corpus into a deterministic order, concatenate token streams,
+    cut the stream every `capacity` tokens. A document's shard is the
+    chunk where its first token lands (so a shard overflows by at most
+    one document's tail — the piece the trainer truncates or wraps).
+
+    Adds `shard_id` and `start_off` (the doc's global token offset).
+    The order is (bucket, hash, key) with bucket = hash % n_buckets —
+    a pure function of the key, so the packing is reproducible across
+    runs, partitionings, and engines (exact SQL oracle), and
+    re-ingesting the same corpus repacks identically.
+
+    Scale shape — the distributed prefix sum: a naive global
+    `sum() OVER (ORDER BY ...)` window is ONE task holding the whole
+    corpus. Instead the cumulative sum runs per bucket (window
+    partitioned by bucket: n_buckets parallel tasks), and each bucket's
+    exclusive prefix offset — one n_buckets-row aggregate, collected
+    and folded back as a literal map — shifts the local sums onto the
+    global token axis. Identical integers to the global window (the
+    oracle computes that global window directly); two scans + one
+    window shuffle, no single-task stage. This is the same
+    layout-over-driver-memory lesson as the reference's cell reshuffle
+    (/root/reference/docs/img2ts.rst:8-16)."""
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    tagged = F.concat(F.col(key).cast("string"), F.lit(f":{seed}"))
+    h = md5_hash64(tagged) if portable else fast_hash64(tagged)
+    base = (
+        df.where(F.col(key).isNotNull() & F.col(tokens_col).isNotNull())
+        .withColumn("_h", h)
+        .withColumn("_bucket", F.pmod(F.col("_h"), F.lit(n_buckets)))
+    )
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.col("_h").asc(), F.col(key).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("_cum", F.sum(F.col(tokens_col).cast("long")).over(w))
+    totals = {
+        r["_bucket"]: r["_t"]
+        for r in base.groupBy("_bucket")
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("_t"))
+        .collect()
+    }
+    off, offsets = 0, {}
+    for b in range(n_buckets):
+        offsets[b] = off
+        off += totals.get(b, 0)
+    offset_expr = F.element_at(
+        F.array(*[F.lit(int(offsets[b])) for b in range(n_buckets)]),
+        (F.col("_bucket") + 1).cast("int"),
+    )
+    start = (F.col("_cum") - F.col(tokens_col).cast("long")) + offset_expr
+    return (
+        local.withColumn("start_off", start)
+        .withColumn("shard_id", F.floor(F.col("start_off") / capacity).cast("long"))
+        .drop("_h", "_bucket", "_cum")
     )

@@ -46,6 +46,7 @@ __all__ = [
     "lsh_topk",
     "kmeans_assign",
     "ivf_topk_auto",
+    "quantized_topk",
 ]
 
 
@@ -220,6 +221,77 @@ def lsh_assign(
             bucket_col, lsh_bucket(F.col(vec_col).cast("array<double>"), planes)
         )
     return df.withColumn(bucket_col, _lsh_bucket_udf(planes)(F.col(vec_col)))
+
+
+def quantized_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Top-k by int8-quantized cosine — the memory-bandwidth path for
+    brute-force ANN at corpus scale: vectors are stored/scanned as int8
+    (4× smaller than float32, 8× than float64), the dot product and the
+    squared norms are INTEGER sums (64 dims × 127² < 2^20, so Σ and the
+    norm product stay far inside int64 — exact in any order, on any
+    partitioning, in any engine), and only the final
+    dot/√(‖q‖²·‖d‖²) division runs in doubles, once per row in a fixed
+    expression order. That makes the ranking bit-deterministic with an
+    exact DuckDB twin — a float32 dot product would differ in the last
+    ulp between summation orders and engines.
+
+    Same physical shape as `cosine_topk`: one scan + TakeOrderedAndProject
+    (no shuffle, no sort of the full table); the quantized query vector
+    ships as a literal int array. Accuracy loss vs exact cosine is
+    bounded by the quantization step (~1/254 of the max component).
+
+    Reference analog: the reference stores float rasters zlib-packed
+    and reads them back through a fixed decode
+    (/root/reference/src/smos/interface.py:341,376); here the "codec"
+    is int8 quantization chosen so the MATH, not just the storage, is
+    exact."""
+    qcols = df.select(
+        F.col(key), *_quantize_cols(F.col(vec_col))
+    )
+    qrow = qcols.where(F.col(key) == query_id).select("_q").collect()
+    if not qrow:
+        raise KeyError(f"{key}={query_id} not found")
+    qvec = [int(x) for x in qrow[0][0]]
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    qn2 = sum(x * x for x in qvec)
+    dot = F.aggregate(
+        F.zip_with(F.col("_q"), qlit, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    score = F.when(
+        (F.col("_n2") > 0) & (F.lit(qn2) > 0),
+        dot.cast("double") / F.sqrt((F.col("_n2") * F.lit(qn2)).cast("double")),
+    ).otherwise(F.lit(0.0))
+    scored = qcols.where(F.col(key) != query_id).select(
+        F.col(key), score.alias("qcos")
+    )
+    return scored.orderBy(F.desc("qcos"), F.asc(key)).limit(k)
+
+
+def _quantize_cols(vec: Column) -> list[Column]:
+    """Symmetric per-vector int8 quantization as pure codegen exprs:
+    scale s = max(|x|); q_i = floor(x_i/s*127 + 0.5) in [-127, 127]
+    (floor(v+0.5) is the same round-half-up in every engine — unlike
+    round(), whose half-tie mode differs between Spark and DuckDB).
+    Returns [_q (array<bigint>), _n2 (Σq_i², int64-exact)]; a zero
+    vector quantizes to all-zero with norm 0."""
+    v = vec.cast("array<double>")
+    s = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(
+        s > 0,
+        F.transform(v, lambda x: F.floor(x / s * 127 + F.lit(0.5)).cast("long")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
+    n2 = F.aggregate(
+        F.transform(q, lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return [q.alias("_q"), n2.alias("_n2")]
 
 
 def lsh_topk(

@@ -1,0 +1,301 @@
+"""Mergeable sketches: KMV distinct-count + Bloom-filter membership.
+
+At corpus scale, two aggregations dominate pipeline-health dashboards:
+"how many distinct keys" (users, conversations, documents) and "is this
+item in a known set" (benchmark n-grams, blocklisted fingerprints).
+Exact answers need a full shuffle of every key; these two operators
+answer them with FIXED-SIZE state that merges associatively, so the
+heavy side never shuffles more than a few KB per group / zero rows at
+all:
+
+* `kmv_distinct` — K-Minimum-Values cardinality sketch: keep the k
+  smallest DISTINCT hash values per group; estimate = (k-1)·SPACE/kth.
+  The k-limit is enforced by `dense_rank() <= k`, which Spark's
+  WindowGroupLimit rewrite pushes to the map side — each task forwards
+  at most k distinct hashes per group, so the shuffle is O(groups·k)
+  regardless of input size. Sketches MERGE exactly: the union of two
+  groups' k-min sets contains the union's k-min set (`kmv_merge`), so
+  coarser rollups (day→week) reuse finer sketches without rescanning —
+  the same partial-reaggregation contract as the rollup tier cascade
+  (operators/rollup.py), applied to cardinality.
+* `bloom_decontaminate` — build a fixed-size Bloom bitmap from the
+  reference set's n-gram hashes (one small aggregation), then test the
+  corpus SCAN-SIDE against the bitmap as a literal array: no join, no
+  shuffle, no state on the 100 TB side. This is the streaming-friendly
+  complement to the exact `text.ngram_decontaminate` semi-join: false
+  positives at a chosen rate, zero false negatives — screen with the
+  bloom, confirm the tiny flagged subset with the exact join.
+
+Determinism contract (what gives both operators EXACT DuckDB oracles):
+all hashing is the portable md5 hash64 (functions/texthash.py,
+bit-identical across engines); the KMV estimator divides two exactly
+representable quantities once; the Bloom probes are Mersenne universal
+hashes with 32-bit bitmap words so no shift ever touches the int64
+sign bit (DuckDB raises on `1 << 63`; 32-bit words keep every mask
+positive in both engines).
+
+Reference analog: the reference's `overview.yml` sidecar keeps tiny
+mergeable state (last_day) instead of rescanning the store
+(/root/reference/src/smos/smos_l2/reshuffle.py:71-94); these sketches
+are the same idea for cardinality/membership at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from smos_spark.functions.texthash import (
+    MERSENNE_P,
+    fast_hash64,
+    hash_params,
+    md5_hash64,
+)
+from smos_spark.operators.text import token_ngram_hashes
+
+__all__ = [
+    "kmv_distinct",
+    "kmv_merge",
+    "bloom_build",
+    "bloom_decontaminate",
+]
+
+#: md5_hash64 is 15 hex chars -> uniform on [0, 2^60)
+_MD5_SPACE = float(1 << 60)
+#: xxhash64 spans the full signed range; sign-bit flip makes it
+#: order-preserving unsigned, SPACE = 2^64 offset by 2^63
+_XX_SPACE = float(1 << 64)
+_I64_MIN = -(1 << 63)
+
+
+def _kmv_hash(key_col: Column, seed: int, portable: bool) -> Column:
+    tagged = F.concat(key_col.cast("string"), F.lit(f":{seed}"))
+    if portable:
+        return md5_hash64(tagged)
+    # map signed xxhash64 to unsigned ORDER (same int64 storage):
+    # flipping the sign bit makes the ascending signed order equal the
+    # unsigned order of the raw hash, keeping the estimator uniform.
+    return fast_hash64(tagged).bitwiseXOR(F.lit(_I64_MIN))
+
+
+def _kmv_estimate(n_kept: Column, kth: Column, k: int, portable: bool) -> Column:
+    """(k-1)·SPACE / kth-min, or the exact count when the group holds
+    fewer than k distinct hashes. Emitted as floor(est·1000) int64
+    ("milli" fixed point): one double division of exactly-representable
+    operands, then floor — bit-identical across engines, no float-hash
+    ambiguity in the driver compare."""
+    if portable:
+        est = F.lit(float(k - 1) * _MD5_SPACE) / kth.cast("double")
+    else:
+        est = F.lit(float(k - 1) * _XX_SPACE) / (
+            kth.cast("double") - F.lit(float(_I64_MIN))
+        )
+    exact = n_kept.cast("double")
+    return F.floor(F.when(n_kept < k, exact).otherwise(est) * 1000).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key: str,
+    group_cols: list[str | Column] | None = None,
+    k: int = 64,
+    seed: int = 42,
+    portable: bool = True,
+    keep_hashes: bool = False,
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT key) per group via a KMV sketch.
+
+    Returns one row per group: `n_kept` (distinct hashes retained,
+    <= k), `est_milli` (floor(estimate*1000)), and with
+    `keep_hashes=True` the sorted retained hash array `kmv_hashes`
+    for later merging (`kmv_merge`).
+
+    Plan shape: one window shuffle partitioned by the group columns.
+    `dense_rank() <= k` is a rank-limit Catalyst rewrites into
+    WindowGroupLimit with a MAP-SIDE partial limit, so each input task
+    emits at most k distinct hash values per group before the
+    exchange — the shuffle is O(groups*k) however large the input.
+    NULL keys are excluded (no identity to hash; mirrors
+    sampling.stratified_sample)."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (the estimator divides by the k-th min)")
+    group_cols = list(group_cols or [])
+    h = _kmv_hash(F.col(key), seed, portable)
+    base = df.where(F.col(key).isNotNull()).select(*group_cols, h.alias("_h"))
+    gnames = base.columns[:-1]
+    w = Window.partitionBy(*gnames).orderBy(F.col("_h").asc())
+    kept = base.withColumn("_dr", F.dense_rank().over(w)).where(F.col("_dr") <= k)
+    aggs = [
+        F.count_distinct(F.col("_h")).alias("n_kept"),
+        F.max("_h").alias("_kth"),
+    ]
+    if keep_hashes:
+        aggs.append(F.sort_array(F.collect_set("_h")).alias("kmv_hashes"))
+    out = kept.groupBy(*gnames).agg(*aggs)
+    out = out.withColumn(
+        "est_milli", _kmv_estimate(F.col("n_kept"), F.col("_kth"), k, portable)
+    ).drop("_kth")
+    return out
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    group_cols: list[str],
+    k: int,
+    portable: bool = True,
+    hashes_col: str = "kmv_hashes",
+    keep_hashes: bool = False,
+) -> DataFrame:
+    """Re-aggregate finer sketches (from `kmv_distinct(keep_hashes=True)`)
+    to coarser groups WITHOUT rescanning the raw data.
+
+    Exact-merge property: every one of the k smallest distinct hashes
+    of a union is among the k smallest of the sub-group it came from,
+    so exploding the retained arrays and re-ranking reproduces the
+    sketch that a direct pass over the raw rows would build — the
+    merged estimate is IDENTICAL, not merely similar (asserted in
+    tests and by the events_kmv_weekly oracle, which computes the
+    direct sketch). Input here is already O(groups*k) rows."""
+    # duplicate hashes across sub-sketches (same key in several fine
+    # groups) need no pre-distinct: dense_rank and count_distinct both
+    # collapse them, saving a shuffle.
+    exploded = sketches.select(*group_cols, F.explode(hashes_col).alias("_h"))
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
+    kept = exploded.withColumn("_dr", F.dense_rank().over(w)).where(F.col("_dr") <= k)
+    aggs = [
+        F.count_distinct(F.col("_h")).alias("n_kept"),
+        F.max("_h").alias("_kth"),
+    ]
+    if keep_hashes:
+        aggs.append(F.sort_array(F.collect_set("_h")).alias(hashes_col))
+    out = kept.groupBy(*group_cols).agg(*aggs)
+    return out.withColumn(
+        "est_milli", _kmv_estimate(F.col("n_kept"), F.col("_kth"), k, portable)
+    ).drop("_kth")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+
+
+#: 32-bit bitmap words: bit index in [0, 31], every mask positive in
+#: int64 — DuckDB raises on shifts into the sign bit, Spark silently
+#: wraps; both are avoided by construction.
+_WORD_BITS = 32
+_BITMASKS = [1 << b for b in range(_WORD_BITS)]
+
+
+def bloom_build(
+    keys: DataFrame,
+    hash_col: str = "gram",
+    m_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    seed: int = 42,
+) -> list[int]:
+    """Aggregate a Bloom bitmap (list of m_bits/32 int words) from a
+    column of int64 hashes. One groupBy(word) bit_or aggregation —
+    map-side combined, at most m_bits/32 rows cross the wire — then a
+    tiny driver collect (the bitmap IS driver-sized by design: 2^16
+    bits = 8 KB). Probes are Mersenne universal hashes of the input
+    hash (functions/texthash.py), identical to the check side."""
+    if m_bits % _WORD_BITS:
+        raise ValueError(f"m_bits must be a multiple of {_WORD_BITS}")
+    if m_bits > (1 << 26):
+        # 2^26 bits = 8 MB literal / broadcast — beyond that the bitmap
+        # no longer belongs in an expression; use the exact join.
+        raise ValueError("m_bits > 2^26: bitmap too large for a literal; "
+                         "use text.ngram_decontaminate (exact join) instead")
+    params = hash_params(n_hashes, seed=seed)
+    h = F.col(hash_col)
+    positions = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.lit(a) * F.pmod(h, F.lit(MERSENNE_P)) + F.lit(b),
+                        F.lit(MERSENNE_P),
+                    )
+                    % F.lit(m_bits)
+                    for a, b in params
+                ]
+            )
+        ).alias("pos")
+    )
+    mask_lit = F.array(*[F.lit(m) for m in _BITMASKS])
+    words = (
+        positions.select(
+            F.shiftright(F.col("pos"), 5).alias("word"),
+            F.element_at(mask_lit, (F.col("pos") % _WORD_BITS + 1).cast("int")).alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * (m_bits // _WORD_BITS)
+    for r in words:
+        bitmap[r["word"]] = r["bits"]
+    return bitmap
+
+
+def bloom_check(hash_col: Column, bitmap: list[int], m_bits: int,
+                n_hashes: int, seed: int = 42) -> Column:
+    """Scan-side membership test of one int64 hash against a literal
+    bitmap: true iff ALL n_hashes probe bits are set. Pure codegen —
+    no join, no shuffle."""
+    params = hash_params(n_hashes, seed=seed)
+    bitmap_lit = F.array(*[F.lit(int(w)) for w in bitmap])
+    mask_lit = F.array(*[F.lit(m) for m in _BITMASKS])
+    cond = F.lit(True)
+    for a, b in params:
+        pos = F.pmod(
+            F.lit(a) * F.pmod(hash_col, F.lit(MERSENNE_P)) + F.lit(b),
+            F.lit(MERSENNE_P),
+        ) % F.lit(m_bits)
+        word = F.element_at(bitmap_lit, (F.shiftright(pos, 5) + 1).cast("int"))
+        mask = F.element_at(mask_lit, (pos % _WORD_BITS + 1).cast("int"))
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return cond
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-screened benchmark decontamination: per corpus doc, how
+    many of its token n-grams MAY appear in the eval set (zero false
+    negatives; false-positive rate set by m_bits/n_hashes).
+
+    Returns (id_col, n_grams, n_hits, flagged). Unlike the exact
+    semi-join (`text.ngram_decontaminate` — distinct + shuffle of the
+    corpus gram stream), the corpus side here is one SCAN with a
+    codegen membership expression over the per-doc gram array: at
+    100 TB nothing shuffles; only the eval side (MBs) aggregates into
+    the 8 KB bitmap. Screen here, then confirm `flagged` docs (a tiny
+    subset) with the exact join."""
+    eval_grams = token_ngram_hashes(
+        eval_df, n=n, text_col=text_col, id_col=id_col
+    ).select(F.explode("grams").alias("gram")).distinct()
+    bitmap = bloom_build(
+        eval_grams, hash_col="gram", m_bits=m_bits, n_hashes=n_hashes, seed=seed
+    )
+    doc_grams = token_ngram_hashes(docs, n=n, text_col=text_col, id_col=id_col)
+    hits = F.size(
+        F.filter(
+            F.col("grams"),
+            lambda g: bloom_check(g, bitmap, m_bits, n_hashes, seed=seed),
+        )
+    ).cast("long")
+    return doc_grams.select(
+        F.col(id_col),
+        F.size("grams").cast("long").alias("n_grams"),
+        hits.alias("n_hits"),
+        (hits > 0).alias("flagged"),
+    )

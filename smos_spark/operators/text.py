@@ -226,6 +226,42 @@ def repetition_profile(
     )
 
 
+def token_ngram_hashes(
+    df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DISTINCT token n-gram hashes as one array column
+    `grams` (md5_hash64 of the space-joined token window — 8 bytes per
+    gram downstream instead of the gram text). Shared by the exact
+    decontamination join (`ngram_decontaminate`) and the Bloom-filter
+    scan-side variant (`operators.sketch.bloom_decontaminate`).
+
+    The token array is materialized in its own projection: the alias
+    is referenced from inside the transform() lambda, and Catalyst
+    does not collapse a projection whose alias is multiply referenced
+    by a non-cheap expression — so the O(len) regex extraction runs
+    once per row. Inlined, it re-runs inside every lambda iteration:
+    O(len^2) per doc, which hangs on multi-KB documents (observed:
+    130 KB doc -> minutes)."""
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+        ).alias("_toks"),
+    )
+    tc = F.col("_toks")
+    g = F.when(
+        F.size(tc) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tc) - (n - 1)),
+            lambda i: md5_hash64(F.array_join(F.slice(tc, i, F.lit(n)), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return base.select(F.col(id_col), F.array_distinct(g).alias("grams"))
+
+
 def ngram_decontaminate(
     docs: DataFrame,
     eval_df: DataFrame,
@@ -253,29 +289,8 @@ def ngram_decontaminate(
     """
 
     def grams(df: DataFrame) -> DataFrame:
-        # Materialize the token array in its own projection: the alias
-        # is referenced from inside the transform() lambda, and Catalyst
-        # does not collapse a projection whose alias is multiply
-        # referenced by a non-cheap expression — so the O(len) regex
-        # extraction runs once per row. Inlined, it re-runs inside every
-        # lambda iteration: O(len^2) per doc, which hangs on multi-KB
-        # documents (observed: 130 KB doc -> minutes).
-        base = df.where(F.col(text_col).isNotNull()).select(
-            F.col(id_col),
-            F.regexp_extract_all(
-                F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
-            ).alias("_toks"),
-        )
-        tc = F.col("_toks")
-        g = F.when(
-            F.size(tc) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(tc) - (n - 1)),
-                lambda i: md5_hash64(F.array_join(F.slice(tc, i, F.lit(n)), " ")),
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))
-        return base.select(
-            F.col(id_col), F.explode(F.array_distinct(g)).alias("gram")
+        return token_ngram_hashes(df, n=n, text_col=text_col, id_col=id_col).select(
+            F.col(id_col), F.explode("grams").alias("gram")
         )
 
     eval_grams = grams(eval_df).select("gram").distinct()

@@ -1,0 +1,142 @@
+"""KMV cardinality sketch + Bloom-filter decontamination invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from smos_spark.operators.sketch import (
+    bloom_build,
+    bloom_decontaminate,
+    kmv_distinct,
+    kmv_merge,
+)
+from smos_spark.operators.text import ngram_decontaminate
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .withColumn("day", F.date_trunc("day", "ts"))
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet").cache()
+
+
+def test_kmv_estimate_within_bound(spark, events):
+    """k=64 KMV: relative error well inside the ~3/sqrt(k) envelope on
+    every day (distinct users/day ~130)."""
+    est = {
+        r["day"]: r["est_milli"] / 1000.0
+        for r in kmv_distinct(events, key="user_id", group_cols=["day"], k=64).collect()
+    }
+    exact = {
+        r["day"]: r["d"]
+        for r in events.groupBy("day")
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for day, e in est.items():
+        assert abs(e - exact[day]) / exact[day] < 3 / (64**0.5), (day, e, exact[day])
+
+
+def test_kmv_exact_below_k(spark, events):
+    """Groups with fewer than k distinct keys return the EXACT count."""
+    out = kmv_distinct(events, key="user_id", group_cols=["day"], k=4096).collect()
+    exact = {
+        r["day"]: r["d"]
+        for r in events.groupBy("day")
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    for r in out:
+        assert r["n_kept"] == exact[r["day"]]
+        assert r["est_milli"] == exact[r["day"]] * 1000
+
+
+def test_kmv_partition_invariant(spark, events):
+    """Same sketch on any partitioning (the mergeable-state contract)."""
+    a = kmv_distinct(events, key="user_id", group_cols=["day"], k=16)
+    b = kmv_distinct(events.repartition(13), key="user_id", group_cols=["day"], k=16)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_kmv_merge_equals_direct(spark, events):
+    """Exact-merge property: weekly estimate from daily sketches is
+    IDENTICAL to the sketch computed directly over the week."""
+    daily = kmv_distinct(
+        events, key="user_id", group_cols=["day"], k=16, keep_hashes=True
+    ).withColumn("week", F.date_trunc("week", "day"))
+    merged = kmv_merge(daily.select("week", "kmv_hashes"), ["week"], k=16)
+    direct = kmv_distinct(
+        events.withColumn("week", F.date_trunc("week", "ts")),
+        key="user_id",
+        group_cols=["week"],
+        k=16,
+    )
+    assert sorted(map(tuple, merged.select("week", "n_kept", "est_milli").collect())) == sorted(
+        map(tuple, direct.select("week", "n_kept", "est_milli").collect())
+    )
+
+
+def test_kmv_rejects_k1(spark, events):
+    with pytest.raises(ValueError):
+        kmv_distinct(events, key="user_id", k=1)
+
+
+def test_kmv_portable_false_same_shape(spark, events):
+    """xxhash64 hot path: different estimates (different hash family)
+    but the same grouping/exactness contract."""
+    out = kmv_distinct(
+        events, key="user_id", group_cols=["day"], k=4096, portable=False
+    ).collect()
+    exact = {
+        r["day"]: r["d"]
+        for r in events.groupBy("day")
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    for r in out:
+        assert r["est_milli"] == exact[r["day"]] * 1000
+
+
+def test_bloom_zero_false_negatives(spark, docs):
+    """Every doc the exact join flags must be bloom-flagged (the Bloom
+    guarantee); false positives allowed, false negatives never."""
+    ev = docs.where(F.col("doc_id") % 41 == 0)
+    corpus = docs.where(F.col("doc_id") % 41 != 0)
+    flagged = {
+        r["doc_id"]
+        for r in bloom_decontaminate(corpus, ev, n=4).where("flagged").collect()
+    }
+    exact = {r["doc_id"] for r in ngram_decontaminate(corpus, ev, n=4).collect()}
+    assert exact <= flagged
+    # 2^16 bits for a few thousand grams: the FP burden must stay tiny
+    assert len(flagged) <= len(exact) + 5
+
+
+def test_bloom_short_and_empty_docs_unflagged(spark):
+    """Docs below n tokens have no grams: n_grams=0, never flagged."""
+    docs = spark.createDataFrame(
+        [(1, "only three tokens here"), (2, "tiny"), (3, None)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(9, "a b c d e f g h i j k l m")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bloom_decontaminate(docs, ev, n=13).collect()}
+    assert out[1]["n_grams"] == 0 and not out[1]["flagged"]
+    assert out[2]["n_grams"] == 0 and not out[2]["flagged"]
+    assert 3 not in out  # NULL text carries no grams to screen
+
+
+def test_bloom_build_guards(spark, docs):
+    grams = spark.createDataFrame([(1,)], "gram long")
+    with pytest.raises(ValueError):
+        bloom_build(grams, m_bits=100)  # not a multiple of 32
+    with pytest.raises(ValueError):
+        bloom_build(grams, m_bits=1 << 27)  # bitmap too large for a literal
