@@ -192,6 +192,59 @@ def main() -> None:
         _force(counter_rate(counters, width_sec=3600.0))
         _force(largest_gaps(evf, top_k=3))
 
+    def q_sketches():
+        # fixed-size-state aggregations: KMV distinct (daily build +
+        # exact weekly merge) and Bloom-screened decontamination
+        # (zero-shuffle corpus scan against a bitmap literal)
+        from smos_spark.operators.sketch import (
+            bloom_decontaminate,
+            kmv_distinct,
+            kmv_merge,
+        )
+
+        evd = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "day", F.date_trunc("day", "ts")
+        )
+        daily = kmv_distinct(
+            evd, key="user_id", group_cols=["day"], k=64, keep_hashes=True
+        )
+        _force(
+            kmv_merge(
+                daily.withColumn("week", F.date_trunc("week", "day")).select(
+                    "week", "kmv_hashes"
+                ),
+                ["week"],
+                k=64,
+            )
+        )
+        _force(
+            bloom_decontaminate(
+                docs.where(F.col("doc_id") % 41 != 0),
+                docs.where(F.col("doc_id") % 41 == 0),
+                n=4,
+            )
+        )
+
+    def q_pack_sample():
+        # training-set assembly: hash split + shard packing (bucketed
+        # two-level prefix sum) + per-group curation
+        from smos_spark.operators.sampling import (
+            hash_split,
+            pack_documents,
+            topk_per_group,
+        )
+        from smos_spark.operators.text import token_count_re
+
+        d = docs.withColumn("n_tokens", token_count_re(F.col("text")))
+        _force(hash_split(d, key="doc_id"))
+        _force(pack_documents(d, capacity=2048, n_buckets=64))
+        _force(topk_per_group(docs, "lang", [F.desc("n_chars")], 10))
+
+    def q_quantized_topk():
+        from smos_spark.operators.similarity import quantized_topk
+
+        _force(quantized_topk(embs, query_id=0, k=10))
+
     queries = {
         "sessionize": q_sessionize,
         "rollup_cascade": q_rollup_cascade,
@@ -204,7 +257,10 @@ def main() -> None:
         "quality_funnel": q_quality_funnel,
         "asof_rolling": q_asof_rolling,
         "downsample": q_downsample,
+        "sketches": q_sketches,
+        "pack_sample": q_pack_sample,
         "cosine_topk": q_cosine_topk,
+        "quantized_topk": q_quantized_topk,
         "ann_index": q_ann_index,
     }
 
