@@ -752,6 +752,63 @@ def _q_conv_len_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stats_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation Pearson correlation between message length and
+    the numeric event value — exact integer moments (decimal(38,0)
+    cross products), ONE double division chain, ppm floor. Single
+    map-side-combined aggregation; shuffle carries 6 int sums per
+    group."""
+    from smos_spark.operators.stats import grouped_pearson
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = ev.where(
+        F.col("props").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.length("props").cast("long").alias("x"),
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    return grouped_pearson(pairs, "x", "y", ["conv_id"])
+
+
+def _q_stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length histogram, fixed width 100: one
+    aggregation whose shuffle is O(langs · bins) regardless of corpus
+    size."""
+    from smos_spark.operators.stats import histogram
+
+    return histogram(
+        _docs(spark, sf_dir), "n_chars", width=100.0, group_cols=["lang"]
+    )
+
+
+def _q_stats_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar seasonality per role: count + mean text length (ppm)
+    per (role, day-of-week, hour-of-day). dow/hour from pure integer
+    epoch-µs arithmetic so both engines compute identical buckets
+    (no dayofweek() convention mismatch). Output ≤ roles·168 rows."""
+    from smos_spark.operators.stats import hourly_profile
+
+    t = _transcripts(spark, sf_dir).where(F.col("text").isNotNull())
+    return hourly_profile(
+        t.select("role", "ts", F.length("text").cast("long").alias("len")),
+        ts_col="ts",
+        value_col="len",
+        group_cols=["role"],
+    )
+
+
+def _q_doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document by tf/df (document-
+    frequency-normalized term relevance — the deterministic core of
+    tf-idf, no logs so the ranking score is ONE exact-int division).
+    Corpus text never shuffles: tokens reduce to (doc, term, count)
+    before any exchange."""
+    from smos_spark.operators.text import distinctive_terms
+
+    return distinctive_terms(_docs(spark, sf_dir), k=3)
+
+
 def _q_doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature head (4 hash fns over 5-char shingles) — the
     universal-hash family has an exact DuckDB twin."""
@@ -1095,6 +1152,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_weekly": _q_events_kmv_weekly,
         "emb_quantized_topk": _q_emb_quantized_topk,
         "conv_len_percentiles": _q_conv_len_percentiles,
+        "stats_pearson": _q_stats_pearson,
+        "stats_histogram": _q_stats_histogram,
+        "stats_hourly_profile": _q_stats_hourly_profile,
+        "doc_distinctive_terms": _q_doc_distinctive_terms,
         "doc_minhash": _q_doc_minhash,
         "doc_minhash_pairs": _q_doc_minhash_pairs,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
@@ -1926,6 +1987,85 @@ def oracle_sql() -> dict[str, str]:
                  CAST(floor(quantile_cont(length(text), 0.5) * 1000000.0) AS BIGINT) AS len_p50_ppm,
                  CAST(floor(quantile_cont(length(text), 0.9) * 1000000.0) AS BIGINT) AS len_p90_ppm
           FROM t WHERE text IS NOT NULL GROUP BY 1
+        """,
+        # exact integer moments in HUGEINT ≡ Spark decimal(38,0); the
+        # only doubles are the final division's operands, same order
+        "stats_pearson": """
+          WITH p AS (
+            SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                   CAST(length(props) AS BIGINT) AS x,
+                   CAST(floor(value * 100) AS BIGINT) AS y
+            FROM events WHERE props IS NOT NULL AND value IS NOT NULL
+          ), a AS (
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS HUGEINT) AS sx,
+                   CAST(sum(y) AS HUGEINT) AS sy,
+                   CAST(sum(x * x) AS HUGEINT) AS sxx,
+                   CAST(sum(y * y) AS HUGEINT) AS syy,
+                   CAST(sum(x * y) AS HUGEINT) AS sxy
+            FROM p GROUP BY 1
+          )
+          SELECT conv_id, n AS n_pairs,
+            CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                 THEN CAST(floor(
+                   (n * sxy - sx * sy)::DOUBLE
+                   / sqrt((n * sxx - sx * sx)::DOUBLE
+                          * (n * syy - sy * sy)::DOUBLE)
+                   * 1000000) AS BIGINT)
+            END AS corr_ppm
+          FROM a
+        """,
+        "stats_histogram": """
+          SELECT lang, bin, CAST(count(*) AS BIGINT) AS n,
+                 bin::DOUBLE * 100.0 AS bin_lo
+          FROM (SELECT lang,
+                  CAST(floor(CAST(n_chars AS DOUBLE) / 100.0) AS BIGINT) AS bin
+                FROM documents WHERE n_chars IS NOT NULL)
+          GROUP BY 1, 2
+        """,
+        # dow/hour via integer epoch-µs arithmetic (1970-01-01 = Thu,
+        # dow 0=Sunday) — NOT dayofweek(), whose numbering differs
+        "stats_hourly_profile": _T_CTE
+        + """
+          , p AS (
+            SELECT role,
+              (epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000 AS days,
+              (epoch_us(ts) - epoch_us(ts) % 3600000000) // 3600000000 AS hours,
+              CAST(floor(CAST(length(text) AS DOUBLE) * 100) AS BIGINT) AS vc
+            FROM t WHERE text IS NOT NULL
+          )
+          SELECT role,
+                 CAST((days + 4) % 7 AS INT) AS dow,
+                 CAST(hours % 24 AS INT) AS hour,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(floor(sum(vc)::DOUBLE / count(*)::DOUBLE / 100.0
+                            * 1000000) AS BIGINT) AS mean_ppm
+          FROM p GROUP BY 1, 2, 3
+        """,
+        # tf/df score = ONE division of two exact int64 counts; equal
+        # scores from different (tf,df) pairs (1/2 vs 2/4) produce the
+        # same double in both engines, then ties break on the term
+        "doc_distinctive_terms": """
+          WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+            FROM documents WHERE text IS NOT NULL
+          ), tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY 1, 2
+          ), dfq AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df_docs
+            FROM tf GROUP BY 1
+          )
+          SELECT doc_id, term, tf, df_docs FROM (
+            SELECT tf.doc_id, tf.term, tf.tf, dfq.df_docs,
+              row_number() OVER (
+                PARTITION BY tf.doc_id
+                ORDER BY tf.tf::DOUBLE / dfq.df_docs::DOUBLE DESC, tf.term ASC
+              ) AS rk
+            FROM tf JOIN dfq USING (term))
+          WHERE rk <= 3
         """,
         # hash64 is non-negative (< 2^60), so plain % ≡ Spark pmod
         "doc_hash_split": f"""

@@ -1,0 +1,157 @@
+"""Exact-arithmetic statistical aggregates for series dashboards.
+
+Three aggregations every time-series/corpus dashboard needs —
+correlation between two activity streams, value histograms, and
+calendar seasonality profiles — built so the FLOATING-POINT result is
+bit-deterministic across partitionings and engines, which is what lets
+each ship an exact DuckDB oracle instead of a tolerance check:
+
+* every sum/moment is an INTEGER aggregate (order-independent);
+* products that could exceed int64 at 10^12-row group sizes run in
+  decimal(38,0) (Spark) / HUGEINT (DuckDB) — both exact;
+* exactly ONE double expression per output value, in a fixed order
+  (cast exact ints → divide / sqrt → floor to ppm fixed-point).
+
+All three are single groupBy aggregations with map-side partial
+combine — the canonical "shuffle carries O(groups) rows, not O(input)"
+shape (the same reason the tier cascade re-aggregates partials,
+operators/rollup.py).
+
+Reference analog: the reference's per-variable image statistics are
+fixed-decimals asserted to 4 places in its tests
+(/root/reference/tests/test_ICreshuffle.py:52); here the fixed-point
+discipline is pushed into the operators so the assertions can be
+EXACT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["grouped_pearson", "histogram", "hourly_profile"]
+
+_DEC = "decimal(38,0)"
+
+
+def grouped_pearson(
+    df: DataFrame,
+    x: str,
+    y: str,
+    group_cols: list[str],
+    out_col: str = "corr_ppm",
+) -> DataFrame:
+    """Pearson correlation of two INTEGER columns per group, emitted as
+    floor(corr·1e6) (ppm fixed point; NULL when either side is
+    constant or the group has < 2 rows).
+
+    corr = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²)) over
+    int64 sums promoted to decimal(38,0) for the cross products — a
+    10^12-row group with |x| up to ~10^3 stays exact (n·Σx² ≈ 10^30 ≪
+    10^38), where int64 would overflow. Inputs must satisfy
+    |x|,|y| < ~2^31 so x², xy fit int64 pre-aggregation; quantize
+    wider floats first (e.g. floor(v·100)). The only doubles are the
+    final division's operands (exact while the decimals are < 2^53 —
+    always true at the sf scales the oracle checks; beyond that the
+    decimal→double rounding is still deterministic round-to-nearest).
+
+    One aggregation, map-side partials; no window, no join."""
+    xl, yl = F.col(x).cast("long"), F.col(y).cast("long")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(xl).alias("_sx"),
+        F.sum(yl).alias("_sy"),
+        F.sum(xl * xl).alias("_sxx"),
+        F.sum(yl * yl).alias("_syy"),
+        F.sum(xl * yl).alias("_sxy"),
+    )
+    n = F.col("_n").cast(_DEC)
+    sx, sy = F.col("_sx").cast(_DEC), F.col("_sy").cast(_DEC)
+    num = n * F.col("_sxy").cast(_DEC) - sx * sy
+    d1 = n * F.col("_sxx").cast(_DEC) - sx * sx
+    d2 = n * F.col("_syy").cast(_DEC) - sy * sy
+    corr = F.when(
+        (d1 > 0) & (d2 > 0),
+        num.cast("double") / F.sqrt(d1.cast("double") * d2.cast("double")),
+    )
+    return agg.select(
+        *group_cols,
+        F.col("_n").alias("n_pairs"),
+        F.floor(corr * 1_000_000).cast("long").alias(out_col),
+    )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    width: float,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-width value histogram per group: bin = floor(value/width)
+    (one double division — identical everywhere), count per
+    (group, bin). One map-side-combined aggregation; the shuffle is
+    O(groups·bins) whatever the input size — the fixed-size-state
+    family again (cf. operators/sketch.py). NULL values are excluded
+    (they have no bin)."""
+    if width <= 0:
+        raise ValueError("width must be > 0")
+    group_cols = list(group_cols or [])
+    b = F.floor(F.col(value_col).cast("double") / F.lit(float(width))).cast("long")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bin_lo", (F.col("bin").cast("double") * F.lit(float(width))))
+    )
+
+
+def hourly_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    group_cols: list[str] | None = None,
+    cents: int = 100,
+) -> DataFrame:
+    """Calendar seasonality: event count (and mean value in ppm) per
+    (group, day-of-week, hour-of-day).
+
+    dow/hour come from pure integer epoch-µs arithmetic —
+    dow = (epoch_days + 4) % 7 with 0=Sunday (1970-01-01 was a
+    Thursday) — NOT from the engines' dayofweek(), whose numbering
+    conventions differ (Spark: 1=Sunday; DuckDB dow: 0=Sunday; ISO
+    variants elsewhere). The mean aggregates floor(value·cents) as
+    int64 and performs one double division chain at the end, so the
+    ppm output is bit-identical cross-engine. One aggregation,
+    map-side partials, output bounded by groups·168 rows."""
+    group_cols = list(group_cols or [])
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # exact integer division: (us - us%N)/N divides an exact multiple,
+    # so the double quotient is the true integer — a bare floor(us/N)
+    # could round across a boundary for timestamps within ~0.4 µs of
+    # midnight, while the DuckDB twin's `//` is true integer division.
+    day_us, hour_us = 86_400_000_000, 3_600_000_000
+    days = ((us - F.pmod(us, F.lit(day_us))) / F.lit(day_us)).cast("long")
+    hours = ((us - F.pmod(us, F.lit(hour_us))) / F.lit(hour_us)).cast("long")
+    dow = F.pmod(days + 4, F.lit(7)).cast("int")
+    hour = F.pmod(hours, F.lit(24)).cast("int")
+    base = df.select(
+        *group_cols, dow.alias("dow"), hour.alias("hour"),
+        *(
+            [F.floor(F.col(value_col).cast("double") * cents).cast("long").alias("_vc")]
+            if value_col
+            else []
+        ),
+    )
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n")]
+    if value_col:
+        aggs.append(F.sum("_vc").alias("_svc"))
+    out = base.groupBy(*group_cols, "dow", "hour").agg(*aggs)
+    if value_col:
+        mean_ppm = F.floor(
+            F.col("_svc").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(float(cents))
+            * 1_000_000
+        ).cast("long")
+        out = out.withColumn("mean_ppm", mean_ppm).drop("_svc")
+    return out

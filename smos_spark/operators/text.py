@@ -302,6 +302,51 @@ def ngram_decontaminate(
     )
 
 
+def distinctive_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k DISTINCTIVE terms: rank a doc's terms by
+    tf/df — its own term frequency divided by the number of corpus
+    docs containing the term (document-frequency normalization, the
+    rational core of tf-idf). log-idf is deliberately avoided: ln()
+    is not guaranteed bit-identical across engines, while tf/df is
+    ONE division of two exact int64 counts — deterministic ranking,
+    exact SQL oracle. Ties break on the term string.
+
+    Returns (id_col, term, tf, df_docs). Plan shape: tokenize+explode
+    → groupBy(doc, term) tf (shuffle 1) → groupBy(term) df from the
+    tf rows — one row per (doc, term), so df counts docs by plain
+    count (shuffle 2, input already deduplicated) → join tf×df on term
+    (AQE broadcasts the df side when it fits; no forced hint) →
+    row_number ≤ k per doc (map-side WindowGroupLimit). The corpus
+    never shuffles raw text — tokens reduce to (doc, term, count)
+    before any exchange."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "_score", F.col("tf").cast("double") / F.col("df_docs").cast("double")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(id_col, "term", "tf", "df_docs")
+    )
+
+
 def drop_boilerplate_lines(
     df: DataFrame,
     max_df: int,

@@ -1,0 +1,107 @@
+"""Exact-arithmetic statistical aggregates: value checks vs numpy and
+partition-invariance (the bit-determinism the exact DuckDB oracles rely
+on — see operators/stats.py module docstring)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from smos_spark.operators.stats import grouped_pearson, histogram, hourly_profile
+from smos_spark.operators.text import distinctive_terms
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    rows = []
+    rng = np.random.default_rng(7)
+    for g in ("a", "b", "c"):
+        xs = rng.integers(0, 1000, 200)
+        noise = rng.integers(-200, 200, 200)
+        ys = {"a": xs + noise, "b": -2 * xs + noise, "c": noise * 0}[g]
+        rows += [(g, int(x), int(y)) for x, y in zip(xs, ys)]
+    rows.append(("d", 5, 9))  # n=1 group → NULL corr
+    return spark.createDataFrame(rows, "g string, x long, y long").cache()
+
+
+def test_pearson_matches_numpy(spark, pairs):
+    out = {r["g"]: r for r in grouped_pearson(pairs, "x", "y", ["g"]).collect()}
+    pdf = pairs.toPandas()
+    for g in ("a", "b"):
+        sub = pdf[pdf.g == g]
+        expect = np.corrcoef(sub.x, sub.y)[0, 1]
+        got = out[g]["corr_ppm"] / 1e6
+        assert math.isclose(got, expect, abs_tol=2e-6), (g, got, expect)
+        assert out[g]["n_pairs"] == len(sub)
+    assert out["c"]["corr_ppm"] is None  # constant y → undefined
+    assert out["d"]["corr_ppm"] is None  # n < 2 → undefined
+
+
+def test_pearson_partition_invariant(spark, pairs):
+    a = grouped_pearson(pairs, "x", "y", ["g"]).orderBy("g").collect()
+    b = (
+        grouped_pearson(pairs.repartition(17), "x", "y", ["g"])
+        .orderBy("g")
+        .collect()
+    )
+    assert a == b
+
+
+def test_histogram_counts_and_edges(spark):
+    df = spark.createDataFrame(
+        [(float(v),) for v in (0, 49.9, 50, 99.9, 100, -0.1, -50)] + [(None,)],
+        "v double",
+    )
+    out = {r["bin"]: r for r in histogram(df, "v", width=50.0).collect()}
+    # floor semantics: [-0.1, -50] → bins -1/-1, [0,49.9] → 0, [50,99.9] → 1
+    assert out[-1]["n"] == 2 and out[0]["n"] == 2 and out[1]["n"] == 2
+    assert out[2]["n"] == 1  # 100 starts bin 2
+    assert out[1]["bin_lo"] == 50.0 and out[-1]["bin_lo"] == -50.0
+    assert sum(r["n"] for r in out.values()) == 7  # NULL excluded
+
+
+def test_histogram_rejects_bad_width(spark):
+    df = spark.range(1).withColumn("v", F.lit(1.0))
+    with pytest.raises(ValueError):
+        histogram(df, "v", width=0)
+
+
+def test_hourly_profile_buckets(spark):
+    # 1970-01-01 was a Thursday → dow 4 under 0=Sunday numbering
+    df = spark.createDataFrame(
+        [
+            ("1970-01-01 00:30:00", 10),
+            ("1970-01-01 00:45:00", 20),
+            ("1970-01-04 23:59:59", 7),  # Sunday → dow 0, hour 23
+        ],
+        "s string, len long",
+    ).select(F.to_timestamp("s").alias("ts"), "len")
+    out = {(r["dow"], r["hour"]): r for r in
+           hourly_profile(df, value_col="len").collect()}
+    assert out[(4, 0)]["n"] == 2 and out[(4, 0)]["mean_ppm"] == 15_000_000
+    assert out[(0, 23)]["n"] == 1 and out[(0, 23)]["mean_ppm"] == 7_000_000
+
+
+def test_distinctive_terms_ranking(spark):
+    # "rare" appears only in doc 1 (df=1); "common" in all docs (df=3)
+    docs = spark.createDataFrame(
+        [
+            (1, "rare rare common zeta"),
+            (2, "common common alpha"),
+            (3, "common beta beta beta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = distinctive_terms(docs, k=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: rare tf=2/df=1 (score 2.0) beats zeta 1/1 (1.0) beats common 1/3
+    assert [r["term"] for r in by_doc[1]] == ["rare", "zeta"]
+    assert by_doc[1][0]["tf"] == 2 and by_doc[1][0]["df_docs"] == 1
+    # doc 3: beta 3/1 then common 1/3 vs ... beta wins, common ranks below beta
+    assert by_doc[3][0]["term"] == "beta"
+    assert all(len(v) == 2 for v in by_doc.values())
