@@ -1083,6 +1083,38 @@ def _q_doc_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("lang", "doc_id", "n_chars")
 
 
+def _q_resp_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation user→assistant response-latency stats — one
+    conv-partitioned window + a groupBy on the same key (single
+    Exchange); all outputs exact int64 epoch-µs arithmetic."""
+    from smos_spark.operators.flow import response_latency
+
+    return response_latency(
+        _transcripts(spark, sf_dir), from_role="user", to_role="assistant"
+    )
+
+
+def _q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order role transition matrix of the corpus with exact-ppm
+    row-normalized shares; output is O(|roles|²) rows."""
+    from smos_spark.operators.flow import transition_matrix
+
+    return transition_matrix(_transcripts(spark, sf_dir), col="role")
+
+
+def _q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-blocked k-nearest-neighbor graph (k=3) over the embedding
+    table; per-source top-k cut map-side (Partial WindowGroupLimit)
+    so the shuffle carries O(N·k) rows. IDs+rank only: the ordering
+    (round-6 cosine desc, dst asc) is the exact cross-engine
+    contract, score doubles stay out of the hash."""
+    from smos_spark.operators.similarity import knn_graph
+
+    return knn_graph(_embs(spark, sf_dir), k=3, block_col="label").select(
+        "src", "dst", "rk"
+    )
+
+
 def _with_dist(fn: Callable) -> Callable:
     def _wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_dist(spark)
@@ -1143,6 +1175,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_gaps": _q_top_gaps,
         "event_funnel": _q_event_funnel,
         "cohort_retention": _q_cohort_retention,
+        "resp_latency": _q_resp_latency,
+        "role_transitions": _q_role_transitions,
+        "emb_knn_graph": _q_emb_knn_graph,
         "doc_hash_split": _q_doc_hash_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_topk_per_lang": _q_doc_topk_per_lang,
@@ -1946,6 +1981,62 @@ def oracle_sql() -> dict[str, str]:
                  / 86400000000 AS BIGINT) AS offset_buckets,
             CAST(count(*) AS BIGINT) AS n_active
           FROM c GROUP BY 1, 2
+        """,
+        "resp_latency": _T_CTE
+        + """
+          , lagged AS (
+            SELECT conv_id, role, epoch_us(ts) AS us,
+              lag(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                AS prev_role,
+              lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                AS prev_us
+            FROM t),
+          pairs AS (
+            SELECT conv_id, us - prev_us AS lat
+            FROM lagged WHERE prev_role = 'user' AND role = 'assistant')
+          SELECT conv_id,
+            CAST(count(*) AS BIGINT) AS n_responses,
+            CAST(sum(lat) AS BIGINT) AS total_us,
+            CAST(min(lat) AS BIGINT) AS min_us,
+            CAST(max(lat) AS BIGINT) AS max_us,
+            CAST(sum(lat) // count(*) AS BIGINT) AS mean_us
+          FROM pairs GROUP BY conv_id
+        """,
+        "role_transitions": _T_CTE
+        + """
+          , lagged AS (
+            SELECT
+              lag(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                AS src,
+              role AS dst
+            FROM t),
+          counts AS (
+            SELECT src, dst, count(*) AS n
+            FROM lagged WHERE src IS NOT NULL GROUP BY 1, 2)
+          SELECT src, dst, CAST(n AS BIGINT) AS n,
+            CAST((n * 1000000) // sum(n) OVER (PARTITION BY src) AS BIGINT)
+              AS share_ppm
+          FROM counts
+        """,
+        "emb_knn_graph": """
+          WITH scored AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+              round(
+                list_sum(list_transform(generate_series(1, len(a.embedding)),
+                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                / (sqrt(list_sum(list_transform(a.embedding,
+                     x -> x::DOUBLE * x::DOUBLE)))
+                 * sqrt(list_sum(list_transform(b.embedding,
+                     x -> x::DOUBLE * x::DOUBLE)))),
+              6) AS c
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id != b.vec_id),
+          ranked AS (
+            SELECT src, dst,
+              row_number() OVER (PARTITION BY src ORDER BY c DESC, dst ASC)
+                AS rk
+            FROM scored)
+          SELECT src, dst, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 3
         """,
         "top_gaps": """
           WITH g AS (

@@ -1,0 +1,125 @@
+"""Conversation-flow analytics over transcript turns.
+
+The reference's time-series readers expose per-location series in
+stable time order (/root/reference/src/smos/interface.py:164-210);
+these operators apply the same ordered-series discipline to the
+*structure* of a conversation: who answered whom, how fast, and which
+role/tool follows which.
+
+Scale shape: every operator here is ONE window pass partitioned by
+`conv_id` (the natural shard key — conversations are short, so no
+per-key skew) followed by an aggregation whose shuffle carries
+O(groups) fixed-size integer state, never the turns themselves.
+Latency math is exact int64 epoch-µs arithmetic (the same discipline
+as `sessionize` — doubles would tie-break differently across engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["response_latency", "transition_matrix"]
+
+#: fixed-point scale for exact cross-engine ratio outputs
+MICRO = 1_000_000
+
+
+def response_latency(
+    df: DataFrame,
+    from_role: str = "user",
+    to_role: str = "assistant",
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = ("turn_idx",),
+    role_col: str = "role",
+) -> DataFrame:
+    """Per-conversation response-latency stats for `from_role` →
+    `to_role` adjacent turn pairs (e.g. how fast the assistant answers
+    the user).
+
+    Returns one row per conversation that has at least one such pair:
+    (conv_col, n_responses, total_us, min_us, max_us, mean_us) — all
+    exact int64; mean is integer floor division (total // n), so the
+    value is identical on any engine and any partitioning.
+
+    Plan shape: one window (partition conv, order ts+order_cols) to
+    lag the previous role/ts, then a groupBy on the SAME key — Spark
+    reuses the window's hash partitioning, so the whole operator is a
+    single Exchange carrying the turns once; the aggregate output is
+    O(conversations) rows of 5 ints.
+    """
+    w = Window.partitionBy(conv_col).orderBy(ts_col, *order_cols)
+    # cast("timestamp"): parquet TIMESTAMP_NTZ is not valid unix_micros
+    # input; the session tz is pinned UTC so the cast is value-exact
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    lagged = df.select(
+        conv_col,
+        F.col(role_col),
+        us.alias("_us"),
+        F.lag(role_col).over(w).alias("_prev_role"),
+        F.lag(us).over(w).alias("_prev_us"),
+    )
+    pairs = lagged.where(
+        (F.col("_prev_role") == from_role) & (F.col(role_col) == to_role)
+    ).select(conv_col, (F.col("_us") - F.col("_prev_us")).alias("_lat_us"))
+    agg = pairs.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("n_responses"),
+        F.sum("_lat_us").alias("total_us"),
+        F.min("_lat_us").alias("min_us"),
+        F.max("_lat_us").alias("max_us"),
+    )
+    # integral `div` (not `/`): exact int64 on both engines — latencies
+    # are nonnegative so truncation == floor, and no double ever appears
+    return agg.withColumn("mean_us", F.expr("total_us div n_responses"))
+
+
+def transition_matrix(
+    df: DataFrame,
+    col: str = "role",
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = ("turn_idx",),
+    drop_null: bool = True,
+) -> DataFrame:
+    """First-order transition counts of `col` between adjacent turns
+    within each conversation — the role/tool Markov matrix of the
+    corpus (e.g. how often a tool call follows an assistant turn).
+
+    Returns (src, dst, n, share_ppm) where share_ppm is the row-
+    normalized transition probability in exact parts-per-million:
+    floor(n · 1e6 / Σ_dst n). Output is O(|alphabet|²) rows — tiny —
+    so the second aggregation's shuffle is negligible; the corpus
+    crosses the wire exactly once (the conv window).
+
+    `drop_null` skips transitions where either side is NULL (e.g. the
+    `tool` column is NULL on non-tool turns): with it False, NULL is a
+    real state labeled '∅'.
+    """
+    w = Window.partitionBy(conv_col).orderBy(ts_col, *order_cols)
+    cur = F.col(col)
+    prev = F.lag(col).over(w)
+    lagged = df.select(
+        prev.alias("_src"), cur.alias("_dst"),
+        F.lag(F.lit(1)).over(w).alias("_has_prev"),
+    ).where(F.col("_has_prev").isNotNull())
+    if drop_null:
+        lagged = lagged.where(F.col("_src").isNotNull() & F.col("_dst").isNotNull())
+    else:
+        lagged = lagged.select(
+            F.coalesce(F.col("_src"), F.lit("∅")).alias("_src"),
+            F.coalesce(F.col("_dst"), F.lit("∅")).alias("_dst"),
+        )
+    counts = lagged.groupBy(F.col("_src").alias("src"), F.col("_dst").alias("dst")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = Window.partitionBy("src")
+    # n·1e6 stays well inside int64 (n ≤ corpus turns ~1e12 → ≤1e18);
+    # integral `div` keeps the ppm exact and engine-independent
+    return (
+        counts.withColumn("_tot", F.sum("n").over(row_tot))
+        .withColumn("share_ppm", F.expr(f"(n * {MICRO}) div _tot"))
+        .select("src", "dst", "n", "share_ppm")
+    )

@@ -439,3 +439,69 @@ def ivf_topk_auto(
         cells, query_id=query_id, k=k, n_probe=n_probe,
         vec_col=vec_col, key=key, cell_col="cell",
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """k-nearest-neighbor graph over the embedding table: for every
+    vector, its top-k most-cosine-similar neighbors — the backbone of
+    diversity sampling, cluster seeding, and graph-based dedup over a
+    training corpus.
+
+    Candidate generation is BLOCK-BOUNDED, never all-pairs: neighbors
+    are searched within `block_col` (a semantic label, or an IVF/LSH
+    cell from `kmeans_assign`/`lsh_assign`/`ann_index` — the same
+    coarse structure the ANN queries probe). At corpus scale the join
+    is O(Σ_b |b|²) with |b| ≈ N/cells, and the per-source top-k is cut
+    map-side by the Partial WindowGroupLimit before the exchange, so
+    the shuffle carries O(N·k) rows, not the candidate pairs.
+
+    Ranking is the round-6 cosine with a neighbor-id tie-break — the
+    same bit-deterministic ordering contract as `cosine_topk` — and
+    the score is exported as an exact ppm int. Returns
+    (src, dst, rk, cos_ppm).
+
+    Reference analog: the reference's cell-based gpi lookup
+    (/root/reference/src/smos/grid.py via pygeogrids) bounds every
+    spatial search to a cell; blocks play that role in vector space.
+    """
+    from pyspark.sql import Window
+
+    from smos_spark.operators.dedup import cosine
+
+    if block_col is None:
+        raise ValueError(
+            "knn_graph requires a block column (label / IVF cell / LSH "
+            "bucket): an unblocked kNN graph is an all-pairs join — "
+            "assign blocks first (kmeans_assign / lsh_assign)."
+        )
+    a = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(key).alias("src"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    ).where(F.col("_blk").isNotNull())
+    b = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(key).alias("dst"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    ).where(F.col("_blk").isNotNull())
+    pairs = a.join(b, "_blk").where(F.col("src") != F.col("dst"))
+    scored = pairs.select(
+        "src", "dst", cosine(F.col("_va"), F.col("_vb")).alias("_cos")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("_cos"), F.asc("dst"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "src",
+            "dst",
+            "rk",
+            F.floor(F.col("_cos") * F.lit(1_000_000)).cast("long").alias("cos_ppm"),
+        )
+    )

@@ -1,0 +1,82 @@
+"""Conversation-flow analytics (operators/flow.py) vs pandas goldens.
+
+Mirrors the reference's ordered-series contract tests
+(/root/reference/tests/test_ICreshuffle.py:56-85): values are computed
+independently in pandas over the same deterministic fixture and
+matched exactly (all outputs are int64, so equality is bitwise).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from smos_spark.operators.flow import response_latency, transition_matrix
+
+
+def _ordered(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.sort_values(["conv_id", "ts", "turn_idx"]).copy()
+    out["us"] = out["ts"].astype("datetime64[us]").astype("int64")
+    out["prev_role"] = out.groupby("conv_id")["role"].shift()
+    out["prev_us"] = out.groupby("conv_id")["us"].shift()
+    return out
+
+
+def test_response_latency_matches_pandas(transcripts, transcripts_pdf):
+    got = (
+        response_latency(transcripts, from_role="user", to_role="assistant")
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    o = _ordered(transcripts_pdf)
+    pairs = o[(o.prev_role == "user") & (o.role == "assistant")].copy()
+    pairs["lat"] = (pairs.us - pairs.prev_us).astype("int64")
+    exp = (
+        pairs.groupby("conv_id")["lat"]
+        .agg(n_responses="count", total_us="sum", min_us="min", max_us="max")
+        .reset_index()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    exp["mean_us"] = exp.total_us // exp.n_responses
+    assert len(got) == len(exp) > 0
+    for col in ("n_responses", "total_us", "min_us", "max_us", "mean_us"):
+        np.testing.assert_array_equal(got[col].to_numpy(), exp[col].to_numpy())
+
+
+def test_transition_matrix_role(transcripts, transcripts_pdf):
+    got = (
+        transition_matrix(transcripts, col="role")
+        .toPandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    o = _ordered(transcripts_pdf)
+    pairs = o[o.prev_us.notna()]
+    exp = (
+        pairs.groupby(["prev_role", "role"])
+        .size()
+        .rename("n")
+        .reset_index()
+        .rename(columns={"prev_role": "src", "role": "dst"})
+    )
+    tot = exp.groupby("src")["n"].transform("sum")
+    exp["share_ppm"] = (exp.n * 1_000_000) // tot
+    exp = exp.sort_values(["src", "dst"]).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    np.testing.assert_array_equal(got.n.to_numpy(), exp.n.to_numpy())
+    np.testing.assert_array_equal(got.share_ppm.to_numpy(), exp.share_ppm.to_numpy())
+    # row-normalization sanity: each src's shares sum to ~1e6 (floor loss < n_dst)
+    sums = got.groupby("src").share_ppm.sum()
+    assert ((sums > 1_000_000 - 10) & (sums <= 1_000_000)).all()
+
+
+def test_transition_matrix_null_state(transcripts):
+    """drop_null=False materializes NULL (the tool column on non-tool
+    turns) as the '∅' state; every adjacent pair is then counted."""
+    got = transition_matrix(transcripts, col="tool", drop_null=False).toPandas()
+    n_rows = transcripts.count()
+    n_convs = transcripts.select("conv_id").distinct().count()
+    assert got.n.sum() == n_rows - n_convs  # one lost pair per conversation
+    assert "∅" in set(got.src)

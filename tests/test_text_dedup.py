@@ -531,3 +531,49 @@ def test_quality_funnel_dedup_among_survivors_only(spark):
     # doc 1 fails min_len? no — both pass; sanity: plain dedup keeps min id
     kept2 = sorted(r["doc_id"] for r in apply_funnel(df2, stages=stages).collect())
     assert kept2 == [1]
+
+
+def test_knn_graph_matches_numpy(embs):
+    """Blocked kNN graph vs a numpy within-label brute force using the
+    same round-6 cosine + dst-asc tie-break ordering contract."""
+    from smos_spark.operators.similarity import knn_graph
+
+    k = 3
+    got = (
+        knn_graph(embs, k=k, block_col="label")
+        .toPandas()
+        .sort_values(["src", "rk"])
+        .reset_index(drop=True)
+    )
+    pdf = embs.select("vec_id", "embedding", "label").toPandas()
+    m = np.stack(pdf.embedding.to_numpy()).astype("float64")
+    norms = np.linalg.norm(m, axis=1)
+    ids = pdf.vec_id.to_numpy()
+    labels = pdf.label.to_numpy()
+    exp_rows = []
+    for i in range(len(pdf)):
+        mask = (labels == labels[i]) & (ids != ids[i])
+        cand = np.where(mask)[0]
+        cos = np.round((m[cand] @ m[i]) / (norms[cand] * norms[i]), 6)
+        order = sorted(range(len(cand)), key=lambda j: (-cos[j], ids[cand[j]]))
+        for rk, j in enumerate(order[:k], start=1):
+            exp_rows.append((ids[i], ids[cand[j]], rk, int(np.floor(cos[j] * 1e6))))
+    import pandas as pd
+
+    exp = (
+        pd.DataFrame(exp_rows, columns=["src", "dst", "rk", "cos_ppm"])
+        .sort_values(["src", "rk"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) == len(pdf) * k
+    np.testing.assert_array_equal(got.src.to_numpy(), exp.src.to_numpy())
+    np.testing.assert_array_equal(got.dst.to_numpy(), exp.dst.to_numpy())
+    # scores: allow the floor-at-representation-boundary ulp only
+    assert (np.abs(got.cos_ppm.to_numpy() - exp.cos_ppm.to_numpy()) <= 1).all()
+
+
+def test_knn_graph_requires_block():
+    from smos_spark.operators.similarity import knn_graph
+
+    with pytest.raises(ValueError, match="block"):
+        knn_graph(None, block_col=None)
