@@ -1115,6 +1115,17 @@ def _q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality filter: vectors whose raw cosine to
+    their own label's quantized-mean centroid is negative (pointing
+    away from their cluster). Exact: integer-sum centroids + one
+    floor(cos·1e6) of identically-folded doubles — no round() step
+    whose half-up semantics could differ between engines."""
+    from smos_spark.operators.similarity import centroid_outliers
+
+    return centroid_outliers(_embs(spark, sf_dir), threshold_ppm=0)
+
+
 def _with_dist(fn: Callable) -> Callable:
     def _wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_dist(spark)
@@ -1178,6 +1189,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resp_latency": _q_resp_latency,
         "role_transitions": _q_role_transitions,
         "emb_knn_graph": _q_emb_knn_graph,
+        "emb_centroid_outliers": _q_emb_centroid_outliers,
         "doc_hash_split": _q_doc_hash_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_topk_per_lang": _q_doc_topk_per_lang,
@@ -2037,6 +2049,25 @@ def oracle_sql() -> dict[str, str]:
                 AS rk
             FROM scored)
           SELECT src, dst, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 3
+        """,
+        "emb_centroid_outliers": f"""
+          WITH cent AS (
+            SELECT label, dims.i AS i,
+              sum(CAST(round(embedding[dims.i]::DOUBLE * 1000000.0) AS BIGINT))
+                AS s,
+              count(*) AS c
+            FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) dims
+            GROUP BY 1, 2),
+          centl AS (
+            SELECT label, list(s::DOUBLE / (c::DOUBLE * 1000000.0) ORDER BY i)
+              AS cen
+            FROM cent GROUP BY label),
+          scored AS (
+            SELECT e.vec_id, e.label,
+              CAST(floor({cos_sql('e.embedding', 'cen')} * 1000000.0) AS BIGINT)
+                AS cos_ppm
+            FROM embeddings e JOIN centl USING (label))
+          SELECT vec_id, label, cos_ppm FROM scored WHERE cos_ppm < 0
         """,
         "top_gaps": """
           WITH g AS (

@@ -240,6 +240,22 @@ def main() -> None:
         _force(pack_documents(d, capacity=2048, n_buckets=64))
         _force(topk_per_group(docs, "lang", [F.desc("n_chars")], 10))
 
+    def q_conv_flow():
+        # conversation-flow analytics: one conv window + same-key agg
+        # (latency) and the tiny O(|roles|²) transition aggregate
+        from smos_spark.operators.flow import response_latency, transition_matrix
+
+        _force(response_latency(t))
+        _force(transition_matrix(t, col="role"))
+
+    def q_knn_outliers():
+        # blocked kNN graph (BLAS pair scoring, map-side top-k cut)
+        # + centroid-outlier quality filter
+        from smos_spark.operators.similarity import centroid_outliers, knn_graph
+
+        _force(knn_graph(embs, k=5, block_col="label", portable=False))
+        _force(centroid_outliers(embs, threshold_ppm=0))
+
     def q_quantized_topk():
         from smos_spark.operators.similarity import quantized_topk
 
@@ -259,6 +275,8 @@ def main() -> None:
         "downsample": q_downsample,
         "sketches": q_sketches,
         "pack_sample": q_pack_sample,
+        "conv_flow": q_conv_flow,
+        "knn_outliers": q_knn_outliers,
         "cosine_topk": q_cosine_topk,
         "quantized_topk": q_quantized_topk,
         "ann_index": q_ann_index,

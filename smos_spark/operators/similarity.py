@@ -47,6 +47,8 @@ __all__ = [
     "kmeans_assign",
     "ivf_topk_auto",
     "quantized_topk",
+    "knn_graph",
+    "centroid_outliers",
 ]
 
 
@@ -447,6 +449,7 @@ def knn_graph(
     vec_col: str = "embedding",
     key: str = "vec_id",
     block_col: str | None = "label",
+    portable: bool = True,
 ) -> DataFrame:
     """k-nearest-neighbor graph over the embedding table: for every
     vector, its top-k most-cosine-similar neighbors — the backbone of
@@ -491,9 +494,17 @@ def knn_graph(
         F.col(vec_col).cast("array<double>").alias("_vb"),
     ).where(F.col("_blk").isNotNull())
     pairs = a.join(b, "_blk").where(F.col("src") != F.col("dst"))
-    scored = pairs.select(
-        "src", "dst", cosine(F.col("_va"), F.col("_vb")).alias("_cos")
-    )
+    if portable:
+        # fold-order-exact Catalyst expression: the DuckDB-twin path
+        score = cosine(F.col("_va"), F.col("_vb"))
+    else:
+        # Arrow-batched BLAS kernel — the hot path: the expression
+        # cosine is interpreted per array element, the kernel does the
+        # whole batch in one einsum (same round-6 contract)
+        from smos_spark.operators.dedup import _cosine_pairs_udf
+
+        score = _cosine_pairs_udf()(F.col("_va"), F.col("_vb"))
+    scored = pairs.select("src", "dst", score.alias("_cos"))
     w = Window.partitionBy("src").orderBy(F.desc("_cos"), F.asc("dst"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -504,4 +515,52 @@ def knn_graph(
             "rk",
             F.floor(F.col("_cos") * F.lit(1_000_000)).cast("long").alias("cos_ppm"),
         )
+    )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    threshold_ppm: int = 0,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-space quality filter: flag vectors whose cosine to
+    their OWN cell centroid falls below `threshold_ppm` (parts-per-
+    million, i.e. 0 = pointing away from the cluster it was assigned
+    to) — mislabel / noise detection over a training-embedding corpus.
+
+    Exactness contract: the centroid is the quantized integer-sum mean
+    (`ivf_centroids` — order-independent, bit-identical across engines
+    and partitionings), and the emitted score is floor(cos·1e6) of the
+    RAW cosine double (no round-6 step): both engines fold the same
+    doubles in the same order, so the int64 ppm and the threshold cut
+    are hash-exact. Output: (key, cell_col, cos_ppm).
+
+    Scale shape: one centroid aggregation pass (shuffle = O(cells)
+    fixed-size integer state), then a join the optimizer broadcasts
+    when the centroid table fits (no forced hint — a 10^9-cell index
+    shuffles instead of OOMing the driver), then a scan-side codegen
+    expression. Never all-pairs, no Python in the hot path.
+
+    Reference analog: flag-based value masking keeps rows but marks
+    bad values (/root/reference/src/smos/smos_ic/interface_ic.py:121-133);
+    here the "flag" is derived from the geometry itself.
+    """
+    from smos_spark.operators.dedup import cosine
+
+    if centroids is None:
+        centroids = ivf_centroids(df, cell_col, vec_col)
+    joined = df.join(centroids, cell_col)
+    c = cosine(
+        F.col(vec_col).cast("array<double>"), F.col("centroid"), round_to=None
+    )
+    return (
+        joined.select(
+            F.col(key),
+            F.col(cell_col),
+            F.floor(c * F.lit(1_000_000.0)).cast("long").alias("cos_ppm"),
+        )
+        .where(F.col("cos_ppm") < int(threshold_ppm))
     )

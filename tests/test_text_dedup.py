@@ -577,3 +577,33 @@ def test_knn_graph_requires_block():
 
     with pytest.raises(ValueError, match="block"):
         knn_graph(None, block_col=None)
+
+
+def test_centroid_outliers_matches_numpy(embs):
+    """Quality filter vs numpy: quantized-integer centroids are exact,
+    so only the final double fold can differ (BLAS pairwise vs left
+    fold) — allow ±1 ppm at the boundary."""
+    from smos_spark.operators.similarity import centroid_outliers
+
+    got = centroid_outliers(embs, threshold_ppm=0).toPandas()
+    pdf = embs.select("vec_id", "embedding", "label").toPandas()
+    m = np.stack(pdf.embedding.to_numpy()).astype("float64")
+    labels = pdf.label.to_numpy()
+    qsum = {}
+    for lab in set(labels):
+        block = m[labels == lab]
+        s = np.round(block * 1e6).astype("int64").sum(axis=0)
+        qsum[lab] = s / (len(block) * 1e6)
+    ppm = {}
+    for i, vid in enumerate(pdf.vec_id.to_numpy()):
+        cen = qsum[labels[i]]
+        c = (m[i] @ cen) / (np.linalg.norm(m[i]) * np.linalg.norm(cen))
+        ppm[vid] = int(np.floor(c * 1e6))
+    got_ids = set(got.vec_id)
+    for vid, p in ppm.items():
+        if p <= -2:
+            assert vid in got_ids, (vid, p)
+        if p >= 1:
+            assert vid not in got_ids, (vid, p)
+    for row in got.itertuples():
+        assert abs(row.cos_ppm - ppm[row.vec_id]) <= 1
