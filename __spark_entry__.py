@@ -1115,6 +1115,28 @@ def _q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_cms_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch through the correctness gate: weekly per-user
+    frequency estimates come from MERGING the per-day sketches
+    (elementwise integer sums — order-independent), while the oracle
+    sketches each week directly from the raw rows. They match exactly,
+    proving the partial-reaggregation contract for frequency state —
+    the KMV twin of this query proves it for cardinality."""
+    from smos_spark.operators.sketch import cms_build, cms_estimate, cms_merge
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    daily = cms_build(ev, key="user_id", group_cols=["day"], width=64, depth=3)
+    weekly = cms_merge(
+        daily.withColumn("week", F.date_trunc("week", "day")).select("week", "cms"),
+        ["week"],
+    )
+    return cms_estimate(
+        weekly, keys=list(range(8)), key_name="user_id", width=64, depth=3
+    )
+
+
 def _q_emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space quality filter: vectors whose raw cosine to
     their own label's quantized-mean centroid is negative (pointing
@@ -1190,6 +1212,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_transitions": _q_role_transitions,
         "emb_knn_graph": _q_emb_knn_graph,
         "emb_centroid_outliers": _q_emb_centroid_outliers,
+        "events_cms_weekly": _q_events_cms_weekly,
         "doc_hash_split": _q_doc_hash_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_topk_per_lang": _q_doc_topk_per_lang,
@@ -1252,7 +1275,11 @@ def oracle_sql() -> dict[str, str]:
     md5h = "(('0x' || substr(md5({0}), 1, 15))::BIGINT)"
 
     # universal-hash twins for doc_minhash (params from hash_params(4))
-    from smos_spark.functions.texthash import hash_params, universal_hash_sql
+    from smos_spark.functions.texthash import (
+        MERSENNE_P,
+        hash_params,
+        universal_hash_sql,
+    )
 
     sh = (
         "list_transform("
@@ -2273,6 +2300,40 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 31.0 * 1152921504606846976 / max(h)::DOUBLE END
               * 1000) AS BIGINT) AS est_milli
           FROM r WHERE dr <= 32 GROUP BY week
+        """,
+        "events_cms_weekly": f"""
+          WITH params(d, a, b) AS (VALUES {", ".join(
+              f"({d}, {a}, {b})"
+              for d, (a, b) in enumerate(hash_params(3, seed=42))
+          )}),
+          h AS (
+            SELECT date_trunc('week', ts) AS week,
+                   {md5h.format("user_id::VARCHAR || ':42'")} AS h
+            FROM events WHERE user_id IS NOT NULL),
+          rp AS (
+            SELECT h.week, p.d,
+                   ((p.a * ((h.h) % {MERSENNE_P} + {MERSENNE_P}) % {MERSENNE_P}
+                     + p.b) % {MERSENNE_P}) % 64 AS pos
+            FROM h, params p),
+          cand AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS user_id),
+          ch AS (
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   {md5h.format("user_id::VARCHAR || ':42'")} AS h
+            FROM cand),
+          cp AS (
+            SELECT c.user_id, p.d,
+                   ((p.a * ((c.h) % {MERSENNE_P} + {MERSENNE_P}) % {MERSENNE_P}
+                     + p.b) % {MERSENNE_P}) % 64 AS pos
+            FROM ch c, params p),
+          cnt AS (
+            SELECT week, d, pos, count(*) AS c FROM rp GROUP BY 1, 2, 3),
+          weeks AS (SELECT DISTINCT week FROM rp)
+          SELECT w.week, cp.user_id,
+                 CAST(min(coalesce(cnt.c, 0)) AS BIGINT) AS est
+          FROM weeks w CROSS JOIN cp
+          LEFT JOIN cnt ON cnt.week = w.week AND cnt.d = cp.d
+                       AND cnt.pos = cp.pos
+          GROUP BY 1, 2
         """,
         "doc_bloom_decontaminate": _bloom_decontaminate_sql,
         # int8 symmetric quantization (floor(x/s*127+0.5) — the same

@@ -225,6 +225,27 @@ def main() -> None:
             )
         )
 
+    def q_cms_sketch():
+        # count-min frequency state: daily build (shuffle bounded by
+        # groups·depth·width) + exact weekly merge + watchlist estimate
+        from smos_spark.operators.sketch import cms_build, cms_estimate, cms_merge
+
+        evd = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "day", F.date_trunc("day", "ts")
+        )
+        daily = cms_build(evd, key="user_id", group_cols=["day"], width=256, depth=4)
+        weekly = cms_merge(
+            daily.withColumn("week", F.date_trunc("week", "day")).select(
+                "week", "cms"
+            ),
+            ["week"],
+        )
+        _force(
+            cms_estimate(
+                weekly, keys=list(range(32)), key_name="user_id", width=256, depth=4
+            )
+        )
+
     def q_pack_sample():
         # training-set assembly: hash split + shard packing (bucketed
         # two-level prefix sum) + per-group curation
@@ -274,6 +295,7 @@ def main() -> None:
         "asof_rolling": q_asof_rolling,
         "downsample": q_downsample,
         "sketches": q_sketches,
+        "cms_sketch": q_cms_sketch,
         "pack_sample": q_pack_sample,
         "conv_flow": q_conv_flow,
         "knn_outliers": q_knn_outliers,

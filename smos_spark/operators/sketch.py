@@ -58,6 +58,9 @@ __all__ = [
     "kmv_merge",
     "bloom_build",
     "bloom_decontaminate",
+    "cms_build",
+    "cms_merge",
+    "cms_estimate",
 ]
 
 #: md5_hash64 is 15 hex chars -> uniform on [0, 2^60)
@@ -298,4 +301,139 @@ def bloom_decontaminate(
         F.size("grams").cast("long").alias("n_grams"),
         hits.alias("n_hits"),
         (hits > 0).alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+
+
+def _cms_positions(
+    key_col: Column, width: int, depth: int, seed: int, portable: bool
+) -> list[Column]:
+    """depth probe positions in [0, width) for one key — Mersenne
+    universal hashes of the tagged md5/xxhash (identical probes on the
+    build, merge-query, and oracle sides)."""
+    from smos_spark.functions.texthash import universal_hash
+
+    h = _kmv_hash(key_col, seed, portable)
+    return [
+        (universal_hash(h, a, b) % F.lit(width)).cast("long")
+        for a, b in hash_params(depth, seed=seed)
+    ]
+
+
+def cms_build(
+    df: DataFrame,
+    key: str,
+    group_cols: list[str | Column] | None = None,
+    width: int = 256,
+    depth: int = 4,
+    seed: int = 42,
+    portable: bool = True,
+) -> DataFrame:
+    """Count-min sketch per group: a depth×width int64 counter matrix
+    stored row-major as one flat `cms` array. Point-query estimate =
+    min over rows of counter[d, pos_d(key)] ≥ true count (never
+    under-counts; over-counts bounded by N/width per row).
+
+    The counters are plain integer SUMS — order-independent — so
+    sketches merge EXACTLY (`cms_merge` == the sketch a direct pass
+    over the merged rows would build, the same partial-reaggregation
+    contract as `kmv_merge` and the rollup tier cascade).
+
+    Plan shape: probe-position explode (depth rows/input row, pure
+    codegen) → groupBy(group, pos) count with map-side combine — the
+    shuffle carries at most groups·depth·width fixed-size rows however
+    large the input — → one densify aggregation of the same size.
+    NULL keys are excluded (no identity to hash)."""
+    if depth < 1 or width < 2:
+        raise ValueError("need depth >= 1 and width >= 2")
+    if depth * width > (1 << 20):
+        raise ValueError(
+            f"depth*width = {depth * width} counters per group: beyond 2^20 "
+            "the sketch no longer fits an array column sensibly — widen the "
+            "grouping or use the exact aggregation"
+        )
+    group_cols = list(group_cols or [])
+    pos = _cms_positions(F.col(key), width, depth, seed, portable)
+    flat = F.array(*[p + F.lit(d * width) for d, p in enumerate(pos)])
+    base = df.where(F.col(key).isNotNull()).select(
+        *group_cols, F.explode(flat).alias("_pos")
+    )
+    gnames = [c for c in base.columns if c != "_pos"]
+    counts = base.groupBy(*gnames, "_pos").agg(F.count(F.lit(1)).alias("_c"))
+    return _cms_densify(counts, gnames, depth * width)
+
+
+def _cms_densify(counts: DataFrame, gnames: list[str], n: int) -> DataFrame:
+    """(group, _pos, _c) sparse counter rows → dense length-n array."""
+    dense = counts.groupBy(*gnames).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_pos"), F.col("_c")))
+        ).alias("_m")
+    )
+    counters = F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("long")), F.lit(0).cast("long")
+        ),
+    )
+    return dense.select(*gnames, counters.alias("cms"))
+
+
+def cms_merge(
+    sketches: DataFrame, group_cols: list[str], cms_col: str = "cms"
+) -> DataFrame:
+    """Merge finer sketches to coarser groups by elementwise counter
+    addition — EXACT: integer sums are order- and grouping-independent,
+    so the merged sketch is bit-identical to one built directly from
+    the raw rows (the events_cms_weekly oracle proves this: it sketches
+    the week straight from the events table). Input is already
+    O(groups·depth·width) rows."""
+    exploded = sketches.select(
+        *group_cols, F.posexplode(cms_col).alias("_pos", "_c")
+    )
+    summed = exploded.groupBy(*group_cols, "_pos").agg(F.sum("_c").alias("_c"))
+    # dense input arrays emit every index, so re-densify by sorting the
+    # (pos, sum) structs back into array order — no length bookkeeping
+    return summed.groupBy(*group_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_c"))),
+            lambda s: s["_c"],
+        ).alias(cms_col)
+    )
+
+
+def cms_estimate(
+    sketches: DataFrame,
+    keys: list,
+    key_name: str = "key",
+    width: int = 256,
+    depth: int = 4,
+    seed: int = 42,
+    portable: bool = True,
+    cms_col: str = "cms",
+) -> DataFrame:
+    """Point-query a small candidate key list against every sketch row:
+    est = min over depth of counter[d, pos_d(key)]. The candidate side
+    is caller-supplied and tiny by contract (a dashboard watchlist) —
+    broadcast join, sketch rows never move. Returns
+    (group_cols…, key_name, est)."""
+    spark = sketches.sparkSession
+    cand = spark.createDataFrame([(k,) for k in keys], [key_name])
+    pos = _cms_positions(F.col(key_name), width, depth, seed, portable)
+    cand_pos = cand.select(
+        key_name,
+        *[
+            (p + F.lit(d * width) + F.lit(1)).cast("int").alias(f"_p{d}")
+            for d, p in enumerate(pos)
+        ],
+    )
+    est = F.least(
+        *[F.element_at(F.col(cms_col), F.col(f"_p{d}")) for d in range(depth)]
+    )
+    gnames = [c for c in sketches.columns if c != cms_col]
+    return sketches.crossJoin(F.broadcast(cand_pos)).select(
+        *gnames, key_name, est.alias("est")
     )

@@ -140,3 +140,49 @@ def test_bloom_build_guards(spark, docs):
         bloom_build(grams, m_bits=100)  # not a multiple of 32
     with pytest.raises(ValueError):
         bloom_build(grams, m_bits=1 << 27)  # bitmap too large for a literal
+
+
+def test_cms_merge_is_exact(spark, events):
+    """Merged daily CM sketches == the sketch built directly from the
+    week's raw rows — counter arrays bit-identical (integer sums are
+    order/grouping independent)."""
+    from smos_spark.operators.sketch import cms_build, cms_merge
+
+    daily = cms_build(events, key="user_id", group_cols=["day"], width=32, depth=3)
+    merged = cms_merge(
+        daily.withColumn("week", F.date_trunc("week", "day")).select("week", "cms"),
+        ["week"],
+    )
+    direct = cms_build(
+        events.withColumn("week", F.date_trunc("week", "ts")),
+        key="user_id",
+        group_cols=["week"],
+        width=32,
+        depth=3,
+    )
+    m = {r["week"]: r["cms"] for r in merged.collect()}
+    d = {r["week"]: r["cms"] for r in direct.collect()}
+    assert m.keys() == d.keys() and len(m) > 1
+    for wk in m:
+        assert m[wk] == d[wk]
+
+
+def test_cms_never_undercounts(spark, events):
+    from smos_spark.operators.sketch import cms_build, cms_estimate
+
+    sk = cms_build(events, key="user_id", group_cols=["day"], width=64, depth=4)
+    est = cms_estimate(
+        sk, keys=list(range(30)), key_name="user_id", width=64, depth=4
+    )
+    true = events.groupBy("day", "user_id").count()
+    j = est.join(true, ["day", "user_id"], "left").na.fill(0, ["count"])
+    assert j.where(F.col("est") < F.col("count")).count() == 0
+    # and the estimate is non-trivial: exact for at least one key
+    assert j.where((F.col("est") == F.col("count")) & (F.col("count") > 0)).count() > 0
+
+
+def test_cms_state_guard():
+    from smos_spark.operators.sketch import cms_build
+
+    with pytest.raises(ValueError, match="2\\^20"):
+        cms_build(None, key="k", width=1 << 18, depth=8)
