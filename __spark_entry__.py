@@ -1115,6 +1115,20 @@ def _q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC + control-strip + ASCII-whitespace collapse over the
+    corpus — byte-identical to DuckDB's nfc_normalize + the same
+    explicit-class regexes (no \\s: its unicode semantics differ
+    between Python and RE2). Scan-side Arrow kernel, no shuffle."""
+    from smos_spark.operators.text import normalize_text
+
+    return normalize_text(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "text_norm",
+        F.length("text_norm").cast("long").alias("n_norm"),
+    )
+
+
 def _q_events_cms_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch through the correctness gate: weekly per-user
     frequency estimates come from MERGING the per-day sketches
@@ -1213,6 +1227,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_graph": _q_emb_knn_graph,
         "emb_centroid_outliers": _q_emb_centroid_outliers,
         "events_cms_weekly": _q_events_cms_weekly,
+        "doc_normalize": _q_doc_normalize,
         "doc_hash_split": _q_doc_hash_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_topk_per_lang": _q_doc_topk_per_lang,
@@ -2095,6 +2110,17 @@ def oracle_sql() -> dict[str, str]:
                 AS cos_ppm
             FROM embeddings e JOIN centl USING (label))
           SELECT vec_id, label, cos_ppm FROM scored WHERE cos_ppm < 0
+        """,
+        "doc_normalize": """
+          WITH n AS (
+            SELECT doc_id,
+              trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                '[ \\t\\n\\r]+', ' ', 'g'), ' ') AS text_norm
+            FROM documents)
+          SELECT doc_id, text_norm,
+                 CAST(len(text_norm) AS BIGINT) AS n_norm
+          FROM n
         """,
         "top_gaps": """
           WITH g AS (

@@ -8,6 +8,7 @@ DuckDB-SQL twin in __spark_entry__.oracle_sql().
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -535,3 +536,50 @@ def apply_funnel(
             .drop("_rn")
         )
     return kept
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization
+
+#: C0/C1 control characters EXCEPT tab/newline/CR (those are whitespace)
+CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+#: explicit ASCII whitespace class, deliberately NOT backslash-s:
+#: Python's matches unicode spaces while RE2's is ASCII-only, so the
+#: portable contract names its characters
+WS_RE = "[ \\t\\n\\r]+"
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+) -> DataFrame:
+    """Canonical text cleanup for training corpora: Unicode NFC
+    normalization, C0/C1 control-character strip (tab/newline/CR are
+    treated as whitespace instead), ASCII-whitespace run collapse to a
+    single space, and space trim. NULL stays NULL.
+
+    The kernel is one Arrow-batched pandas UDF using pandas' vectorized
+    str methods (`.str.normalize('NFC')` etc.) — Spark has no built-in
+    Unicode normalizer; everything else stays a C loop per batch. The
+    DuckDB twin is nfc_normalize + the SAME explicit-class regexes, so
+    outputs are byte-identical (both engines implement standard NFC;
+    unicode spaces are deliberately left alone — collapsing them would
+    tie the contract to each engine's unicode-property tables).
+
+    Scale shape: embarrassingly parallel scan-side map, no shuffle.
+
+    Reference analog: value-level cleanup at read time
+    (/root/reference/src/smos/smos_ic/interface_ic.py:113-133 masks
+    non-finite values in place); this is the text equivalent.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        out = s.str.normalize("NFC")
+        out = out.str.replace(CTRL_RE, "", regex=True)
+        out = out.str.replace(WS_RE, " ", regex=True)
+        return out.str.strip(" ")
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))

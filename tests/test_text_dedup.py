@@ -607,3 +607,45 @@ def test_centroid_outliers_matches_numpy(embs):
             assert vid not in got_ids, (vid, p)
     for row in got.itertuples():
         assert abs(row.cos_ppm - ppm[row.vec_id]) <= 1
+
+
+
+def test_normalize_text_known_values(spark):
+    """NFC composition, control strip, whitespace collapse, trim —
+    planted unicode rows with exact expected outputs; NULL stays NULL."""
+    from smos_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "e\u0301xtra   space\tand\nnewline  "),  # NFD e+accent -> \u00e9
+        (2, None),
+        (3, "plain"),
+        (4, "nbsp\u00a0stays  intact"),  # unicode space NOT collapsed
+        (5, "bell\x07and\x0bvt\x0cff"),  # controls stripped
+        (6, "  lead trail\r\n"),
+    ]
+    exp = {
+        1: "\u00e9xtra space and newline",
+        2: None,
+        3: "plain",
+        4: "nbsp\u00a0stays intact",
+        5: "bellandvtff",
+        6: "lead trail",
+    }
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text_norm for r in normalize_text(df).collect()}
+    assert got == exp
+    # cross-engine: DuckDB twin produces byte-identical strings
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    duck = dict(
+        duckdb.sql(
+            r"""
+        SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text),
+          '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+          '[ \t\n\r]+', ' ', 'g'), ' ') FROM pdf
+    """
+        ).fetchall()
+    )
+    assert duck == exp
