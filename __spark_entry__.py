@@ -1115,6 +1115,17 @@ def _q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_turn_dedup_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-aware adjacent-duplicate turn removal (retry storms):
+    null-safe (role, text) equality against the lagged turn, first
+    turn always kept. One window pass + codegen filter."""
+    from smos_spark.operators.flow import dedup_consecutive
+
+    return dedup_consecutive(_transcripts(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
 def _q_doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC + control-strip + ASCII-whitespace collapse over the
     corpus — byte-identical to DuckDB's nfc_normalize + the same
@@ -1228,6 +1239,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_centroid_outliers": _q_emb_centroid_outliers,
         "events_cms_weekly": _q_events_cms_weekly,
         "doc_normalize": _q_doc_normalize,
+        "turn_dedup_consecutive": _q_turn_dedup_consecutive,
         "doc_hash_split": _q_doc_hash_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_topk_per_lang": _q_doc_topk_per_lang,
@@ -2121,6 +2133,18 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, text_norm,
                  CAST(len(text_norm) AS BIGINT) AS n_norm
           FROM n
+        """,
+        "turn_dedup_consecutive": _T_CTE
+        + """
+          , l AS (
+            SELECT conv_id, turn_idx, role, text, tool, ts,
+              lag(role) OVER w AS pr, lag(text) OVER w AS pt,
+              lag(1) OVER w AS hp
+            FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx))
+          SELECT conv_id, turn_idx, role, text, tool, ts FROM l
+          WHERE hp IS NULL
+             OR NOT (role IS NOT DISTINCT FROM pr
+                     AND text IS NOT DISTINCT FROM pt)
         """,
         "top_gaps": """
           WITH g AS (

@@ -21,7 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["response_latency", "transition_matrix"]
+__all__ = ["response_latency", "transition_matrix", "dedup_consecutive"]
 
 #: fixed-point scale for exact cross-engine ratio outputs
 MICRO = 1_000_000
@@ -122,4 +122,41 @@ def transition_matrix(
         counts.withColumn("_tot", F.sum("n").over(row_tot))
         .withColumn("share_ppm", F.expr(f"(n * {MICRO}) div _tot"))
         .select("src", "dst", "n", "share_ppm")
+    )
+
+
+def dedup_consecutive(
+    df: DataFrame,
+    cols: Sequence[str] = ("role", "text"),
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = ("turn_idx",),
+) -> DataFrame:
+    """Drop turns identical (on `cols`) to the immediately preceding
+    turn of the same conversation — retry-storm / double-send cleanup.
+    Unlike corpus-level dedup (operators/dedup.py), this is ORDER-aware
+    and local: only adjacent repeats go; a later identical turn in a
+    different position stays.
+
+    Equality is null-safe per column (`eqNullSafe`; two NULLs match),
+    and the first turn of a conversation is always kept (guarded by a
+    lag-presence flag so an all-NULL first row can't self-match an
+    absent predecessor).
+
+    Plan shape: ONE window pass over the conv partitioning (all lags
+    share the same WindowSpec → a single Window node), then a codegen
+    filter — the corpus crosses the wire once and nothing else
+    shuffles. Scale caveat shared by every per-conv window: a
+    conversation is one partition; conversations are short by
+    construction (north rule), so no salting is needed here.
+    """
+    w = Window.partitionBy(conv_col).orderBy(ts_col, *order_cols)
+    same = F.lit(True)
+    for c in cols:
+        same = same & F.col(c).eqNullSafe(F.lag(c).over(w))
+    has_prev = F.lag(F.lit(1)).over(w).isNotNull()
+    return (
+        df.withColumn("_is_dup", has_prev & same)
+        .where(~F.col("_is_dup"))
+        .drop("_is_dup")
     )

@@ -80,3 +80,49 @@ def test_transition_matrix_null_state(transcripts):
     n_convs = transcripts.select("conv_id").distinct().count()
     assert got.n.sum() == n_rows - n_convs  # one lost pair per conversation
     assert "∅" in set(got.src)
+
+
+def test_dedup_consecutive_planted(spark):
+    """Adjacent repeats dropped; same content later in the conv kept;
+    all-NULL adjacent rows are duplicates; first turn always kept."""
+    from pyspark.sql import functions as F
+
+    from smos_spark.operators.flow import dedup_consecutive
+
+    rows = [
+        ("c1", 0, "user", "hi", None, "2025-01-01 00:00:00"),
+        ("c1", 1, "user", "hi", None, "2025-01-01 00:00:01"),  # dup -> drop
+        ("c1", 2, "assistant", "yo", None, "2025-01-01 00:00:02"),
+        ("c1", 3, "user", "hi", None, "2025-01-01 00:00:03"),  # not adjacent
+        ("c2", 0, None, None, None, "2025-01-01 00:00:00"),  # first: keep
+        ("c2", 1, None, None, None, "2025-01-01 00:00:01"),  # null dup -> drop
+        ("c2", 2, "user", None, None, "2025-01-01 00:00:02"),  # role differs
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    kept = sorted(
+        (r.conv_id, r.turn_idx) for r in dedup_consecutive(df).collect()
+    )
+    assert kept == [("c1", 0), ("c1", 2), ("c1", 3), ("c2", 0), ("c2", 2)]
+
+
+def test_dedup_consecutive_matches_pandas(transcripts, transcripts_pdf):
+    """Kept count matches an independent pandas adjacent-dup scan, and
+    the operator preserves every column."""
+    from smos_spark.operators.flow import dedup_consecutive
+
+    out = dedup_consecutive(transcripts)
+    assert out.columns == transcripts.columns
+    o = transcripts_pdf.sort_values(["conv_id", "ts", "turn_idx"])
+    g = o.groupby("conv_id")
+    same = (
+        o["role"].eq(g["role"].shift()) | (o["role"].isna() & g["role"].shift().isna())
+    ) & (
+        o["text"].eq(g["text"].shift()) | (o["text"].isna() & g["text"].shift().isna())
+    )
+    has_prev = g.cumcount() > 0
+    expected = int((~(same & has_prev)).sum())
+    assert out.count() == expected < len(o)
