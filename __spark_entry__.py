@@ -1115,6 +1115,14 @@ def _q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_conv_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation curation feature table: one groupBy with
+    map-side partials, O(conversations) exact-int64 output."""
+    from smos_spark.operators.flow import conv_features
+
+    return conv_features(_transcripts(spark, sf_dir))
+
+
 def _q_turn_dedup_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-aware adjacent-duplicate turn removal (retry storms):
     null-safe (role, text) equality against the lagged turn, first
@@ -1240,6 +1248,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms_weekly": _q_events_cms_weekly,
         "doc_normalize": _q_doc_normalize,
         "turn_dedup_consecutive": _q_turn_dedup_consecutive,
+        "conv_features": _q_conv_features,
         "doc_hash_split": _q_doc_hash_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_topk_per_lang": _q_doc_topk_per_lang,
@@ -2145,6 +2154,25 @@ def oracle_sql() -> dict[str, str]:
           WHERE hp IS NULL
              OR NOT (role IS NOT DISTINCT FROM pr
                      AND text IS NOT DISTINCT FROM pt)
+        """,
+        "conv_features": _T_CTE
+        + """
+          SELECT conv_id,
+            CAST(count(*) AS BIGINT) AS n_turns,
+            CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_user,
+            CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_assistant,
+            CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_tool_calls,
+            CAST(sum(coalesce(len(text), 0)) AS BIGINT) AS total_chars,
+            CAST(max(coalesce(len(text), 0)) AS BIGINT) AS max_chars,
+            CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT)
+              AS duration_us,
+            CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+            CAST((sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) * 1000000)
+                 // count(*) AS BIGINT) AS user_share_ppm
+          FROM t GROUP BY conv_id
         """,
         "top_gaps": """
           WITH g AS (

@@ -21,7 +21,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["response_latency", "transition_matrix", "dedup_consecutive"]
+__all__ = [
+    "response_latency",
+    "transition_matrix",
+    "dedup_consecutive",
+    "conv_features",
+]
 
 #: fixed-point scale for exact cross-engine ratio outputs
 MICRO = 1_000_000
@@ -159,4 +164,43 @@ def dedup_consecutive(
         df.withColumn("_is_dup", has_prev & same)
         .where(~F.col("_is_dup"))
         .drop("_is_dup")
+    )
+
+
+def conv_features(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    role_col: str = "role",
+    tool_col: str = "tool",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation curation features — the table a training
+    pipeline filters/stratifies on before sampling whole conversations:
+    (conv_id, n_turns, n_user, n_assistant, n_tool_calls, total_chars,
+    max_chars, duration_us, n_roles, user_share_ppm), all exact int64.
+
+    Plan shape: ONE groupBy with map-side partials — the shuffle
+    carries O(conversations) rows of fixed-size integer state, never
+    the turns. Composes with `response_latency` (join on conv_id, both
+    sides already hash-partitioned by it) for latency-aware curation.
+
+    Reference analog: per-point series summaries read from the cell
+    store (/root/reference/src/smos/interface.py:128-162) — here the
+    summary is computed corpus-wide in one pass instead of per lookup.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    one_if = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+    agg = df.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        one_if(F.col(role_col) == "user").alias("n_user"),
+        one_if(F.col(role_col) == "assistant").alias("n_assistant"),
+        one_if(F.col(tool_col).isNotNull()).alias("n_tool_calls"),
+        F.sum(F.coalesce(F.length(text_col), F.lit(0))).alias("total_chars"),
+        F.max(F.coalesce(F.length(text_col), F.lit(0))).cast("long").alias("max_chars"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
+        F.count_distinct(F.col(role_col)).alias("n_roles"),
+    )
+    return agg.withColumn(
+        "user_share_ppm", F.expr(f"(n_user * {MICRO}) div n_turns")
     )

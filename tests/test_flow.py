@@ -126,3 +126,37 @@ def test_dedup_consecutive_matches_pandas(transcripts, transcripts_pdf):
     has_prev = g.cumcount() > 0
     expected = int((~(same & has_prev)).sum())
     assert out.count() == expected < len(o)
+
+
+def test_conv_features_matches_pandas(transcripts, transcripts_pdf):
+    from smos_spark.operators.flow import conv_features
+
+    got = (
+        conv_features(transcripts)
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    o = transcripts_pdf.copy()
+    o["us"] = o["ts"].astype("datetime64[us]").astype("int64")
+    o["chars"] = o["text"].str.len().fillna(0).astype("int64")
+    g = o.groupby("conv_id")
+    exp = pd.DataFrame(
+        {
+            "n_turns": g.size(),
+            "n_user": g.apply(lambda x: int((x.role == "user").sum())),
+            "n_assistant": g.apply(lambda x: int((x.role == "assistant").sum())),
+            "n_tool_calls": g.apply(lambda x: int(x.tool.notna().sum())),
+            "total_chars": g.chars.sum(),
+            "max_chars": g.chars.max(),
+            "duration_us": g.us.max() - g.us.min(),
+            "n_roles": g.role.nunique(),
+        }
+    ).reset_index()
+    exp["user_share_ppm"] = (exp.n_user * 1_000_000) // exp.n_turns
+    exp = exp.sort_values("conv_id").reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    for c in exp.columns[1:]:
+        np.testing.assert_array_equal(
+            got[c].to_numpy().astype("int64"), exp[c].to_numpy().astype("int64"), c
+        )
