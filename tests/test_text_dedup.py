@@ -649,3 +649,20 @@ def test_normalize_text_known_values(spark):
         ).fetchall()
     )
     assert duck == exp
+
+
+def test_knn_graph_mapside_topk_in_plan(embs):
+    """The per-source top-k must be cut BEFORE the exchange: a partial
+    WindowGroupLimit ahead of the shuffle bounds it to O(N·k) rows
+    (PLANS.md §22) — pinned here so a regression can't silently ship
+    the full candidate-pair set through the wire."""
+    from smos_spark.operators.similarity import knn_graph
+
+    plan = (
+        knn_graph(embs, k=3, block_col="label")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pre_exchange = plan.split("Exchange hashpartitioning(src", 1)[-1]
+    assert "WindowGroupLimit" in pre_exchange, plan
