@@ -1424,11 +1424,12 @@ def oracle_sql() -> dict[str, str]:
             f" * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))))"
         )
 
-    # --- IVF twin: quantized integer-sum centroids (order-independent
-    # ⇒ bit-identical to Spark's), rank label cells by round-6 cosine
-    # (ties → label asc), probe top 3, exact within-cell ranking.
-    ivf_topk_sql = f"""
-      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    # shared quantized-integer-sum centroid CTE pair (cent → centl):
+    # the ONE definition both the IVF twin and the centroid-outlier
+    # twin must agree on — hoisted so an edit (quantum, dim literal)
+    # can't desynchronize them from ivf_centroids
+    def cent_sql() -> str:
+        return """
       cent AS (
         SELECT label, dims.i AS i,
                sum(CAST(round(embedding[dims.i]::DOUBLE * 1000000.0) AS BIGINT)) AS s,
@@ -1437,7 +1438,14 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2),
       centl AS (
         SELECT label, list(s::DOUBLE / (c::DOUBLE * 1000000.0) ORDER BY i) AS cen
-        FROM cent GROUP BY label),
+        FROM cent GROUP BY label)"""
+
+    # --- IVF twin: quantized integer-sum centroids (order-independent
+    # ⇒ bit-identical to Spark's), rank label cells by round-6 cosine
+    # (ties → label asc), probe top 3, exact within-cell ranking.
+    ivf_topk_sql = f"""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      {cent_sql()},
       ranked AS (
         SELECT label FROM centl, q
         ORDER BY round({cos_sql('cen', 'qv')}, 6) DESC, label ASC
@@ -2087,7 +2095,8 @@ def oracle_sql() -> dict[str, str]:
             FROM t),
           counts AS (
             SELECT src, dst, count(*) AS n
-            FROM lagged WHERE src IS NOT NULL GROUP BY 1, 2)
+            FROM lagged WHERE src IS NOT NULL AND dst IS NOT NULL
+            GROUP BY 1, 2)
           SELECT src, dst, CAST(n AS BIGINT) AS n,
             CAST((n * 1000000) // sum(n) OVER (PARTITION BY src) AS BIGINT)
               AS share_ppm
@@ -2114,17 +2123,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT src, dst, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 3
         """,
         "emb_centroid_outliers": f"""
-          WITH cent AS (
-            SELECT label, dims.i AS i,
-              sum(CAST(round(embedding[dims.i]::DOUBLE * 1000000.0) AS BIGINT))
-                AS s,
-              count(*) AS c
-            FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) dims
-            GROUP BY 1, 2),
-          centl AS (
-            SELECT label, list(s::DOUBLE / (c::DOUBLE * 1000000.0) ORDER BY i)
-              AS cen
-            FROM cent GROUP BY label),
+          WITH {cent_sql()},
           scored AS (
             SELECT e.vec_id, e.label,
               CAST(floor({cos_sql('e.embedding', 'cen')} * 1000000.0) AS BIGINT)

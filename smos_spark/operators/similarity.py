@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from smos_spark.operators.dedup import cosine
@@ -473,10 +473,6 @@ def knn_graph(
     (/root/reference/src/smos/grid.py via pygeogrids) bounds every
     spatial search to a cell; blocks play that role in vector space.
     """
-    from pyspark.sql import Window
-
-    from smos_spark.operators.dedup import cosine
-
     if block_col is None:
         raise ValueError(
             "knn_graph requires a block column (label / IVF cell / LSH "
@@ -513,7 +509,10 @@ def knn_graph(
             "src",
             "dst",
             "rk",
-            F.floor(F.col("_cos") * F.lit(1_000_000)).cast("long").alias("cos_ppm"),
+            # _cos is the round-6 cosine; most 6-decimal fractions are
+            # not exact doubles, so floor(x*1e6) loses 1 ppm for ~1% of
+            # values — round() is exact for every round-6 input
+            F.round(F.col("_cos") * F.lit(1_000_000)).cast("long").alias("cos_ppm"),
         )
     )
 
@@ -548,8 +547,6 @@ def centroid_outliers(
     bad values (/root/reference/src/smos/smos_ic/interface_ic.py:121-133);
     here the "flag" is derived from the geometry itself.
     """
-    from smos_spark.operators.dedup import cosine
-
     if centroids is None:
         centroids = ivf_centroids(df, cell_col, vec_col)
     joined = df.join(centroids, cell_col)

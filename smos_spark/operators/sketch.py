@@ -419,7 +419,13 @@ def cms_estimate(
     est = min over depth of counter[d, pos_d(key)]. The candidate side
     is caller-supplied and tiny by contract (a dashboard watchlist) —
     broadcast join, sketch rows never move. Returns
-    (group_cols…, key_name, est)."""
+    (group_cols…, key_name, est).
+
+    width/depth/seed MUST match the sketch's build parameters — probe
+    positions index into the counter array, so a mismatch reads wrong
+    cells and can UNDER-count (silently breaking the count-min ≥-true
+    guarantee). The only part checkable after the fact is the array
+    length, so that is asserted per row."""
     spark = sketches.sparkSession
     cand = spark.createDataFrame([(k,) for k in keys], [key_name])
     pos = _cms_positions(F.col(key_name), width, depth, seed, portable)
@@ -430,8 +436,21 @@ def cms_estimate(
             for d, p in enumerate(pos)
         ],
     )
-    est = F.least(
-        *[F.element_at(F.col(cms_col), F.col(f"_p{d}")) for d in range(depth)]
+    probes = [F.element_at(F.col(cms_col), F.col(f"_p{d}")) for d in range(depth)]
+    est = probes[0] if depth == 1 else F.least(*probes)
+    # sketches built with different width/depth have a different array
+    # length — fail loudly instead of reading wrong counters
+    est = F.when(F.size(cms_col) == depth * width, est).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"cms_estimate(width={width}, depth={depth}) expects "
+                    f"length-{depth * width} sketches, got length "
+                ),
+                F.size(cms_col).cast("string"),
+                F.lit(" — width/depth must match cms_build's"),
+            )
+        )
     )
     gnames = [c for c in sketches.columns if c != cms_col]
     return sketches.crossJoin(F.broadcast(cand_pos)).select(

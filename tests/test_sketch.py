@@ -186,3 +186,30 @@ def test_cms_state_guard():
 
     with pytest.raises(ValueError, match="2\\^20"):
         cms_build(None, key="k", width=1 << 18, depth=8)
+
+
+def test_cms_depth1_estimate(spark, events):
+    """depth=1 is buildable, so it must be queryable too (F.least needs
+    ≥2 columns — regression: estimate special-cases the single probe)."""
+    from smos_spark.operators.sketch import cms_build, cms_estimate
+
+    sk = cms_build(events, key="user_id", group_cols=["day"], width=64, depth=1)
+    est = cms_estimate(
+        sk, keys=list(range(10)), key_name="user_id", width=64, depth=1
+    )
+    true = events.groupBy("day", "user_id").count()
+    j = est.join(true, ["day", "user_id"], "left").na.fill(0, ["count"])
+    assert j.where(F.col("est") < F.col("count")).count() == 0
+
+
+def test_cms_estimate_rejects_mismatched_params(spark, events):
+    """Probing with the wrong width/depth reads wrong counters and can
+    UNDER-count — the estimate must fail loudly on the one mismatch
+    that is detectable (array length != depth*width)."""
+    from pyspark.errors import SparkRuntimeException
+    from smos_spark.operators.sketch import cms_build, cms_estimate
+
+    sk = cms_build(events, key="user_id", group_cols=["day"], width=64, depth=3)
+    bad = cms_estimate(sk, keys=[1, 2], key_name="user_id", width=32, depth=3)
+    with pytest.raises(SparkRuntimeException, match="width/depth"):
+        bad.collect()

@@ -557,7 +557,7 @@ def test_knn_graph_matches_numpy(embs):
         cos = np.round((m[cand] @ m[i]) / (norms[cand] * norms[i]), 6)
         order = sorted(range(len(cand)), key=lambda j: (-cos[j], ids[cand[j]]))
         for rk, j in enumerate(order[:k], start=1):
-            exp_rows.append((ids[i], ids[cand[j]], rk, int(np.floor(cos[j] * 1e6))))
+            exp_rows.append((ids[i], ids[cand[j]], rk, int(np.round(cos[j] * 1e6))))
     import pandas as pd
 
     exp = (
@@ -568,8 +568,9 @@ def test_knn_graph_matches_numpy(embs):
     assert len(got) == len(exp) == len(pdf) * k
     np.testing.assert_array_equal(got.src.to_numpy(), exp.src.to_numpy())
     np.testing.assert_array_equal(got.dst.to_numpy(), exp.dst.to_numpy())
-    # scores: allow the floor-at-representation-boundary ulp only
-    assert (np.abs(got.cos_ppm.to_numpy() - exp.cos_ppm.to_numpy()) <= 1).all()
+    # round(round6_cos * 1e6) is exact for every round-6 value — no
+    # representation-boundary tolerance needed (unlike floor)
+    np.testing.assert_array_equal(got.cos_ppm.to_numpy(), exp.cos_ppm.to_numpy())
 
 
 def test_knn_graph_requires_block():
@@ -664,5 +665,10 @@ def test_knn_graph_mapside_topk_in_plan(embs):
         .executedPlan()
         .toString()
     )
-    pre_exchange = plan.split("Exchange hashpartitioning(src", 1)[-1]
+    marker = "Exchange hashpartitioning(src"
+    # guard the pin itself: if the marker string drifts, split()[-1]
+    # would return the WHOLE plan and the final (post-shuffle)
+    # WindowGroupLimit would satisfy the check spuriously
+    assert marker in plan, plan
+    pre_exchange = plan.split(marker, 1)[-1]
     assert "WindowGroupLimit" in pre_exchange, plan
