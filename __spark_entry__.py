@@ -1031,6 +1031,53 @@ def _q_events_kmv_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_merge(daily.select("week", "kmv_hashes"), ["week"], k=32)
 
 
+def _q_events_bottomk_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sample MERGE + quantile estimation through the gate:
+    weekly quantiles come from merging per-day k=32 samples
+    (bottomk_merge — never rescanning raw rows), the oracle builds the
+    weekly sample DIRECTLY from the events table and interpolates with
+    the identical explicit type-7 formula. Exact because the k
+    hash-smallest rows of a union are contained in the union of the
+    per-day k-smallest (the KMV exact-merge property, carrying a value
+    payload), and both engines fold the same IEEE expression over the
+    same sorted doubles."""
+    from smos_spark.operators.sketch import (
+        bottomk_merge,
+        bottomk_quantiles,
+        bottomk_sample,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    daily = bottomk_sample(
+        ev, key="event_id", value="value", group_cols=["day"], k=32
+    ).withColumn("week", F.date_trunc("week", "day"))
+    weekly = bottomk_merge(
+        daily.select("week", "bk_sample", "n_rows"), ["week"], k=32
+    )
+    return bottomk_quantiles(weekly, [0.5, 0.9, 0.99]).select(
+        "week", "n_rows", "q50", "q90", "q99"
+    )
+
+
+def _q_doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling to a per-language token budget: documents kept
+    in deterministic hash order until each language reaches 2000
+    tokens (the straddling doc included). The oracle replicates the
+    md5 hash order and the exclusive prefix-sum cut; token counts use
+    floor division so both engines derive identical integers
+    (DuckDB CAST(double AS BIGINT) rounds where Spark truncates)."""
+    from smos_spark.operators.sampling import sample_to_token_budget
+
+    d = _docs(spark, sf_dir).withColumn(
+        "n_tokens", (F.floor(F.col("n_chars") / 4) + 1).cast("long")
+    )
+    return sample_to_token_budget(d, 2000, group="lang").select(
+        "doc_id", "lang", "tok_start"
+    )
+
+
 def _q_doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-screened decontamination: the corpus side is ONE scan with
     a codegen membership expression against an 8 KB bitmap literal (no
@@ -1256,6 +1303,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bloom_decontaminate": _q_doc_bloom_decontaminate,
         "events_kmv_daily": _q_events_kmv_daily,
         "events_kmv_weekly": _q_events_kmv_weekly,
+        "events_bottomk_weekly": _q_events_bottomk_weekly,
+        "doc_token_budget": _q_doc_token_budget,
         "emb_quantized_topk": _q_emb_quantized_topk,
         "conv_len_percentiles": _q_conv_len_percentiles,
         "stats_pearson": _q_stats_pearson,
@@ -1304,6 +1353,17 @@ _FUNNEL_CTE = """
       CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS k4
     FROM f4)
 """
+
+
+def _quantile_interp_sql(p: float, vals: str = "vals") -> str:
+    """The explicit type-7 interpolation at rank p·(n−1), the SAME
+    IEEE expression `bottomk_quantiles` evaluates (v_lo + frac·(v_hi −
+    v_lo)) — spelled out instead of quantile_cont so neither engine's
+    internal interpolation variant can drift the last ulp."""
+    pos = f"(({p!r}::DOUBLE) * (len({vals}) - 1)::DOUBLE)"
+    lo = f"{vals}[CAST(floor({pos}) AS INT) + 1]"
+    hi = f"{vals}[CAST(ceil({pos}) AS INT) + 1]"
+    return f"({lo} + ({pos} - floor({pos})) * ({hi} - {lo}))"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2377,6 +2437,43 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 31.0 * 1152921504606846976 / max(h)::DOUBLE END
               * 1000) AS BIGINT) AS est_milli
           FROM r WHERE dr <= 32 GROUP BY week
+        """,
+        "events_bottomk_weekly": f"""
+          WITH h AS (
+            SELECT date_trunc('week', ts) AS week, event_id,
+                   value::DOUBLE AS v,
+                   {md5h.format("event_id::VARCHAR || ':42'")} AS h
+            FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+          r AS (
+            SELECT week, v,
+                   row_number() OVER (PARTITION BY week ORDER BY h, event_id)
+                     AS rk,
+                   count(*) OVER (PARTITION BY week) AS n
+            FROM h),
+          s AS (
+            SELECT week, CAST(max(n) AS BIGINT) AS n_rows,
+                   list(v ORDER BY v) AS vals
+            FROM r WHERE rk <= 32 GROUP BY week)
+          SELECT week, n_rows,
+            {_quantile_interp_sql(0.5)} AS q50,
+            {_quantile_interp_sql(0.9)} AS q90,
+            {_quantile_interp_sql(0.99)} AS q99
+          FROM s
+        """,
+        "doc_token_budget": f"""
+          WITH d AS (
+            SELECT doc_id, lang,
+                   (n_chars // 4 + 1)::BIGINT AS n_tokens,
+                   {md5h.format("doc_id::VARCHAR || ':42'")} AS h
+            FROM documents WHERE doc_id IS NOT NULL),
+          c AS (
+            SELECT doc_id, lang,
+              sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS tok_start
+            FROM d)
+          SELECT doc_id, lang, CAST(tok_start AS BIGINT) AS tok_start
+          FROM c WHERE tok_start < 2000
         """,
         "events_cms_weekly": f"""
           WITH params(d, a, b) AS (VALUES {", ".join(

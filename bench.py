@@ -198,6 +198,9 @@ def main() -> None:
         # (zero-shuffle corpus scan against a bitmap literal)
         from smos_spark.operators.sketch import (
             bloom_decontaminate,
+            bottomk_merge,
+            bottomk_quantiles,
+            bottomk_sample,
             kmv_distinct,
             kmv_merge,
         )
@@ -222,6 +225,21 @@ def main() -> None:
                 docs.where(F.col("doc_id") % 41 != 0),
                 docs.where(F.col("doc_id") % 41 == 0),
                 n=4,
+            )
+        )
+        bk = bottomk_sample(
+            evd, key="event_id", value="value", group_cols=["day"], k=64
+        )
+        _force(
+            bottomk_quantiles(
+                bottomk_merge(
+                    bk.withColumn("week", F.date_trunc("week", "day")).select(
+                        "week", "bk_sample", "n_rows"
+                    ),
+                    ["week"],
+                    k=64,
+                ),
+                [0.5, 0.9, 0.99],
             )
         )
 
@@ -252,6 +270,7 @@ def main() -> None:
         from smos_spark.operators.sampling import (
             hash_split,
             pack_documents,
+            sample_to_token_budget,
             topk_per_group,
         )
         from smos_spark.operators.text import token_count_re
@@ -260,6 +279,7 @@ def main() -> None:
         _force(hash_split(d, key="doc_id"))
         _force(pack_documents(d, capacity=2048, n_buckets=64))
         _force(topk_per_group(docs, "lang", [F.desc("n_chars")], 10))
+        _force(sample_to_token_budget(d, 100_000, group="lang"))
 
     def q_conv_flow():
         # conversation-flow analytics: one conv window + same-key agg

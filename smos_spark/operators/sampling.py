@@ -39,6 +39,7 @@ __all__ = [
     "stratified_sample",
     "topk_per_group",
     "pack_documents",
+    "sample_to_token_budget",
 ]
 
 #: split buckets resolve in millionths — fractions finer than 1e-6
@@ -151,6 +152,77 @@ def topk_per_group(
         .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= k)
         .drop("_rk")
+    )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    budgets: Mapping[object, int] | int,
+    group: str = "source",
+    tokens_col: str = "n_tokens",
+    key: str = "doc_id",
+    seed: int = 42,
+    portable: bool = True,
+    default_budget: int | None = None,
+) -> DataFrame:
+    """Mixture sampling to a TOKEN budget: per group (domain, language,
+    source), keep documents in deterministic hash order until the
+    group's token budget is met — how a pretraining data mixture is
+    assembled ("100 B tokens of web, 20 B of code, 5 B of papers").
+
+    `budgets` maps group value → token budget (or a single int for
+    every group); groups absent from the map fall back to
+    `default_budget`, and with no default their rows are dropped (an
+    unlisted domain contributes nothing — the explicit-mixture
+    contract). A document is kept iff its EXCLUSIVE prefix sum of
+    tokens (`tok_start`, also emitted) is < the budget, so the one
+    straddling document is included and every group with enough tokens
+    reaches its budget exactly once. Rows with NULL key or NULL token
+    count are excluded (no identity / no weight).
+
+    Determinism: order is (hash64(key||seed), key) — a pure function
+    of the row key, so the same corpus yields the same sample on any
+    partitioning, cluster size, or engine (exact SQL oracle with
+    portable=True; portable=False swaps in JVM xxhash64 for the hot
+    path).
+
+    Scale shape: one window shuffle on the group column. The prefix
+    sum cannot be cut map-side the way a rank limit can (every row's
+    offset depends on all hash-smaller rows), so for a group whose
+    corpus vastly exceeds its budget, pre-filter with a hash threshold
+    (`split_bucket(key) < ~MICRO * budget*margin / group_tokens`)
+    to shrink the window input — the final prefix-sum cut still
+    decides, so the kept set is unchanged as long as the prefilter
+    retains at least the budget's worth of tokens."""
+    if isinstance(budgets, int):
+        budget_expr = F.lit(int(budgets)).cast("long")
+    else:
+        if not budgets:
+            raise ValueError("budgets must be non-empty")
+        pairs: list[Column] = []
+        for g, b in budgets.items():
+            if b < 0:
+                raise ValueError(f"budget for {g!r} must be >= 0")
+            pairs += [F.lit(g), F.lit(int(b)).cast("long")]
+        mapped = F.element_at(F.create_map(*pairs), F.col(group))
+        fallback = (
+            F.lit(None).cast("long")
+            if default_budget is None
+            else F.lit(int(default_budget)).cast("long")
+        )
+        budget_expr = F.coalesce(mapped, fallback)
+    tagged = F.concat(F.col(key).cast("string"), F.lit(f":{seed}"))
+    h = md5_hash64(tagged) if portable else fast_hash64(tagged)
+    w = (
+        Window.partitionBy(group)
+        .orderBy(h.asc(), F.col(key).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col).cast("long")).over(w)
+    return (
+        df.where(F.col(key).isNotNull() & F.col(tokens_col).isNotNull())
+        .withColumn("tok_start", cum - F.col(tokens_col).cast("long"))
+        .where(F.col("tok_start") < budget_expr)
     )
 
 

@@ -61,6 +61,9 @@ __all__ = [
     "cms_build",
     "cms_merge",
     "cms_estimate",
+    "bottomk_sample",
+    "bottomk_merge",
+    "bottomk_quantiles",
 ]
 
 #: md5_hash64 is 15 hex chars -> uniform on [0, 2^60)
@@ -456,3 +459,139 @@ def cms_estimate(
     return sketches.crossJoin(F.broadcast(cand_pos)).select(
         *gnames, key_name, est.alias("est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k uniform sample (mergeable) + quantile estimation
+
+
+def bottomk_sample(
+    df: DataFrame,
+    key: str,
+    value: str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+    seed: int = 42,
+    portable: bool = True,
+) -> DataFrame:
+    """Mergeable uniform row sample: per group, keep the k rows whose
+    key hashes smallest — the bottom-k sketch. Because membership is a
+    pure function of the key, the sample is deterministic across runs,
+    partitionings, and engines, and it MERGES exactly: every row among
+    the k hash-smallest of a union is among the k hash-smallest of the
+    sub-group it came from, so coarser rollups (day→week) re-rank the
+    retained structs without rescanning raw rows (`bottomk_merge`) —
+    the same exact-merge contract as `kmv_distinct`/`cms_merge`, here
+    carrying a VALUE payload so order statistics (quantiles, via
+    `bottomk_quantiles`) survive the merge.
+
+    Returns one row per group: `bk_sample`, the hash-sorted array of
+    (h, key, value) structs, plus `n_rows` (true group row count — the
+    estimator's scale factor and the completeness signal: when
+    n_rows <= k the sample IS the group and quantiles are exact).
+
+    Plan shape: one window shuffle on the group columns;
+    `row_number() <= k` is rewritten to WindowGroupLimit with a
+    map-side partial limit, so each task forwards at most k rows per
+    group — O(groups·k) over the wire however large the input. The
+    n_rows count rides the same aggregation. NULL keys and NULL values
+    are excluded (no identity / no order statistic). The key should be
+    row-unique (an event/doc id): rows sharing a key hash identically,
+    and which of their values enters the sample would then be
+    tie-ordered only by the value itself via the struct sort."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    group_cols = list(group_cols or [])
+    h = _kmv_hash(F.col(key), seed, portable)
+    base = df.where(F.col(key).isNotNull() & F.col(value).isNotNull()).select(
+        *group_cols,
+        h.alias("_h"),
+        F.col(key).alias("_k"),
+        F.col(value).cast("double").alias("_v"),
+    )
+    gnames = [c for c in base.columns if c not in ("_h", "_k", "_v")]
+    w = Window.partitionBy(*gnames).orderBy(F.col("_h").asc(), F.col("_k").asc())
+    ranked = base.withColumn("_rk", F.row_number().over(w))
+    # count over the SAME window partitioning (no extra shuffle): the
+    # unbounded frame count equals the group size on every kept row
+    cw = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = ranked.withColumn("_n", F.count(F.lit(1)).over(cw))
+    return (
+        ranked.where(F.col("_rk") <= k)
+        .groupBy(*gnames)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_h"), F.col("_k"), F.col("_v")))
+            ).alias("bk_sample"),
+            F.max("_n").alias("n_rows"),
+        )
+    )
+
+
+def bottomk_merge(
+    sketches: DataFrame,
+    group_cols: list[str],
+    k: int,
+    sample_col: str = "bk_sample",
+    n_col: str = "n_rows",
+) -> DataFrame:
+    """Re-aggregate finer bottom-k samples to coarser groups without
+    rescanning: explode the retained structs, re-rank by (h, key),
+    keep k. EXACT: identical to the sketch a direct pass over the
+    merged raw rows would build (asserted in tests and by the
+    events_bottomk_weekly oracle, which builds the weekly sample
+    straight from the events table). n_rows adds. Input is already
+    O(groups·k) rows."""
+    exploded = sketches.select(*group_cols, F.explode(sample_col).alias("_s"))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("_s._h").asc(), F.col("_s._k").asc()
+    )
+    kept = exploded.withColumn("_rk", F.row_number().over(w))
+    merged = (
+        kept.where(F.col("_rk") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("_s")).alias(sample_col))
+    )
+    # n_rows sums ONE value per input sketch, so it aggregates
+    # pre-explode (sketch identity is lost after the explode)
+    totals = sketches.groupBy(*group_cols).agg(F.sum(n_col).alias(n_col))
+    return merged.join(totals, group_cols)
+
+
+def bottomk_quantiles(
+    sketches: DataFrame,
+    probs: list[float],
+    sample_col: str = "bk_sample",
+    prefix: str = "q",
+) -> DataFrame:
+    """Estimate quantiles from a bottom-k sample: sort the retained
+    values, interpolate at rank p·(n-1) — the standard linear
+    (type-7 / quantile_cont) rule, evaluated with an EXPLICIT
+    v_lo + frac·(v_hi − v_lo) formula so the Spark expression and the
+    SQL oracle fold the identical IEEE operations (hash-exact, no
+    engine-internal interpolation variance). When the group had fewer
+    rows than k the sample is complete and the estimate is the exact
+    quantile. Adds one double column per prob (q50, q90, …); groups
+    keep their other columns. Pure codegen over the array column —
+    no shuffle."""
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"prob {p} outside [0, 1]")
+    vals = F.array_sort(
+        F.transform(F.col(sample_col), lambda s: s.getField("_v"))
+    )
+    n = F.size(vals)
+    out = sketches
+    for p in probs:
+        pos = F.lit(float(p)) * (n - F.lit(1)).cast("double")
+        lo = F.floor(pos).cast("int")
+        hi = F.ceil(pos).cast("int")
+        frac = pos - lo.cast("double")
+        v_lo = F.element_at(vals, lo + F.lit(1))
+        v_hi = F.element_at(vals, hi + F.lit(1))
+        q = v_lo + frac * (v_hi - v_lo)
+        name = f"{prefix}{int(round(p * 100))}"
+        out = out.withColumn(name, F.when(n > 0, q))
+    return out

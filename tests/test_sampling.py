@@ -170,3 +170,109 @@ def test_quantized_topk_close_to_exact(spark):
     assert len(set(q) & set(e)) >= 8
     q2 = [r["vec_id"] for r in quantized_topk(embs.repartition(9), query_id=0, k=10).collect()]
     assert q == q2
+
+
+def test_token_budget_reaches_budget_and_straddles(spark, docs):
+    """Every group with enough tokens reaches its budget: the kept
+    token sum is >= budget and < budget + max kept doc (exactly one
+    straddling doc); tok_start of every kept doc is < budget."""
+    from smos_spark.operators.sampling import sample_to_token_budget
+
+    d = docs.withColumn("n_tokens", (F.floor(F.col("n_chars") / 4) + 1).cast("long"))
+    budget = 2000
+    out = sample_to_token_budget(d, budget, group="lang").cache()
+    assert out.where(F.col("tok_start") >= budget).count() == 0
+    sums = {
+        r["lang"]: (r["s"], r["m"])
+        for r in out.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("s"), F.max("n_tokens").alias("m"))
+        .collect()
+    }
+    totals = {
+        r["lang"]: r["s"]
+        for r in d.groupBy("lang").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    for lang, (s, m) in sums.items():
+        if totals[lang] >= budget:
+            assert s >= budget, (lang, s)
+        assert s < budget + m, (lang, s, m)
+
+
+def test_token_budget_partition_invariant(spark, docs):
+    from smos_spark.operators.sampling import sample_to_token_budget
+
+    d = docs.withColumn("n_tokens", (F.floor(F.col("n_chars") / 4) + 1).cast("long"))
+    a = sample_to_token_budget(d, 1500, group="lang").select("doc_id", "tok_start")
+    b = sample_to_token_budget(d.repartition(11), 1500, group="lang").select(
+        "doc_id", "tok_start"
+    )
+    assert a.orderBy("doc_id").collect() == b.orderBy("doc_id").collect()
+
+
+def test_token_budget_per_group_map_and_default(spark, docs):
+    """Per-group budgets from a map; unlisted groups follow
+    default_budget (None = dropped entirely)."""
+    from smos_spark.operators.sampling import sample_to_token_budget
+
+    d = docs.withColumn("n_tokens", (F.floor(F.col("n_chars") / 4) + 1).cast("long"))
+    langs = sorted(r["lang"] for r in d.select("lang").distinct().collect())
+    assert len(langs) >= 2
+    big, *rest = langs
+    out = sample_to_token_budget(d, {big: 1000}, group="lang")
+    kept_langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert kept_langs == {big}
+    out2 = sample_to_token_budget(d, {big: 1000}, group="lang", default_budget=300)
+    kept2 = {r["lang"] for r in out2.select("lang").distinct().collect()}
+    assert kept2 == set(langs)
+    # the defaulted groups obey the smaller budget
+    starts = out2.where(F.col("lang") != big).agg(F.max("tok_start")).first()[0]
+    assert starts < 300
+
+
+def test_token_budget_matches_duckdb(spark, docs):
+    """Exact SQL twin: same md5 hash order, same exclusive prefix-sum
+    cut — identical doc_id/tok_start sets."""
+    import duckdb
+
+    from smos_spark.operators.sampling import sample_to_token_budget
+
+    d = docs.withColumn("n_tokens", (F.floor(F.col("n_chars") / 4) + 1).cast("long"))
+    got = sorted(
+        (r["doc_id"], r["tok_start"])
+        for r in sample_to_token_budget(d, 2000, group="lang").collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.01/documents.parquet'"
+    )
+    exp = sorted(
+        (r[0], r[1])
+        for r in con.sql(
+            """
+        WITH d AS (
+          SELECT doc_id, lang,
+            (n_chars // 4 + 1)::BIGINT AS n_tokens,
+            CAST(('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 15))
+              AS BIGINT) AS h
+          FROM documents WHERE doc_id IS NOT NULL),
+        c AS (
+          SELECT doc_id,
+            sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - n_tokens AS tok_start
+          FROM d)
+        SELECT doc_id, tok_start FROM c WHERE tok_start < 2000
+        """
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_token_budget_rejects_bad_args(spark, docs):
+    from smos_spark.operators.sampling import sample_to_token_budget
+
+    with pytest.raises(ValueError):
+        sample_to_token_budget(docs, {})
+    with pytest.raises(ValueError):
+        sample_to_token_budget(docs, {"en": -5})

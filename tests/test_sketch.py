@@ -213,3 +213,63 @@ def test_cms_estimate_rejects_mismatched_params(spark, events):
     bad = cms_estimate(sk, keys=[1, 2], key_name="user_id", width=32, depth=3)
     with pytest.raises(SparkRuntimeException, match="width/depth"):
         bad.collect()
+
+
+def test_bottomk_merge_is_exact(spark, events):
+    """Merged daily bottom-k samples == the sample built directly from
+    the week's raw rows — struct arrays identical, n_rows adds."""
+    from smos_spark.operators.sketch import bottomk_merge, bottomk_sample
+
+    daily = bottomk_sample(
+        events, key="event_id", value="value", group_cols=["day"], k=32
+    )
+    merged = bottomk_merge(
+        daily.withColumn("week", F.date_trunc("week", "day")).select(
+            "week", "bk_sample", "n_rows"
+        ),
+        ["week"],
+        k=32,
+    )
+    direct = bottomk_sample(
+        events.withColumn("week", F.date_trunc("week", "ts")),
+        key="event_id",
+        value="value",
+        group_cols=["week"],
+        k=32,
+    )
+    m = {r["week"]: (r["bk_sample"], r["n_rows"]) for r in merged.collect()}
+    d = {r["week"]: (r["bk_sample"], r["n_rows"]) for r in direct.collect()}
+    assert m.keys() == d.keys() and len(m) > 1
+    for wk in m:
+        assert m[wk] == d[wk]
+
+
+def test_bottomk_quantiles_exact_when_complete(spark):
+    """Group smaller than k: the sample IS the group, so the quantile
+    estimate equals the exact type-7 quantile (numpy default)."""
+    import numpy as np
+
+    from smos_spark.operators.sketch import bottomk_quantiles, bottomk_sample
+
+    vals = [3.0, 1.5, 9.25, 4.0, 7.5, 2.25, 8.0]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)], "id long, g string, value double"
+    )
+    sk = bottomk_sample(df, key="id", value="value", group_cols=["g"], k=64)
+    row = bottomk_quantiles(sk, [0.0, 0.5, 0.9, 1.0]).first()
+    assert row["n_rows"] == len(vals)
+    for p, name in [(0.0, "q0"), (0.5, "q50"), (0.9, "q90"), (1.0, "q100")]:
+        assert row[name] == pytest.approx(np.quantile(vals, p), abs=1e-12)
+
+
+def test_bottomk_sample_deterministic_and_bounded(spark, events):
+    from smos_spark.operators.sketch import bottomk_sample
+
+    a = bottomk_sample(events, key="event_id", value="value", group_cols=["day"], k=16)
+    b = bottomk_sample(
+        events.repartition(17), key="event_id", value="value", group_cols=["day"], k=16
+    )
+    ra = {r["day"]: r["bk_sample"] for r in a.collect()}
+    rb = {r["day"]: r["bk_sample"] for r in b.collect()}
+    assert ra == rb
+    assert all(len(v) <= 16 for v in ra.values())
