@@ -490,15 +490,20 @@ def bottomk_sample(
     estimator's scale factor and the completeness signal: when
     n_rows <= k the sample IS the group and quantiles are exact).
 
-    Plan shape: one window shuffle on the group columns;
-    `row_number() <= k` is rewritten to WindowGroupLimit with a
-    map-side partial limit, so each task forwards at most k rows per
-    group — O(groups·k) over the wire however large the input. The
-    n_rows count rides the same aggregation. NULL keys and NULL values
-    are excluded (no identity / no order statistic). The key should be
-    row-unique (an event/doc id): rows sharing a key hash identically,
-    and which of their values enters the sample would then be
-    tie-ordered only by the value itself via the struct sort."""
+    Plan shape: the rank window holds ONLY `row_number() <= k`, so
+    Catalyst rewrites it to WindowGroupLimit with a map-side partial
+    limit — each task forwards at most k rows per group, O(groups·k)
+    over the wire however large the input. The group-size count runs
+    as a SEPARATE map-side-combined aggregate (a full-frame count in
+    the same Window node would defeat the rewrite and ship every row
+    through the shuffle — checked in the plan-pin test); both
+    aggregations hash-partition on the group columns, so the final
+    join reuses their partitioning with no extra exchange. NULL keys
+    and NULL values are excluded (no identity / no order statistic).
+    The key should be row-unique (an event/doc id): rows sharing a key
+    hash identically, and which of their values enters the sample
+    would then be tie-ordered only by the value itself via the struct
+    sort."""
     if k < 1:
         raise ValueError("k must be >= 1")
     group_cols = list(group_cols or [])
@@ -511,21 +516,18 @@ def bottomk_sample(
     )
     gnames = [c for c in base.columns if c not in ("_h", "_k", "_v")]
     w = Window.partitionBy(*gnames).orderBy(F.col("_h").asc(), F.col("_k").asc())
-    ranked = base.withColumn("_rk", F.row_number().over(w))
-    # count over the SAME window partitioning (no extra shuffle): the
-    # unbounded frame count equals the group size on every kept row
-    cw = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    ranked = ranked.withColumn("_n", F.count(F.lit(1)).over(cw))
-    return (
-        ranked.where(F.col("_rk") <= k)
+    sample = (
+        base.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
         .groupBy(*gnames)
         .agg(
             F.sort_array(
                 F.collect_list(F.struct(F.col("_h"), F.col("_k"), F.col("_v")))
-            ).alias("bk_sample"),
-            F.max("_n").alias("n_rows"),
+            ).alias("bk_sample")
         )
     )
+    counts = base.groupBy(*gnames).agg(F.count(F.lit(1)).alias("n_rows"))
+    return sample.join(counts, gnames)
 
 
 def bottomk_merge(

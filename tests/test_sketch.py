@@ -273,3 +273,22 @@ def test_bottomk_sample_deterministic_and_bounded(spark, events):
     rb = {r["day"]: r["bk_sample"] for r in b.collect()}
     assert ra == rb
     assert all(len(v) <= 16 for v in ra.values())
+
+
+def test_bottomk_mapside_limit_in_plan(spark, events):
+    """The k-cut must happen BEFORE the exchange (partial
+    WindowGroupLimit): a full-frame count in the same Window node
+    would defeat the rewrite and ship every row through the shuffle —
+    pinned so the separate-count formulation can't regress."""
+    from smos_spark.operators.sketch import bottomk_sample
+
+    plan = (
+        bottomk_sample(events, key="event_id", value="value", group_cols=["day"], k=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    marker = "Exchange hashpartitioning(day"
+    assert marker in plan, plan
+    pre_exchange = plan.split(marker, 1)[-1]
+    assert "WindowGroupLimit" in pre_exchange, plan
