@@ -520,6 +520,17 @@ def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span fraction (RefinedWeb/Gopher-style
+    duplicate n-gram ratio): one 8-byte-gram shuffle for corpus-wide
+    document frequency, one per-doc aggregate; exact integral-div ppm.
+    n=4 for the sf corpus's tiny synthetic vocabulary (operator
+    default is the published 13)."""
+    from smos_spark.operators.text import duplicate_span_ratio
+
+    return duplicate_span_ratio(_docs(spark, sf_dir), n=4)
+
+
 def _conv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation documents: turn texts joined by newline in
     (ts, event_id) order — the multi-line corpus the line-level
@@ -1277,6 +1288,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_topk": _q_doc_token_topk,
         "doc_repetition": _q_doc_repetition,
         "doc_decontaminate": _q_doc_decontaminate,
+        "doc_dup_spans": _q_doc_dup_spans,
         "doc_boilerplate": _q_doc_boilerplate,
         "doc_pii_redact": _q_doc_pii_redact,
         "resample_15m": _q_resample_15m,
@@ -2266,6 +2278,26 @@ def oracle_sql() -> dict[str, str]:
           JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % 41 = 0) e
             USING (gram)
           WHERE g.doc_id % 41 <> 0
+        """,
+        "doc_dup_spans": f"""
+          WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents WHERE text IS NOT NULL
+          ), grams AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, len(t) - 3),
+                i -> {md5h.format("array_to_string(list_slice(t, i, i + 3), ' ')")}
+            ))) AS gram
+            FROM toks WHERE len(t) >= 4
+          ), d AS (
+            SELECT doc_id, count(*) OVER (PARTITION BY gram) AS df
+            FROM grams)
+          SELECT doc_id,
+            CAST(count(*) AS BIGINT) AS n_grams,
+            CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+            CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000
+                 // count(*) AS BIGINT) AS dup_ppm
+          FROM d GROUP BY doc_id
         """,
         "conv_len_percentiles": _T_CTE
         + """

@@ -92,6 +92,13 @@ def main() -> None:
     def q_text_profile():
         _force(text_profile(docs, portable=False))
 
+    def q_dup_spans():
+        # cross-doc duplicate n-gram fraction: one 8-byte-gram window
+        # shuffle (corpus-wide doc frequency) + one per-doc aggregate
+        from smos_spark.operators.text import duplicate_span_ratio
+
+        _force(duplicate_span_ratio(docs, n=8))
+
     def q_cosine_topk():
         _force(cosine_topk(embs, query_id=0, k=10))
 
@@ -311,6 +318,7 @@ def main() -> None:
         "minhash_pairs": q_minhash_pairs,
         "dedup_e2e": q_dedup_e2e,
         "text_profile": q_text_profile,
+        "dup_spans": q_dup_spans,
         "quality_funnel": q_quality_funnel,
         "asof_rolling": q_asof_rolling,
         "downsample": q_downsample,

@@ -303,6 +303,51 @@ def ngram_decontaminate(
     )
 
 
+def duplicate_span_ratio(
+    docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate-span fraction: per document, the share
+    of its distinct token n-grams that also occur in ≥ `min_docs`
+    documents corpus-wide — the standard "duplicate n-gram fraction"
+    quality signal (RefinedWeb/Gopher use it to drop boilerplate-heavy
+    and templated pages that exact/minhash dedup misses because no
+    WHOLE document matches).
+
+    Returns (id_col, n_grams, n_dup, dup_ppm) with dup_ppm the exact
+    integral-div parts-per-million. Documents with no grams (NULL text
+    or fewer than n tokens) are absent — they carry no span evidence.
+
+    Scale shape: ONE shuffle of the 8-byte gram table (window count
+    partitioned by gram — corpus-wide document frequency without
+    materializing gram→doc lists, which a mega-duplicated gram would
+    blow up), then one groupBy(doc) with map-side partials. In-doc
+    repeats don't inflate the signal: `token_ngram_hashes` emits
+    distinct grams per doc, so the window count IS the document
+    frequency. Compare `repetition_profile` (WITHIN-doc repetition)
+    and `minhash_dedup_pairs` (whole-doc near-duplicates) — this
+    operator catches the cross-doc duplicated-passage middle ground.
+    """
+    grams = token_ngram_hashes(docs, n=n, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), F.explode("grams").alias("gram")
+    )
+    w = Window.partitionBy("gram")
+    per_doc = (
+        grams.withColumn("_df", F.count(F.lit(1)).over(w))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("_df") >= min_docs).cast("long")).alias("n_dup"),
+        )
+    )
+    return per_doc.withColumn(
+        "dup_ppm", F.expr("(n_dup * 1000000) div n_grams")
+    )
+
+
 def distinctive_terms(
     docs: DataFrame,
     k: int = 3,

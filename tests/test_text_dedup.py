@@ -672,3 +672,37 @@ def test_knn_graph_mapside_topk_in_plan(embs):
     assert marker in plan, plan
     pre_exchange = plan.split(marker, 1)[-1]
     assert "WindowGroupLimit" in pre_exchange, plan
+
+
+def test_duplicate_span_ratio_planted(spark):
+    """Planted cross-doc duplicate passage: docs 1/2 share a 6-token
+    span, doc 3 is unique, doc 4 too short for any gram (absent).
+    In-doc repetition must NOT inflate the count (distinct grams)."""
+    from smos_spark.operators.text import duplicate_span_ratio
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"{shared} one two three"),
+        (2, f"intro words here {shared}"),
+        (3, "totally unique content nothing shared at all"),
+        (4, "too short"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup"], r["dup_ppm"])
+        for r in duplicate_span_ratio(df, n=3).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    # doc1: 9 tokens -> 7 grams; the 4 grams inside the shared span
+    # also appear in doc2
+    assert got[1] == (7, 4, 4 * 1_000_000 // 7)
+    assert got[2] == (7, 4, 4 * 1_000_000 // 7)
+    assert got[3] == (5, 0, 0)
+    # in-doc repetition: same span twice in ONE doc -> distinct grams,
+    # df stays 1, nothing counted as duplicate
+    solo = spark.createDataFrame(
+        [(9, f"{shared} filler {shared}")], "doc_id long, text string"
+    )
+    r9 = duplicate_span_ratio(solo, n=3).first()
+    assert r9["n_dup"] == 0
