@@ -520,6 +520,25 @@ def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON payload extraction: parse `props` once per
+    row with an explicit schema (from_json codegen — no inference
+    pass, no per-field re-tokenization) and aggregate the typed field
+    per event_type. Oracle extracts the same field with DuckDB's JSON
+    path functions."""
+    from smos_spark.operators.events import parse_json_fields
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    typed = parse_json_fields(ev, json_col="props", fields={"k": "bigint"})
+    return typed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("k").alias("n_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
 def _q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate-span fraction (RefinedWeb/Gopher-style
     duplicate n-gram ratio): one 8-byte-gram shuffle for corpus-wide
@@ -1289,6 +1308,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q_doc_repetition,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_dup_spans": _q_doc_dup_spans,
+        "events_props_stats": _q_events_props_stats,
         "doc_boilerplate": _q_doc_boilerplate,
         "doc_pii_redact": _q_doc_pii_redact,
         "resample_15m": _q_resample_15m,
@@ -2298,6 +2318,19 @@ def oracle_sql() -> dict[str, str]:
             CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000
                  // count(*) AS BIGINT) AS dup_ppm
           FROM d GROUP BY doc_id
+        """,
+        "events_props_stats": """
+          WITH typed AS (
+            SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events)
+          SELECT event_type,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(count(k) AS BIGINT) AS n_k,
+            CAST(sum(k) AS BIGINT) AS sum_k,
+            CAST(min(k) AS BIGINT) AS min_k,
+            CAST(max(k) AS BIGINT) AS max_k
+          FROM typed GROUP BY event_type
         """,
         "conv_len_percentiles": _T_CTE
         + """

@@ -35,7 +35,42 @@ from pyspark.sql.window import Window
 
 from smos_spark.operators.rollup import _width_bucket
 
-__all__ = ["event_funnel", "cohort_retention"]
+__all__ = ["event_funnel", "cohort_retention", "parse_json_fields"]
+
+
+def parse_json_fields(
+    df: DataFrame,
+    json_col: str = "props",
+    fields: dict[str, str] | None = None,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Schema-on-read over a JSON string column (tool-call payloads,
+    event props): parse ONCE per row with `from_json` + an explicit
+    schema and project the requested fields as typed top-level columns
+    (NULL where the document is malformed or the field is absent —
+    PERMISSIVE mode; pass mode="FAILFAST" to raise instead).
+
+    `fields` maps field name → Spark type DDL (e.g. {"k": "bigint",
+    "tag": "string"}). An explicit schema is the scale contract:
+    schema inference (`spark.read.json`-style) is a full extra pass
+    over 100 TB, and per-field `get_json_object` chains re-tokenize
+    the document once per field — `from_json` tokenizes once and the
+    struct's field accesses are free projections. The parse is a
+    codegen expression on the scan: no shuffle, no Python.
+
+    Reference analog: the reference reads only declared variables from
+    each netCDF rather than introspecting files per read
+    (/root/reference/src/smos/smos_ic/interface_ic.py:91-119); an
+    explicit field schema is the same declared-projection contract for
+    semi-structured payloads."""
+    if not fields:
+        raise ValueError("fields must map at least one field name to a type")
+    schema = ", ".join(f"`{name}` {ddl}" for name, ddl in fields.items())
+    parsed = F.from_json(F.col(json_col), schema, {"mode": mode})
+    out = df.withColumn("_j", parsed)
+    for name in fields:
+        out = out.withColumn(name, F.col("_j").getField(name))
+    return out.drop("_j")
 
 
 def event_funnel(

@@ -116,3 +116,43 @@ def test_cohort_total_equals_distinct_users(spark):
         .collect()[0][0]
     )
     assert total_cohort0 == 5  # every user appears in exactly one cohort
+
+
+def test_parse_json_fields_typed_and_malformed(spark):
+    """Explicit-schema JSON parse: typed fields, NULL on malformed
+    (PERMISSIVE) or absent fields, FAILFAST raises; matches DuckDB's
+    JSON path extraction on the well-formed rows."""
+    import duckdb
+    import pytest
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+    from smos_spark.operators.events import parse_json_fields
+
+    rows = [
+        (1, '{"k": 87, "tag": "a"}'),
+        (2, '{"k": 0}'),
+        (3, "not json {"),
+        (4, None),
+        (5, '{"tag": "only"}'),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, props string")
+    out = parse_json_fields(df, fields={"k": "bigint", "tag": "string"})
+    got = {r["event_id"]: (r["k"], r["tag"]) for r in out.collect()}
+    assert got == {1: (87, "a"), 2: (0, None), 3: (None, None),
+                   4: (None, None), 5: (None, "only")}
+    exp = dict(
+        duckdb.sql(
+            """
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT)
+        FROM (VALUES (1, '{"k": 87, "tag": "a"}'), (2, '{"k": 0}'),
+                     (5, '{"tag": "only"}')) v(event_id, props)
+    """
+        ).fetchall()
+    )
+    for eid, k in exp.items():
+        assert got[eid][0] == k
+    strict = parse_json_fields(df, fields={"k": "bigint"}, mode="FAILFAST")
+    with pytest.raises(Exception, match="FAILFAST|Malformed"):
+        strict.collect()
+    with pytest.raises(ValueError):
+        parse_json_fields(df, fields={})
