@@ -67,10 +67,13 @@ def parse_json_fields(
         raise ValueError("fields must map at least one field name to a type")
     schema = ", ".join(f"`{name}` {ddl}" for name, ddl in fields.items())
     parsed = F.from_json(F.col(json_col), schema, {"mode": mode})
-    out = df.withColumn("_j", parsed)
-    for name in fields:
-        out = out.withColumn(name, F.col("_j").getField(name))
-    return out.drop("_j")
+    # ONE projection (not a withColumn-per-field chain, whose repeated
+    # plan re-analysis is quadratic in field count, and not a temp
+    # struct column that could collide with a user column): extracted
+    # fields replace same-named existing columns, like withColumn.
+    keep = [c for c in df.columns if c not in fields]
+    extracted = [parsed.getField(name).alias(name) for name in fields]
+    return df.select(*keep, *extracted)
 
 
 def event_funnel(

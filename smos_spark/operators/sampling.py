@@ -47,12 +47,20 @@ __all__ = [
 MICRO = 1_000_000
 
 
+def _tagged_hash(key_col: Column, seed: int, portable: bool) -> Column:
+    """hash64(key || ':' || seed) — THE ordering/bucketing hash every
+    operator in this module derives from. One definition: every DuckDB
+    oracle depends on the exact ':{seed}' tag format, so a drift in one
+    inlined copy would silently break that operator's cross-engine
+    exactness while the others keep passing."""
+    tagged = F.concat(key_col.cast("string"), F.lit(f":{seed}"))
+    return md5_hash64(tagged) if portable else fast_hash64(tagged)
+
+
 def split_bucket(key_col: Column, seed: int = 42, portable: bool = True) -> Column:
     """Deterministic bucket in [0, MICRO) from the row KEY (not the
     row content): `pmod(hash64(key || ':' || seed), 1e6)`."""
-    tagged = F.concat(key_col.cast("string"), F.lit(f":{seed}"))
-    h = md5_hash64(tagged) if portable else fast_hash64(tagged)
-    return F.pmod(h, F.lit(MICRO))
+    return F.pmod(_tagged_hash(key_col, seed, portable), F.lit(MICRO))
 
 
 def hash_split(
@@ -115,8 +123,7 @@ def stratified_sample(
     where NULLs sort), which would silently break reproducibility."""
     if n_per_stratum < 1:
         raise ValueError("n_per_stratum must be >= 1")
-    tagged = F.concat(F.col(key).cast("string"), F.lit(f":{seed}"))
-    h = md5_hash64(tagged) if portable else fast_hash64(tagged)
+    h = _tagged_hash(F.col(key), seed, portable)
     w = Window.partitionBy(stratum).orderBy(h.asc(), F.col(key).asc())
     return (
         df.where(F.col(key).isNotNull())
@@ -194,7 +201,12 @@ def sample_to_token_budget(
     to shrink the window input — the final prefix-sum cut still
     decides, so the kept set is unchanged as long as the prefilter
     retains at least the budget's worth of tokens."""
+    prefilter = None
+    if isinstance(budgets, bool):
+        raise ValueError("budgets must be an int or a mapping, not a bool")
     if isinstance(budgets, int):
+        if budgets < 0:
+            raise ValueError(f"budget must be >= 0, got {budgets}")
         budget_expr = F.lit(int(budgets)).cast("long")
     else:
         if not budgets:
@@ -205,23 +217,28 @@ def sample_to_token_budget(
                 raise ValueError(f"budget for {g!r} must be >= 0")
             pairs += [F.lit(g), F.lit(int(b)).cast("long")]
         mapped = F.element_at(F.create_map(*pairs), F.col(group))
-        fallback = (
-            F.lit(None).cast("long")
-            if default_budget is None
-            else F.lit(int(default_budget)).cast("long")
-        )
-        budget_expr = F.coalesce(mapped, fallback)
-    tagged = F.concat(F.col(key).cast("string"), F.lit(f":{seed}"))
-    h = md5_hash64(tagged) if portable else fast_hash64(tagged)
+        if default_budget is None:
+            budget_expr = mapped
+            # unlisted groups can never pass tok_start < NULL — filter
+            # them BEFORE the window (scan-pushable) so whole unlisted
+            # domains of the corpus never ship through the shuffle
+            prefilter = mapped.isNotNull()
+        else:
+            budget_expr = F.coalesce(
+                mapped, F.lit(int(default_budget)).cast("long")
+            )
+    h = _tagged_hash(F.col(key), seed, portable)
     w = (
         Window.partitionBy(group)
         .orderBy(h.asc(), F.col(key).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(F.col(tokens_col).cast("long")).over(w)
+    base = df.where(F.col(key).isNotNull() & F.col(tokens_col).isNotNull())
+    if prefilter is not None:
+        base = base.where(prefilter)
     return (
-        df.where(F.col(key).isNotNull() & F.col(tokens_col).isNotNull())
-        .withColumn("tok_start", cum - F.col(tokens_col).cast("long"))
+        base.withColumn("tok_start", cum - F.col(tokens_col).cast("long"))
         .where(F.col("tok_start") < budget_expr)
     )
 
@@ -263,8 +280,7 @@ def pack_documents(
         raise ValueError("capacity must be >= 1")
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
-    tagged = F.concat(F.col(key).cast("string"), F.lit(f":{seed}"))
-    h = md5_hash64(tagged) if portable else fast_hash64(tagged)
+    h = _tagged_hash(F.col(key), seed, portable)
     base = (
         df.where(F.col(key).isNotNull() & F.col(tokens_col).isNotNull())
         .withColumn("_h", h)

@@ -507,6 +507,8 @@ def bottomk_sample(
     if k < 1:
         raise ValueError("k must be >= 1")
     group_cols = list(group_cols or [])
+    if set(group_cols) & {"_h", "_k", "_v"}:
+        raise ValueError("group_cols may not use the reserved names _h/_k/_v")
     h = _kmv_hash(F.col(key), seed, portable)
     base = df.where(F.col(key).isNotNull() & F.col(value).isNotNull()).select(
         *group_cols,
@@ -514,7 +516,7 @@ def bottomk_sample(
         F.col(key).alias("_k"),
         F.col(value).cast("double").alias("_v"),
     )
-    gnames = [c for c in base.columns if c not in ("_h", "_k", "_v")]
+    gnames = group_cols
     w = Window.partitionBy(*gnames).orderBy(F.col("_h").asc(), F.col("_k").asc())
     sample = (
         base.withColumn("_rk", F.row_number().over(w))
@@ -578,15 +580,23 @@ def bottomk_quantiles(
     no shuffle."""
     if not probs:
         raise ValueError("probs must be non-empty")
+    names = []
     for p in probs:
         if not 0.0 <= p <= 1.0:
             raise ValueError(f"prob {p} outside [0, 1]")
+        # exact, collision-free label: percent with '_' for the
+        # decimal point (0.5 -> q50, 0.999 -> q99_9) — int(round(p*100))
+        # would alias 0.999 onto q100 and overwrite earlier columns
+        pct = f"{p * 100:g}".replace(".", "_").replace("-", "")
+        names.append(f"{prefix}{pct}")
+    if len(set(names)) != len(names):
+        raise ValueError(f"probs produce duplicate column names: {names}")
     vals = F.array_sort(
         F.transform(F.col(sample_col), lambda s: s.getField("_v"))
     )
     n = F.size(vals)
     out = sketches
-    for p in probs:
+    for p, name in zip(probs, names):
         pos = F.lit(float(p)) * (n - F.lit(1)).cast("double")
         lo = F.floor(pos).cast("int")
         hi = F.ceil(pos).cast("int")
@@ -594,6 +604,5 @@ def bottomk_quantiles(
         v_lo = F.element_at(vals, lo + F.lit(1))
         v_hi = F.element_at(vals, hi + F.lit(1))
         q = v_lo + frac * (v_hi - v_lo)
-        name = f"{prefix}{int(round(p * 100))}"
         out = out.withColumn(name, F.when(n > 0, q))
     return out
