@@ -520,6 +520,17 @@ def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character chunks (embedding/retrieval
+    prep): pure codegen sequence+explode+substring, no shuffle. The
+    oracle replicates the stride arithmetic; the sf corpus is ASCII so
+    Spark codepoint and DuckDB character semantics coincide (both are
+    character-based — a unicode corpus would still match)."""
+    from smos_spark.operators.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), size=120, overlap=24)
+
+
 def _q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read JSON payload extraction: parse `props` once per
     row with an explicit schema (from_json codegen — no inference
@@ -1309,6 +1320,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_dup_spans": _q_doc_dup_spans,
         "events_props_stats": _q_events_props_stats,
+        "doc_chunks": _q_doc_chunks,
         "doc_boilerplate": _q_doc_boilerplate,
         "doc_pii_redact": _q_doc_pii_redact,
         "resample_15m": _q_resample_15m,
@@ -2318,6 +2330,23 @@ def oracle_sql() -> dict[str, str]:
             CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000
                  // count(*) AS BIGINT) AS dup_ppm
           FROM d GROUP BY doc_id
+        """,
+        "doc_chunks": """
+          WITH d AS (
+            SELECT doc_id, text,
+              1 + CAST(ceil(greatest(length(text) - 120, 0)::DOUBLE / 96.0)
+                AS INT) AS n_chunks
+            FROM documents WHERE text IS NOT NULL),
+          c AS (
+            SELECT doc_id, unnest(generate_series(0, n_chunks - 1))
+                     AS chunk_idx,
+                   n_chunks, text
+            FROM d)
+          SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+            CAST(chunk_idx * 96 AS BIGINT) AS chunk_start,
+            substr(text, (chunk_idx * 96 + 1)::INT, 120) AS chunk_text,
+            CAST(n_chunks AS INT) AS n_chunks
+          FROM c
         """,
         "events_props_stats": """
           WITH typed AS (

@@ -594,6 +594,66 @@ CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
 WS_RE = "[ \\t\\n\\r]+"
 
 
+def chunk_documents(
+    df: DataFrame,
+    size: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap —
+    the standard preparation for embedding / retrieval pipelines
+    (windows of `size` chars, each starting `size - overlap` after the
+    previous, so consecutive chunks share `overlap` chars of context).
+
+    Returns (id_col, chunk_idx, chunk_start, chunk_text, n_chunks):
+    chunk_start is the 0-based char offset, n_chunks the doc's total —
+    enough to reassemble the document exactly (drop each chunk's first
+    `overlap` chars after chunk 0 and concatenate; pinned by a
+    round-trip test). Every document yields ≥1 chunk (an empty or
+    whitespace doc yields one empty chunk row, keeping doc counts
+    stable through the pipeline); NULL text is excluded.
+
+    Scale shape: pure codegen — one `sequence` + `explode` over
+    ceil((len-overlap)/stride) offsets and a `substring` per chunk; no
+    shuffle, no Python. Explosion factor is bounded by len/stride per
+    doc (the same array-blowup consideration as token_ngram_hashes —
+    for multi-GB pathological docs, cap upstream with a length filter
+    in the quality funnel)."""
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    t = F.col(text_col)
+    n = F.length(t)
+    # number of stride-starts covering the doc: 1 + ceil(max(n-size,0)/stride)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(n - F.lit(size), F.lit(0)).cast("double") / F.lit(stride)
+        ).cast("int")
+    )
+    base = df.where(t.isNotNull()).select(
+        F.col(id_col), t.alias("_t"), n_chunks.alias("n_chunks")
+    )
+    return base.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+        F.col("n_chunks"),
+        F.col("_t"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        (F.col("chunk_idx").cast("long") * stride).alias("chunk_start"),
+        # substring is 1-based; length cap handles the final partial chunk
+        F.substring(
+            F.col("_t"), (F.col("chunk_idx") * stride + 1).cast("int"), size
+        ).alias("chunk_text"),
+        F.col("n_chunks"),
+    )
+
+
 def normalize_text(
     df: DataFrame,
     text_col: str = "text",

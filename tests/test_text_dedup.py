@@ -706,3 +706,43 @@ def test_duplicate_span_ratio_planted(spark):
     )
     r9 = duplicate_span_ratio(solo, n=3).first()
     assert r9["n_dup"] == 0
+
+
+def test_chunk_documents_roundtrip_and_overlap(spark):
+    """Chunks reassemble the original exactly (drop each post-0
+    chunk's first `overlap` chars, concatenate); consecutive chunks
+    share exactly `overlap` chars; empty doc yields one empty chunk."""
+    from smos_spark.operators.text import chunk_documents
+
+    rows = [
+        (1, "abcdefghijklmnopqrstuvwxyz0123456789"),  # 36 chars
+        (2, "short"),
+        (3, ""),
+        (4, None),
+        (5, "x" * 10),  # exact multiple edge: size 10, overlap 4, stride 6
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, size=10, overlap=4).toPandas()
+    assert 4 not in set(out.doc_id)
+    by_doc = {k: g.sort_values("chunk_idx") for k, g in out.groupby("doc_id")}
+    originals = dict((r[0], r[1]) for r in rows if r[1] is not None)
+    for doc_id, g in by_doc.items():
+        assert list(g.chunk_idx) == list(range(g.n_chunks.iloc[0]))
+        rebuilt = g.chunk_text.iloc[0] + "".join(
+            c[4:] for c in g.chunk_text.iloc[1:]
+        )
+        assert rebuilt == originals[doc_id], doc_id
+        for a, b in zip(g.chunk_text, g.chunk_text[1:]):
+            assert a[-4:] == b[:4] or len(b) < 4  # shared overlap
+        assert (g.chunk_start == g.chunk_idx * 6).all()
+    assert by_doc[3].n_chunks.iloc[0] == 1 and by_doc[3].chunk_text.iloc[0] == ""
+    assert by_doc[2].n_chunks.iloc[0] == 1
+    # 36 chars, size 10, stride 6 -> 1 + ceil(26/6) = 6 chunks
+    assert by_doc[1].n_chunks.iloc[0] == 6
+    # exact-coverage edge: 10 chars fits one window exactly
+    assert by_doc[5].n_chunks.iloc[0] == 1
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_documents(df, size=10, overlap=10)
