@@ -746,3 +746,32 @@ def test_chunk_documents_roundtrip_and_overlap(spark):
 
     with _pt.raises(ValueError):
         chunk_documents(df, size=10, overlap=10)
+
+
+def test_chunk_documents_property(spark):
+    """Property: for random ASCII strings and (size, overlap) configs,
+    chunks always reassemble the original and chunk count matches the
+    stride formula. Uses one Spark job over all cases."""
+    import random
+
+    rng = random.Random(7)
+    cases = []
+    for i in range(40):
+        n = rng.randrange(0, 300)
+        s = "".join(rng.choice("abcdefgh ") for _ in range(n))
+        cases.append((i, s))
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    for size, overlap in [(1, 0), (7, 3), (50, 49), (120, 24)]:
+        from smos_spark.operators.text import chunk_documents
+
+        out = chunk_documents(df, size=size, overlap=overlap).toPandas()
+        stride = size - overlap
+        for doc_id, g in out.groupby("doc_id"):
+            g = g.sort_values("chunk_idx")
+            orig = cases[doc_id][1]
+            rebuilt = g.chunk_text.iloc[0] + "".join(
+                c[overlap:] for c in g.chunk_text.iloc[1:]
+            )
+            assert rebuilt == orig, (doc_id, size, overlap)
+            exp_n = 1 + max(0, -(-(len(orig) - size) // stride)) if len(orig) > size else 1
+            assert g.n_chunks.iloc[0] == exp_n, (doc_id, size, overlap)
