@@ -32,7 +32,35 @@ from smos_spark.schema import TIERS, TRANSCRIPTS_SCHEMA
 from smos_spark.sources.store import TranscriptStore
 from smos_spark.streaming.incremental import ingest_batch
 
-__all__ = ["streaming_rollup", "stream_ingest"]
+__all__ = ["streaming_rollup", "stream_ingest", "streaming_dedup"]
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup with BOUNDED state: drop
+    rows whose key was already seen within the watermark horizon
+    (`dropDuplicatesWithinWatermark`) — the streaming twin of the
+    batch `dropDuplicates` the late-data merge uses
+    (incremental.merge_quarantine), for upstream producers that replay
+    turns (at-least-once buses, retried writers).
+
+    Why not plain streaming `dropDuplicates(keys)`: its state grows
+    FOREVER (one entry per key ever seen — a driver-killer on a
+    10^12-turn stream). WithinWatermark evicts key state once event
+    time passes the horizon, so memory is O(keys per watermark
+    window); a replay arriving later than the watermark is no longer
+    deduped here — it lands in the batch path's late-row quarantine
+    and is deduped by merge_quarantine's idempotent MERGE instead (the
+    same division of labor as the reference's hard prepend refusal,
+    /root/reference/src/smos/smos_l2/reshuffle.py:75-77).
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
 
 
 def streaming_rollup(

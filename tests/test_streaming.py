@@ -91,3 +91,45 @@ def test_stream_ingest_builds_tiers_and_resumes(spark, turns, tmp_path):
     assert store.read_transcripts(spark).count() == n_before + turns.where(
         F.col("ts") >= F.lit(cut).cast("timestamp")
     ).count()
+
+
+def test_streaming_dedup_within_watermark(spark, turns, tmp_path):
+    """Replayed turns across micro-batches are dropped while inside
+    the watermark horizon, and the surviving set equals the batch
+    dropDuplicates on the same files; state is watermark-bounded by
+    construction (dropDuplicatesWithinWatermark)."""
+    from smos_spark.streaming.continuous import streaming_dedup
+
+    src = tmp_path / "landing"
+    base = turns.limit(200).cache()
+    # batch 1: the original turns; batch 2: a full replay plus 50 new
+    base.write.parquet(str(src / "f1"))
+    replay = base.unionAll(turns.orderBy(F.desc("conv_id"), "ts").limit(50))
+    replay.write.parquet(str(src / "f2"))
+
+    from smos_spark.schema import TRANSCRIPTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_dedup(stream, watermark="10 days")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_out").select("conv_id", "turn_idx")
+    batch_equiv = (
+        spark.read.parquet(str(src / "*"))
+        .dropDuplicates(["conv_id", "turn_idx"])
+        .select("conv_id", "turn_idx")
+    )
+    assert got.count() == got.dropDuplicates(["conv_id", "turn_idx"]).count()
+    assert got.count() == batch_equiv.count()
+    assert got.exceptAll(batch_equiv).count() == 0
