@@ -321,28 +321,37 @@ def duplicate_span_ratio(
     integral-div parts-per-million. Documents with no grams (NULL text
     or fewer than n tokens) are absent — they carry no span evidence.
 
-    Scale shape: ONE shuffle of the 8-byte gram table (window count
-    partitioned by gram — corpus-wide document frequency without
-    materializing gram→doc lists, which a mega-duplicated gram would
-    blow up), then one groupBy(doc) with map-side partials. In-doc
-    repeats don't inflate the signal: `token_ngram_hashes` emits
-    distinct grams per doc, so the window count IS the document
-    frequency. Compare `repetition_profile` (WITHIN-doc repetition)
-    and `minhash_dedup_pairs` (whole-doc near-duplicates) — this
-    operator catches the cross-doc duplicated-passage middle ground.
+    Scale shape — deliberately NOT a window over gram: a
+    `count() OVER (PARTITION BY gram)` puts every occurrence of a
+    mega-duplicated boilerplate gram (millions of docs) into ONE task,
+    and windows cannot be AQE-skew-split. Instead: (a) document
+    frequency via groupBy(gram) count — the map-side combine collapses
+    a hot gram to one row per task before the exchange; (b) the
+    ≥min_docs grams left-semi join back onto the gram stream — a join
+    AQE CAN skew-split; (c) per-doc totals and dup counts as two
+    doc-keyed aggregations with map-side partials. In-doc repeats
+    don't inflate the signal: `token_ngram_hashes` emits distinct
+    grams per doc, so the gram count IS the document frequency.
+    Compare `repetition_profile` (WITHIN-doc repetition) and
+    `minhash_dedup_pairs` (whole-doc near-duplicates) — this operator
+    catches the cross-doc duplicated-passage middle ground.
     """
     grams = token_ngram_hashes(docs, n=n, text_col=text_col, id_col=id_col).select(
         F.col(id_col), F.explode("grams").alias("gram")
     )
-    w = Window.partitionBy("gram")
-    per_doc = (
-        grams.withColumn("_df", F.count(F.lit(1)).over(w))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("_df") >= min_docs).cast("long")).alias("n_dup"),
-        )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("gram")
     )
+    totals = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    dups = (
+        grams.join(dup_grams, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    per_doc = totals.join(dups, id_col, "left").na.fill(0, ["n_dup"])
     return per_doc.withColumn(
         "dup_ppm", F.expr("(n_dup * 1000000) div n_grams")
     )
