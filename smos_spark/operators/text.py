@@ -515,9 +515,15 @@ def quality_funnel(
 
     Returns (stage_idx, stage, n_in, n_kept, n_dropped) — one row per
     stage. Shape at 100 TB: one scan computing all cumulative flags as
-    codegen expressions, one window on the content hash (only if
-    dedup_exact), and ONE single-row aggregate exploded to the funnel
-    rows — no per-stage passes, no driver-side loops over data.
+    codegen expressions and ONE single-row aggregate exploded to the
+    funnel rows — no per-stage passes, no driver-side loops over data.
+    The dedup_exact stage count is a count(DISTINCT hash) over the
+    survivors, NOT a row_number window over the content hash: the
+    two-phase distinct aggregate collapses a mega-duplicated document
+    map-side, where a hash-partitioned window would put every copy in
+    one task (the same skew trap §26 documents for duplicate spans) —
+    and for pure accounting "first surviving occurrence per hash" and
+    "number of distinct surviving hashes" are the same count.
     """
     stages = list(stages or default_funnel_stages(text_col))
     flags = []
@@ -529,24 +535,21 @@ def quality_funnel(
     work = df.select(
         F.col(id_col), F.col(text_col), *[c.alias(f"_c{i}") for i, (_, c) in enumerate(flags)]
     )
+    aggs = [
+        F.sum(F.when(F.col(f"_c{i}"), 1).otherwise(0)).cast("long").alias(f"_k{i}")
+        for i in range(len(flags))
+    ]
     if dedup_exact:
         last = F.col(f"_c{len(flags) - 1}")
-        w = Window.partitionBy(
-            F.md5(F.coalesce(F.col(text_col), F.lit("")))
-        ).orderBy(F.when(last, 0).otherwise(1), F.col(id_col))
-        # survivors sort first per hash group, so rn==1 is the first
-        # SURVIVING occurrence whenever any survivor exists
-        work = work.select(
-            "*", (last & (F.row_number().over(w) == 1)).alias(f"_c{len(flags)}")
+        aggs.append(
+            F.count_distinct(
+                F.when(last, F.md5(F.coalesce(F.col(text_col), F.lit(""))))
+            )
+            .cast("long")
+            .alias(f"_k{len(flags)}")
         )
         flags.append(("dedup_exact", None))
-    agg = work.agg(
-        F.count(F.lit(1)).cast("long").alias("_k_in"),
-        *[
-            F.sum(F.when(F.col(f"_c{i}"), 1).otherwise(0)).cast("long").alias(f"_k{i}")
-            for i in range(len(flags))
-        ],
-    )
+    agg = work.agg(F.count(F.lit(1)).cast("long").alias("_k_in"), *aggs)
     rows = F.array(
         *[
             F.struct(
