@@ -24,9 +24,10 @@ Scale shape: each operator is ONE hash Exchange on its window
 partition key. ``m4_downsample`` partitions by (key, bucket) so the
 densest single bucket — not the hottest key — bounds task size; the
 four orderings are in-partition sorts on the same Exchange.
-``counter_rate`` and ``largest_gaps`` partition per key; for
-pathological hot keys the bounded-partition pattern of
-``rollup.rolling_stats_bucketed`` applies unchanged.
+``counter_rate`` and ``largest_gaps`` partition per key; their
+``*_bucketed`` twins bound every window partition by (key, width
+bucket) with a two-level adjacency carry across non-empty buckets —
+the hot-key path, proven identical to the keyed versions in tests.
 
 All comparisons are on raw column values (ordering, never float
 arithmetic except the caller-visible counter deltas), so the DuckDB
@@ -43,7 +44,13 @@ from pyspark.sql.window import Window
 
 from smos_spark.operators.rollup import _width_bucket
 
-__all__ = ["m4_downsample", "counter_rate", "largest_gaps"]
+__all__ = [
+    "m4_downsample",
+    "counter_rate",
+    "counter_rate_bucketed",
+    "largest_gaps",
+    "largest_gaps_bucketed",
+]
 
 
 def m4_downsample(
@@ -167,6 +174,144 @@ def largest_gaps(
         .where(F.col("gap_rank") <= top_k)
         .select(
             *key_cols,
+            "gap_start",
+            F.col(ts_col).alias("gap_end"),
+            "gap_us",
+            "gap_rank",
+        )
+    )
+
+
+def counter_rate_bucketed(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    counter_col: str = "counter",
+    width_sec: float = 3600.0,
+    origin: str | None = None,
+    tie_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """`counter_rate` with BOUNDED window partitions — the hot-key
+    path (a single hot counter key with 10^9 samples makes the plain
+    per-key lag window one sort task).
+
+    Two-level adjacency: (a) the in-bucket lag runs inside
+    (key, output bucket) — partition size bounded by samples per
+    width, for ANY key; (b) each bucket's FIRST sample gets its true
+    predecessor from the previous NON-EMPTY bucket's last sample via a
+    per-key window over the O(span/width) bucket-level rows (one row
+    per non-empty bucket, however many samples it held — a year of
+    hourly buckets is ≤8.8k rows per key). Sparse keys are handled
+    correctly: the carry crosses any number of EMPTY buckets (pinned
+    in tests), which a naive ghost-copy-to-next-bucket would miss.
+    Results identical to `counter_rate` (asserted in tests)."""
+    keys = list(key_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = (
+        df.where(F.col(ts_col).isNotNull() & F.col(counter_col).isNotNull())
+        .withColumn(
+            "bucket_start", _width_bucket(F.col(ts_col), width_sec, origin)
+        )
+        .withColumn("_us", us)
+    )
+    ties = [F.col(t) for t in tie_cols]
+    w_in = Window.partitionBy(*keys, "bucket_start").orderBy(F.col("_us"), *ties)
+    v = F.col(counter_col)
+    prev_in = F.lag(v).over(w_in)
+    # bucket-level last sample: struct max over (us, ties, counter) —
+    # deterministic, map-side combinable, one row per non-empty bucket
+    last_struct = F.max(
+        F.struct(F.col("_us"), *ties, v.alias("_v"))
+    ).alias("_last")
+    per_bucket = base.groupBy(*keys, "bucket_start").agg(last_struct)
+    w_b = Window.partitionBy(*keys).orderBy("bucket_start")
+    carry = per_bucket.select(
+        *keys,
+        F.col("bucket_start"),
+        F.lag(F.col("_last._v")).over(w_b).alias("_carry"),
+    )
+    joined = base.join(carry, [*keys, "bucket_start"], "left")
+    prev = F.coalesce(prev_in, F.col("_carry"))
+    delta = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(v >= prev, v - prev)
+        .otherwise(v)
+    )
+    return (
+        joined.withColumn("_delta", delta)
+        .groupBy(*keys, "bucket_start")
+        .agg(
+            F.sum("_delta").alias("increase"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+
+
+def largest_gaps_bucketed(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    top_k: int = 3,
+    tie_cols: Sequence[str] = ("event_id",),
+    width_sec: float = 86400.0,
+) -> DataFrame:
+    """`largest_gaps` with BOUNDED window partitions — the hot-key
+    path. In-bucket gaps come from a lag inside (key, width bucket);
+    the gap ACROSS each bucket boundary (first sample of a non-empty
+    bucket vs the previous non-empty bucket's last sample — any number
+    of empty buckets apart) comes from a per-key window over the
+    O(span/width) bucket-level rows. The final top-k rank per key runs
+    over per-sample gap rows, but `row_number() <= k` is cut map-side
+    by WindowGroupLimit, so its shuffle is O(keys·k·tasks) regardless
+    of key heat. Results identical to `largest_gaps` (asserted)."""
+    keys = list(key_cols)
+    ties = [F.col(t) for t in tie_cols]
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = (
+        df.where(F.col(ts_col).isNotNull())
+        .withColumn(
+            "_bkt", _width_bucket(F.col(ts_col), width_sec)
+        )
+        .withColumn("_us", us)
+    )
+    w_in = Window.partitionBy(*keys, "_bkt").orderBy(F.col("_us"), *ties)
+    in_bucket = base.select(
+        *keys,
+        F.col(ts_col),
+        *[F.col(t) for t in tie_cols],
+        F.lag(F.col(ts_col)).over(w_in).alias("gap_start"),
+        (F.col("_us") - F.lag(F.col("_us")).over(w_in)).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    # bucket-level first/last samples (struct min/max: deterministic)
+    per_bucket = base.groupBy(*keys, "_bkt").agg(
+        F.min(F.struct(F.col("_us"), *ties, F.col(ts_col).alias("_ts"))).alias("_f"),
+        F.max(F.struct(F.col("_us"), *ties, F.col(ts_col).alias("_ts"))).alias("_l"),
+    )
+    w_b = Window.partitionBy(*keys).orderBy("_bkt")
+    boundary = (
+        per_bucket.select(
+            *keys,
+            F.col("_f"),
+            F.lag(F.col("_l")).over(w_b).alias("_pl"),
+        )
+        .where(F.col("_pl").isNotNull())
+        .select(
+            *keys,
+            F.col("_f._ts").alias(ts_col),
+            *[F.col(f"_f.{t}").alias(t) for t in tie_cols],
+            F.col("_pl._ts").alias("gap_start"),
+            (F.col("_f._us") - F.col("_pl._us")).alias("gap_us"),
+        )
+    )
+    gaps = in_bucket.unionByName(boundary)
+    rank_w = Window.partitionBy(*keys).orderBy(
+        F.col("gap_us").desc(), F.col(ts_col).asc(), *[t.asc() for t in ties]
+    )
+    return (
+        gaps.withColumn("gap_rank", F.row_number().over(rank_w))
+        .where(F.col("gap_rank") <= top_k)
+        .select(
+            *keys,
             "gap_start",
             F.col(ts_col).alias("gap_end"),
             "gap_us",

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from smos_spark.operators.downsample import counter_rate, largest_gaps, m4_downsample
@@ -181,3 +183,81 @@ def test_largest_gaps_rank_tie_prefers_earlier(spark):
     out = {r["gap_rank"]: r.asDict() for r in largest_gaps(df, top_k=2).collect()}
     assert out[1]["gap_end"] == dt.datetime(2024, 3, 1, 10, 2)
     assert out[2]["gap_end"] == dt.datetime(2024, 3, 1, 10, 4)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/events.parquet").cache()
+
+
+def test_counter_rate_bucketed_identical(spark, events):
+    """Bounded-partition counter_rate == keyed counter_rate on real
+    data at a width small enough to force many buckets and boundary
+    carries across EMPTY buckets (sparse per-user sampling)."""
+    from pyspark.sql.window import Window
+    from smos_spark.operators.downsample import counter_rate, counter_rate_bucketed
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.floor(F.col("value") * 100).cast("long") + 100
+    counters = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.pmod(F.sum(cents).over(w), F.lit(50000)).alias("counter"),
+    ).cache()
+    a = counter_rate(counters, width_sec=3600.0).orderBy("user_id", "bucket_start")
+    b = counter_rate_bucketed(counters, width_sec=3600.0).orderBy(
+        "user_id", "bucket_start"
+    )
+    assert a.collect() == b.collect()
+
+
+def test_largest_gaps_bucketed_identical(spark, events):
+    from smos_spark.operators.downsample import largest_gaps, largest_gaps_bucketed
+
+    a = largest_gaps(events, top_k=3).orderBy("user_id", "gap_rank")
+    b = largest_gaps_bucketed(events, top_k=3, width_sec=3600.0).orderBy(
+        "user_id", "gap_rank"
+    )
+    assert a.collect() == b.collect()
+
+
+def test_bucketed_carry_crosses_empty_buckets(spark):
+    """Planted sparse key: samples in buckets 0 and 5 (four EMPTY
+    buckets between) — the boundary carry must still connect them;
+    a ghost-copy-to-adjacent-bucket scheme would not."""
+    import datetime as dt
+
+    from smos_spark.operators.downsample import (
+        counter_rate,
+        counter_rate_bucketed,
+        largest_gaps,
+        largest_gaps_bucketed,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 7, t0, 10),
+        (2, 7, t0 + dt.timedelta(seconds=10), 25),
+        (3, 7, t0 + dt.timedelta(hours=5), 5),    # reset after 4 empty hours
+        (4, 7, t0 + dt.timedelta(hours=5, minutes=1), 30),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, counter long"
+    )
+    a = counter_rate(df, width_sec=3600.0).orderBy("bucket_start").collect()
+    b = counter_rate_bucketed(df, width_sec=3600.0).orderBy("bucket_start").collect()
+    assert a == b
+    # bucket 0: 0 (first) + 15; bucket 5: reset→5 + 25
+    inc = {r["bucket_start"].hour: r["increase"] for r in b}
+    assert inc[0] == 15 and inc[5] == 30
+    g1 = largest_gaps(df.withColumnRenamed("counter", "value"), top_k=2).collect()
+    g2 = largest_gaps_bucketed(
+        df.withColumnRenamed("counter", "value"), top_k=2, width_sec=3600.0
+    ).collect()
+    assert sorted(map(tuple, g1)) == sorted(map(tuple, g2))
+    assert max(r["gap_us"] for r in g2) == (5 * 3600 - 10) * 1_000_000
