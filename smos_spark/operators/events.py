@@ -35,7 +35,7 @@ from pyspark.sql.window import Window
 
 from smos_spark.operators.rollup import _width_bucket
 
-__all__ = ["event_funnel", "cohort_retention", "parse_json_fields"]
+__all__ = ["event_funnel", "event_funnel_stepwise", "cohort_retention", "parse_json_fields"]
 
 
 def parse_json_fields(
@@ -162,3 +162,48 @@ def cohort_retention(
         .groupBy("cohort_start", "offset_buckets")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def event_funnel_stepwise(
+    df: DataFrame,
+    steps: Sequence[str] = ("view", "click", "purchase"),
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """`event_funnel` without the per-key window — the hot-key path.
+
+    The window formulation is ONE Exchange, but a pathologically hot
+    key (10^8 events) makes that one window partition a single sort
+    task. Here each step is a plain min() aggregation (map-side
+    combine collapses any key heat) joined to the previous step's
+    time: N small shuffles of O(keys) rows instead of one
+    skew-vulnerable sort of O(events). Identical results to
+    `event_funnel` (asserted in tests), including all-NULL rows for
+    keys that never reach step 1 — the funnel denominator."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    keys = list(key_cols)
+    work = df.where(F.col(ts_col).isNotNull())
+    cur = (
+        work.where(F.col(type_col) == steps[0])
+        .groupBy(*keys)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    acc = cur
+    for i in range(1, len(steps)):
+        nxt = (
+            work.where(F.col(type_col) == steps[i])
+            .join(acc.select(*keys, f"t{i}"), keys)
+            .where(F.col(ts_col) > F.col(f"t{i}"))
+            .groupBy(*keys)
+            .agg(F.min(ts_col).alias(f"t{i + 1}"))
+        )
+        acc = acc.join(nxt, keys, "left")
+    all_keys = work.select(*keys).distinct()
+    out = all_keys.join(acc, keys, "left")
+    n_done = sum(
+        (F.when(F.col(f"t{i + 1}").isNotNull(), 1).otherwise(0))
+        for i in range(len(steps))
+    )
+    return out.withColumn("steps_completed", n_done.cast("int"))

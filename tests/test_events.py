@@ -156,3 +156,15 @@ def test_parse_json_fields_typed_and_malformed(spark):
         strict.collect()
     with pytest.raises(ValueError):
         parse_json_fields(df, fields={})
+
+
+def test_event_funnel_stepwise_identical(spark):
+    """Stepwise (hot-key-safe) funnel == window funnel on the sf
+    events, including keys that stall at every stage."""
+    from smos_spark.operators.events import event_funnel, event_funnel_stepwise
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    a = event_funnel(ev).orderBy("user_id")
+    b = event_funnel_stepwise(ev).orderBy("user_id")
+    ca, cb = a.collect(), b.collect()
+    assert len(ca) == len(cb) and ca == cb
