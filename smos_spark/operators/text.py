@@ -336,16 +336,20 @@ def duplicate_span_ratio(
     `minhash_dedup_pairs` (whole-doc near-duplicates) — this operator
     catches the cross-doc duplicated-passage middle ground.
     """
-    grams = token_ngram_hashes(docs, n=n, text_col=text_col, id_col=id_col).select(
-        F.col(id_col), F.explode("grams").alias("gram")
-    )
+    g = token_ngram_hashes(docs, n=n, text_col=text_col, id_col=id_col)
+    grams = g.select(F.col(id_col), F.explode("grams").alias("gram"))
     dup_grams = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("_df"))
         .where(F.col("_df") >= min_docs)
         .select("gram")
     )
-    totals = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    # per-doc totals come from size() on the pre-explode array — zero
+    # shuffle AND one fewer evaluation of the gram-extraction subtree
+    # (the expensive md5 transform would otherwise run a third time)
+    totals = g.select(
+        F.col(id_col), F.size("grams").alias("n_grams")
+    ).where(F.col("n_grams") > 0)
     dups = (
         grams.join(dup_grams, "gram", "left_semi")
         .groupBy(id_col)
