@@ -2314,7 +2314,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": f"""
           WITH toks AS (
             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-            FROM documents WHERE text IS NOT NULL
+            FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
           ), grams AS (
             SELECT doc_id, unnest(list_distinct(list_transform(
                 generate_series(1, len(t) - 3),

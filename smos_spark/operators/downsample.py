@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from smos_spark.functions.joins import null_safe_join
 from smos_spark.operators.rollup import _width_bucket
 
 __all__ = [
@@ -230,7 +231,9 @@ def counter_rate_bucketed(
         F.col("bucket_start"),
         F.lag(F.col("_last._v")).over(w_b).alias("_carry"),
     )
-    joined = base.join(carry, [*keys, "bucket_start"], "left")
+    # null-safe: a NULL-keyed series is a regular group to groupBy and
+    # the window twin — a plain equi-join would drop its carry
+    joined = null_safe_join(base, carry, [*keys, "bucket_start"], "left")
     prev = F.coalesce(prev_in, F.col("_carry"))
     delta = (
         F.when(prev.isNull(), F.lit(0))

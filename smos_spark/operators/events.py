@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from smos_spark.functions.joins import null_safe_join
 from smos_spark.operators.rollup import _width_bucket
 
 __all__ = ["event_funnel", "event_funnel_stepwise", "cohort_retention", "parse_json_fields"]
@@ -192,16 +193,22 @@ def event_funnel_stepwise(
     )
     acc = cur
     for i in range(1, len(steps)):
+        # null-safe joins: groupBy treats a NULL key as a regular
+        # group, so plain equi-joins would silently zero the funnel
+        # for anonymous keys and break identity with event_funnel
         nxt = (
-            work.where(F.col(type_col) == steps[i])
-            .join(acc.select(*keys, f"t{i}"), keys)
+            null_safe_join(
+                work.where(F.col(type_col) == steps[i]),
+                acc.select(*keys, f"t{i}"),
+                keys,
+            )
             .where(F.col(ts_col) > F.col(f"t{i}"))
             .groupBy(*keys)
             .agg(F.min(ts_col).alias(f"t{i + 1}"))
         )
-        acc = acc.join(nxt, keys, "left")
+        acc = null_safe_join(acc, nxt, keys, "left")
     all_keys = work.select(*keys).distinct()
-    out = all_keys.join(acc, keys, "left")
+    out = null_safe_join(all_keys, acc, keys, "left")
     n_done = sum(
         (F.when(F.col(f"t{i + 1}").isNotNull(), 1).otherwise(0))
         for i in range(len(steps))

@@ -336,7 +336,14 @@ def duplicate_span_ratio(
     `minhash_dedup_pairs` (whole-doc near-duplicates) — this operator
     catches the cross-doc duplicated-passage middle ground.
     """
-    g = token_ngram_hashes(docs, n=n, text_col=text_col, id_col=id_col)
+    # NULL ids are excluded (no identity — the sampling/sketch
+    # contract): distinct NULL-id documents would otherwise merge into
+    # one pseudo-doc under groupBy, corrupting both their own row and
+    # the corpus doc-frequency
+    g = token_ngram_hashes(
+        docs.where(F.col(id_col).isNotNull()),
+        n=n, text_col=text_col, id_col=id_col,
+    )
     grams = g.select(F.col(id_col), F.explode("grams").alias("gram"))
     dup_grams = (
         grams.groupBy("gram")

@@ -261,3 +261,23 @@ def test_bucketed_carry_crosses_empty_buckets(spark):
     ).collect()
     assert sorted(map(tuple, g1)) == sorted(map(tuple, g2))
     assert max(r["gap_us"] for r in g2) == (5 * 3600 - 10) * 1_000_000
+
+
+def test_counter_rate_bucketed_null_key(spark):
+    """A NULL-keyed counter series must keep its cross-bucket carry
+    (null-safe join regression pin)."""
+    from smos_spark.operators.downsample import counter_rate, counter_rate_bucketed
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, None, t0, 10),
+        (2, None, t0 + dt.timedelta(hours=2), 30),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, counter long"
+    )
+    a = sorted(map(tuple, counter_rate(df, width_sec=3600.0).collect()))
+    b = sorted(map(tuple, counter_rate_bucketed(df, width_sec=3600.0).collect()))
+    assert a == b
+    incs = {r[1].hour: r[2] for r in b}
+    assert incs[2] == 20

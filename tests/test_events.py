@@ -168,3 +168,30 @@ def test_event_funnel_stepwise_identical(spark):
     b = event_funnel_stepwise(ev).orderBy("user_id")
     ca, cb = a.collect(), b.collect()
     assert len(ca) == len(cb) and ca == cb
+
+
+def test_event_funnel_stepwise_null_key(spark):
+    """NULL keys are a regular group to groupBy/windows — the stepwise
+    joins must be null-safe or anonymous-user funnels silently report
+    zero progression (regression pin)."""
+    import datetime as dt
+
+    from smos_spark.operators.events import event_funnel, event_funnel_stepwise
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, None, t0, "view"),
+        (2, None, t0 + dt.timedelta(minutes=1), "click"),
+        (3, None, t0 + dt.timedelta(minutes=2), "purchase"),
+        (4, 7, t0, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    a = sorted(map(tuple, event_funnel(df).collect()), key=key)
+    b = sorted(map(tuple, event_funnel_stepwise(df).collect()), key=key)
+    assert a == b
+    null_row = [r for r in event_funnel_stepwise(df).collect()
+                if r["user_id"] is None][0]
+    assert null_row["steps_completed"] == 3

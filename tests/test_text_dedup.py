@@ -775,3 +775,20 @@ def test_chunk_documents_property(spark):
             assert rebuilt == orig, (doc_id, size, overlap)
             exp_n = 1 + max(0, -(-(len(orig) - size) // stride)) if len(orig) > size else 1
             assert g.n_chunks.iloc[0] == exp_n, (doc_id, size, overlap)
+
+
+def test_duplicate_span_ratio_null_ids_excluded(spark):
+    """NULL-id docs have no identity: excluded from output AND from
+    doc frequency (two distinct NULL-id docs must not merge into one
+    pseudo-doc and fake a cross-doc duplicate)."""
+    from smos_spark.operators.text import duplicate_span_ratio
+
+    rows = [
+        (None, "alpha beta gamma delta"),
+        (None, "alpha beta gamma delta"),
+        (1, "epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = duplicate_span_ratio(df, n=3).collect()
+    assert [r["doc_id"] for r in got] == [1]
+    assert got[0]["n_dup"] == 0
