@@ -351,6 +351,28 @@ def _q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_codec_chimp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chimp (VLDB 2022) float codec + delta-of-delta timestamps:
+    same bit-exact round-trip contract as the Gorilla query — rounded
+    3-bit leading codes and a verbatim-xor fast path give ~10% smaller
+    blocks on smooth series (pinned directionally in
+    test_chimp_beats_gorilla_on_smooth_series)."""
+    from smos_spark.operators.compress import compress_series, decompress_series
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts", "value"
+    )
+    comp = compress_series(ev, ["value"], codec="chimp")
+    dec = decompress_series(comp, ["value"], codec="chimp")
+    joined = ev.alias("o").join(dec.alias("d"), ["conv_id", "ts"], "inner")
+    return joined.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (F.count(F.when(F.col("o.value") == F.col("d.value"), 1)) == F.count(F.lit(1))).alias(
+            "values_ok"
+        ),
+    )
+
+
 def _q_incremental_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5/K6/A5: ingest the table as two time-ordered micro-batches
     through the checkpointed incremental path; final 1d tier must equal
@@ -1306,6 +1328,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top1_latest": _q_top1_latest,
         "sessionize_30m": _q_sessionize_30m,
         "codec_roundtrip": _q_codec_roundtrip,
+        "codec_chimp_roundtrip": _q_codec_chimp_roundtrip,
         "incremental_1d": _q_incremental_1d,
         "doc_token_counts": _q_doc_token_counts,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -1885,6 +1908,12 @@ def oracle_sql() -> dict[str, str]:
           FROM sess GROUP BY 1, 2
         """,
         "codec_roundtrip": """
+          SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                 CAST(count(*) AS BIGINT) AS n_points,
+                 true AS values_ok
+          FROM events GROUP BY 1
+        """,
+        "codec_chimp_roundtrip": """
           SELECT CAST(user_id AS VARCHAR) AS conv_id,
                  CAST(count(*) AS BIGINT) AS n_points,
                  true AS values_ok

@@ -519,3 +519,204 @@ def dod_decode(blob: bytes) -> np.ndarray:
         deltas[1:] = first_delta + np.cumsum(np.array(dods, dtype=np.int64))
     out[1:] = first + np.cumsum(deltas)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Chimp float codec (Liakos, Papakonstantinopoulou, Kotidis — VLDB 2022)
+#
+# Public-paper layout, basic Chimp variant (not Chimp128). Differences
+# from Gorilla XOR that buy compression on real time series: leading-
+# zero counts are ROUNDED to one of 8 values (3-bit code instead of
+# 5), the common small-trailing-zeros case stores the xor verbatim
+# without a trailing-length field, and only the rare trailing>6 case
+# pays for a center-bits window. Flags (2 bits):
+#   00  xor == 0 (value repeats)
+#   01  trailing zeros > 6: 3-bit lead code + 6-bit center length +
+#       center bits; resets the stored lead
+#   10  trailing <= 6, rounded lead == stored lead: (64 - lead) bits
+#   11  trailing <= 6, new rounded lead: 3-bit lead code +
+#       (64 - lead) bits
+# Header matches gorilla_encode: <QQ> n, first raw bits.
+
+_CHIMP_LEADS = (0, 8, 12, 16, 18, 20, 22, 24)
+_CHIMP_ROUND = np.zeros(65, dtype=np.int64)
+for _lz in range(65):
+    _CHIMP_ROUND[_lz] = max(v for v in _CHIMP_LEADS if v <= min(_lz, 24))
+_CHIMP_REP = {v: i for i, v in enumerate(_CHIMP_LEADS)}
+
+
+def chimp_encode(values: np.ndarray) -> bytes:
+    """Chimp-encode a float64 array → bytes (bit-exact round trip,
+    NaN payloads included). Loop reference implementation; the batch
+    twin `chimp_encode_batch` is bit-identical (asserted in tests)."""
+    vals = np.asarray(values, dtype=np.float64)
+    n = len(vals)
+    if n == 0:
+        return struct.pack("<Q", 0)
+    bits = vals.view(np.uint64).tolist()
+    prev = bits[0]
+    out = [struct.pack("<QQ", n, prev)]
+    w = _BitWriter()
+    stored_lead = -1
+    for i in range(1, n):
+        cur = bits[i]
+        xor = prev ^ cur
+        if xor == 0:
+            w.write(0b00, 2)
+        else:
+            lead = int(_CHIMP_ROUND[_clz64(xor)])
+            trail = _ctz64(xor)
+            if trail > 6:
+                sig = 64 - lead - trail
+                w.write(0b01, 2)
+                w.write(_CHIMP_REP[lead], 3)
+                w.write(sig, 6)
+                w.write(xor >> trail, sig)
+                stored_lead = -1
+            elif lead == stored_lead:
+                w.write(0b10, 2)
+                w.write(xor, 64 - lead)
+            else:
+                stored_lead = lead
+                w.write(0b11, 2)
+                w.write(_CHIMP_REP[lead], 3)
+                w.write(xor, 64 - lead)
+        prev = cur
+    out.append(w.getvalue())
+    return b"".join(out)
+
+
+def chimp_encode_batch(values: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """Encode many series in one pass (same contract as
+    gorilla_encode_batch): vectorized xor/lead/trail over the batch,
+    a sequential token loop over nonzero-xor entries only, one
+    _pack_bits for the whole batch, blobs sliced per group."""
+    vals = np.asarray(values, dtype=np.float64)
+    starts = np.asarray(starts, dtype=np.int64)
+    n_total = len(vals)
+    n_groups = len(starts)
+    ends = np.append(starts[1:], n_total)
+    bits = vals.view(np.uint64) if n_total else np.empty(0, np.uint64)
+
+    xor = np.empty(n_total, np.uint64)
+    if n_total:
+        xor[0] = 0
+        xor[1:] = bits[1:] ^ bits[:-1]
+        xor[starts[starts < n_total]] = 0
+    nz = np.flatnonzero(xor)
+    x = xor[nz]
+    bl = _bit_length_u64(x)
+    lead_a = _CHIMP_ROUND[64 - bl]
+    low = x & (~x + _U1)
+    trail_a = _bit_length_u64(low) - 1
+    grp_nz_lo = np.searchsorted(nz, starts).tolist()
+    grp_nz_hi = np.searchsorted(nz, ends).tolist()
+
+    ev: list[int] = []
+    eb: list[int] = []
+    meta: list[int] = []
+    xl, ll, tl = x.tolist(), lead_a.tolist(), trail_a.tolist()
+    nzl = nz.tolist()
+    sl_g, el_g = starts.tolist(), ends.tolist()
+    ev_app, eb_app = ev.append, eb.append
+    for g in range(n_groups):
+        s, e = sl_g[g], el_g[g]
+        bits_g = 0
+        if e - s >= 2:
+            stored_lead = -1
+            pos = s + 1
+            for j in range(grp_nz_lo[g], grp_nz_hi[g]):
+                i = nzl[j]
+                zrun = i - pos
+                while zrun > 0:  # '00' per repeated value
+                    c = 32 if zrun > 32 else zrun
+                    ev_app(0)
+                    eb_app(2 * c)
+                    bits_g += 2 * c
+                    zrun -= c
+                lead = ll[j]
+                trail = tl[j]
+                if trail > 6:
+                    sig = 64 - lead - trail
+                    ev_app((0b01 << 9) | (_CHIMP_REP[lead] << 6) | sig)
+                    eb_app(11)
+                    ev_app(xl[j] >> trail)
+                    eb_app(sig)
+                    bits_g += 11 + sig
+                    stored_lead = -1
+                elif lead == stored_lead:
+                    ev_app(0b10)
+                    eb_app(2)
+                    ev_app(xl[j])
+                    eb_app(64 - lead)
+                    bits_g += 2 + 64 - lead
+                else:
+                    stored_lead = lead
+                    ev_app((0b11 << 3) | _CHIMP_REP[lead])
+                    eb_app(5)
+                    ev_app(xl[j])
+                    eb_app(64 - lead)
+                    bits_g += 5 + 64 - lead
+                pos = i + 1
+            zrun = e - pos
+            while zrun > 0:
+                c = 32 if zrun > 32 else zrun
+                ev_app(0)
+                eb_app(2 * c)
+                bits_g += 2 * c
+                zrun -= c
+            pad = (-bits_g) % 8
+            if pad:
+                ev_app(0)
+                eb_app(pad)
+                bits_g += pad
+        meta.append(bits_g)
+
+    payload = _pack_bits(np.array(ev, dtype=np.uint64), np.array(eb, dtype=np.int64))
+    out: list[bytes] = []
+    byte_off = 0
+    firsts = (
+        bits[np.minimum(starts, max(n_total - 1, 0))].tolist() if n_total else []
+    )
+    for g in range(n_groups):
+        n_g = el_g[g] - sl_g[g]
+        if n_g == 0:
+            out.append(struct.pack("<Q", 0))
+            continue
+        nbytes = meta[g] // 8
+        out.append(
+            struct.pack("<QQ", n_g, firsts[g]) + payload[byte_off : byte_off + nbytes]
+        )
+        byte_off += nbytes
+    return out
+
+
+def chimp_decode(blob: bytes) -> np.ndarray:
+    (n,) = struct.unpack_from("<Q", blob, 0)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out.view(np.float64)
+    (first,) = struct.unpack_from("<Q", blob, 8)
+    out[0] = first
+    r = _BitReader(blob[16:])
+    prev = first
+    stored_lead = -1
+    for i in range(1, n):
+        flag = r.read(2)
+        if flag == 0b00:
+            out[i] = prev
+            continue
+        if flag == 0b01:
+            lead = _CHIMP_LEADS[r.read(3)]
+            sig = r.read(6)
+            trail = 64 - lead - sig
+            xor = r.read(sig) << trail
+            stored_lead = -1
+        elif flag == 0b10:
+            xor = r.read(64 - stored_lead)
+        else:
+            stored_lead = _CHIMP_LEADS[r.read(3)]
+            xor = r.read(64 - stored_lead)
+        prev ^= xor
+        out[i] = prev
+    return out.view(np.float64)

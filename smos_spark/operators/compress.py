@@ -33,11 +33,21 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from smos_spark.functions.codecs import (
+    chimp_decode,
+    chimp_encode_batch,
     dod_decode,
     dod_encode_batch,
     gorilla_decode,
     gorilla_encode_batch,
 )
+
+#: value codecs: Gorilla XOR (Facebook, VLDB 2015) and Chimp (VLDB
+#: 2022 — rounded 3-bit leading codes, verbatim-xor fast path; ~10%
+#: smaller blocks on smooth series, same bit-exact contract)
+_CODECS = {
+    "gorilla": (gorilla_encode_batch, gorilla_decode),
+    "chimp": (chimp_encode_batch, chimp_decode),
+}
 
 __all__ = ["compress_series", "decompress_series"]
 
@@ -49,10 +59,15 @@ def compress_series(
     ts_col: str = "ts",
     order_cols: Sequence[str] | None = None,
     num_partitions: int | None = None,
+    codec: str = "gorilla",
 ) -> DataFrame:
     """→ one row per key: (key, n, first_ts, last_ts, ts_blob,
     <col>_blob…). Ordering inside the block is (ts, *order_cols) —
-    the stable-turn-order invariant."""
+    the stable-turn-order invariant. `codec` picks the float value
+    codec (timestamps are always delta-of-delta)."""
+    if codec not in _CODECS:
+        raise ValueError(f"unknown codec {codec!r}; choose from {sorted(_CODECS)}")
+    enc_batch = _CODECS[codec][0]
     value_cols = list(value_cols)
     order = [ts_col] + list(order_cols or [])
     schema = (
@@ -85,7 +100,7 @@ def compress_series(
         rows["ts_blob"].extend(dod_encode_batch(ts_us, starts))
         for c in value_cols:
             rows[f"{c}_blob"].extend(
-                gorilla_encode_batch(pdf[c].to_numpy(dtype="float64"), starts)
+                enc_batch(pdf[c].to_numpy(dtype="float64"), starts)
             )
 
     def _enc_stream(batches):
@@ -120,9 +135,14 @@ def decompress_series(
     value_cols: Sequence[str],
     key: str = "conv_id",
     ts_col: str = "ts",
+    codec: str = "gorilla",
 ) -> DataFrame:
     """Inverse of compress_series → long form (key, ts, *value_cols).
-    mapInPandas: no shuffle at all — each block row expands in place."""
+    mapInPandas: no shuffle at all — each block row expands in place.
+    `codec` must match the one blocks were written with."""
+    if codec not in _CODECS:
+        raise ValueError(f"unknown codec {codec!r}; choose from {sorted(_CODECS)}")
+    dec = _CODECS[codec][1]
     value_cols = list(value_cols)
     schema = f"{key} string, {ts_col} timestamp, " + ", ".join(
         f"{c} double" for c in value_cols
@@ -148,7 +168,7 @@ def decompress_series(
                 ).astype("datetime64[us]"),
             }
             for c in value_cols:
-                arrs = [gorilla_decode(bytes(b)) for b in pdf[f"{c}_blob"]]
+                arrs = [dec(bytes(b)) for b in pdf[f"{c}_blob"]]
                 data[c] = (
                     np.concatenate(arrs) if arrs else np.empty(0, dtype="float64")
                 )
