@@ -83,6 +83,10 @@ def main() -> None:
         comp = compress_series(ev, ["value"])
         _force(decompress_series(comp, ["value"]))
 
+    def q_codec_chimp():
+        comp = compress_series(ev, ["value"], codec="chimp")
+        _force(decompress_series(comp, ["value"], codec="chimp"))
+
     def q_dedup_exact():
         _force(dedup_exact(docs))
 
@@ -314,6 +318,7 @@ def main() -> None:
         "rollup_cascade": q_rollup_cascade,
         "gapfill_ffill": q_gapfill_ffill,
         "codec_roundtrip": q_codec_roundtrip,
+        "codec_chimp": q_codec_chimp,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "dedup_e2e": q_dedup_e2e,
