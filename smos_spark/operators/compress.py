@@ -49,7 +49,7 @@ _CODECS = {
     "chimp": (chimp_encode_batch, chimp_decode),
 }
 
-__all__ = ["compress_series", "decompress_series"]
+__all__ = ["compress_series", "decompress_series", "range_minmax"]
 
 
 def compress_series(
@@ -60,11 +60,17 @@ def compress_series(
     order_cols: Sequence[str] | None = None,
     num_partitions: int | None = None,
     codec: str = "gorilla",
+    stats: bool = False,
 ) -> DataFrame:
     """→ one row per key: (key, n, first_ts, last_ts, ts_blob,
     <col>_blob…). Ordering inside the block is (ts, *order_cols) —
     the stable-turn-order invariant. `codec` picks the float value
-    codec (timestamps are always delta-of-delta)."""
+    codec (timestamps are always delta-of-delta). `stats=True` adds
+    per-block `<col>_min`/`<col>_max` columns (NaN-skipping, NULL when
+    all-NaN) — the compressed-domain pruning metadata `range_minmax`
+    answers covered blocks from without decoding (the same idea as
+    parquet column stats / the reference's per-variable attributes,
+    /root/reference/src/smos/smos_ic/interface_ic.py:104-119)."""
     if codec not in _CODECS:
         raise ValueError(f"unknown codec {codec!r}; choose from {sorted(_CODECS)}")
     enc_batch = _CODECS[codec][0]
@@ -74,6 +80,10 @@ def compress_series(
         f"{key} string, n long, first_ts timestamp, last_ts timestamp, ts_blob binary, "
         + ", ".join(f"{c}_blob binary" for c in value_cols)
     )
+    if stats:
+        schema += ", " + ", ".join(
+            f"{c}_min double, {c}_max double" for c in value_cols
+        )
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
     arranged = df.repartition(n_parts, key).sortWithinPartitions(key, *order)
 
@@ -81,6 +91,8 @@ def compress_series(
         cols = [key, "n", "first_ts", "last_ts", "ts_blob"] + [
             f"{c}_blob" for c in value_cols
         ]
+        if stats:
+            cols += [f"{c}_{m}" for c in value_cols for m in ("min", "max")]
         return {c: [] for c in cols}
 
     def _encode_block(rows: dict, pdf: pd.DataFrame, starts: np.ndarray) -> None:
@@ -99,9 +111,18 @@ def compress_series(
         rows["last_ts"].extend(ts_raw[ends - 1])
         rows["ts_blob"].extend(dod_encode_batch(ts_us, starts))
         for c in value_cols:
-            rows[f"{c}_blob"].extend(
-                enc_batch(pdf[c].to_numpy(dtype="float64"), starts)
-            )
+            arr = pdf[c].to_numpy(dtype="float64")
+            rows[f"{c}_blob"].extend(enc_batch(arr, starts))
+            if stats:
+                finite = np.where(np.isnan(arr), np.nan, arr)
+                mins = np.fmin.reduceat(finite, starts)
+                maxs = np.fmax.reduceat(finite, starts)
+                rows[f"{c}_min"].extend(
+                    [None if np.isnan(v) else float(v) for v in mins]
+                )
+                rows[f"{c}_max"].extend(
+                    [None if np.isnan(v) else float(v) for v in maxs]
+                )
 
     def _enc_stream(batches):
         carry: pd.DataFrame | None = None
@@ -175,3 +196,74 @@ def decompress_series(
             yield pd.DataFrame(data)
 
     return comp.mapInPandas(_dec, schema=schema)
+
+
+def range_minmax(
+    comp: DataFrame,
+    value_col: str,
+    ts_from,
+    ts_to,
+    key: str = "conv_id",
+    codec: str = "gorilla",
+) -> DataFrame:
+    """Per-key (min, max, count) of `value_col` over [ts_from, ts_to]
+    answered IN THE COMPRESSED DOMAIN wherever possible: a block whose
+    [first_ts, last_ts] lies fully inside the range contributes its
+    stored `<col>_min`/`<col>_max`/`n` WITHOUT decompression (requires
+    `compress_series(stats=True)` blocks); only range-STRADDLING
+    blocks — at most two per key per compression granularity (blocks
+    are one per key per compressed slice, e.g. per day partition)
+    however long the range — are decoded
+    and filtered row-wise. At retention scale this turns a month-long
+    scan into header arithmetic plus two block decodes per series (the
+    compressed-analytics pattern of VLDB'20 "Approximate Analytics
+    over Compressed Time Series", here with exact results since
+    min/max/count are decomposable). Blocks entirely outside the
+    range are pruned by the first_ts/last_ts predicate — which also
+    reaches the parquet scan as min/max stats when blocks are stored.
+
+    Returns (key, vmin, vmax, n_points); keys with no in-range points
+    are absent. n_points counts ROWS (the engine's rows-kept/
+    values-masked contract — matching each block's stored `n`); NaN
+    values are ignored by min/max (NULL-equivalent, like the block
+    stats; a bare Spark max() would return NaN since NaN sorts
+    greatest)."""
+    from pyspark.sql import functions as F
+
+    t0 = F.lit(ts_from).cast("timestamp")
+    t1 = F.lit(ts_to).cast("timestamp")
+    overlapping = comp.where(
+        (F.col("last_ts") >= t0) & (F.col("first_ts") <= t1)
+    )
+    covered = overlapping.where(
+        (F.col("first_ts") >= t0) & (F.col("last_ts") <= t1)
+    )
+    straddling = overlapping.where(
+        (F.col("first_ts") < t0) | (F.col("last_ts") > t1)
+    )
+    from_stats = covered.select(
+        F.col(key),
+        F.col(f"{value_col}_min").alias("_min"),
+        F.col(f"{value_col}_max").alias("_max"),
+        F.col("n").alias("_n"),
+    )
+    decoded = decompress_series(straddling, [value_col], key=key, codec=codec)
+    v = F.when(~F.isnan(F.col(value_col)), F.col(value_col))
+    from_decode = (
+        decoded.where((F.col("ts") >= t0) & (F.col("ts") <= t1))
+        .groupBy(key)
+        .agg(
+            F.min(v).alias("_min"),
+            F.max(v).alias("_max"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return (
+        from_stats.unionByName(from_decode)
+        .groupBy(key)
+        .agg(
+            F.min("_min").alias("vmin"),
+            F.max("_max").alias("vmax"),
+            F.sum("_n").alias("n_points"),
+        )
+    )

@@ -289,3 +289,40 @@ def test_compress_series_chimp_roundtrip(spark, transcripts):
 
     with _pt.raises(ValueError, match="codec"):
         compress_series(ev, ["value"], codec="zstd")
+
+
+def test_range_minmax_compressed_domain(spark, transcripts):
+    """Compressed-domain range aggregate == the plain aggregate over
+    raw rows, across range positions that exercise covered,
+    straddling, and fully-pruned blocks."""
+    from pyspark.sql import functions as F
+    from smos_spark.operators.compress import compress_series, range_minmax
+
+    ev = transcripts.select(
+        "conv_id", "ts", F.length("text").cast("double").alias("value")
+    )
+    comp = compress_series(ev, ["value"], stats=True).cache()
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = hi - lo
+    cases = [
+        (lo, hi),                      # everything covered
+        (lo + span / 4, lo + 3 * span / 4),  # straddle both ends
+        (hi, hi),                      # point range
+    ]
+    for t0, t1 in cases:
+        got = {
+            r["conv_id"]: (r["vmin"], r["vmax"], r["n_points"])
+            for r in range_minmax(comp, "value", t0, t1).collect()
+        }
+        exp = {
+            r["conv_id"]: (r["vmin"], r["vmax"], r["n_points"])
+            for r in ev.where((F.col("ts") >= t0) & (F.col("ts") <= t1))
+            .groupBy("conv_id")
+            .agg(
+                F.min(F.when(~F.isnan("value"), F.col("value"))).alias("vmin"),
+                F.max(F.when(~F.isnan("value"), F.col("value"))).alias("vmax"),
+                F.count(F.lit(1)).alias("n_points"),
+            )
+            .collect()
+        }
+        assert got == exp, (t0, t1)
