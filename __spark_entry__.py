@@ -373,6 +373,23 @@ def _q_codec_chimp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_range_minmax_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain range aggregate: per-conv (min, max, count)
+    over a mid-span window answered from block-header stats for
+    covered blocks + decode of straddling blocks only. Oracle is the
+    plain raw-row aggregate — equality proves the stats path and the
+    decode path compose exactly."""
+    from smos_spark.operators.compress import compress_series, range_minmax
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts", "value"
+    )
+    comp = compress_series(ev, ["value"], stats=True)
+    return range_minmax(
+        comp, "value", "2024-01-10 00:00:00", "2024-01-25 00:00:00"
+    )
+
+
 def _q_incremental_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5/K6/A5: ingest the table as two time-ordered micro-batches
     through the checkpointed incremental path; final 1d tier must equal
@@ -1329,6 +1346,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_30m": _q_sessionize_30m,
         "codec_roundtrip": _q_codec_roundtrip,
         "codec_chimp_roundtrip": _q_codec_chimp_roundtrip,
+        "range_minmax_pruned": _q_range_minmax_pruned,
         "incremental_1d": _q_incremental_1d,
         "doc_token_counts": _q_doc_token_counts,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -1918,6 +1936,18 @@ def oracle_sql() -> dict[str, str]:
                  CAST(count(*) AS BIGINT) AS n_points,
                  true AS values_ok
           FROM events GROUP BY 1
+        """,
+        "range_minmax_pruned": """
+          SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                 min(CASE WHEN isnan(value) THEN NULL ELSE value END)
+                   AS vmin,
+                 max(CASE WHEN isnan(value) THEN NULL ELSE value END)
+                   AS vmax,
+                 CAST(count(*) AS BIGINT) AS n_points
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+            AND ts <= TIMESTAMP '2024-01-25 00:00:00'
+          GROUP BY 1
         """,
         "incremental_1d": _T_CTE + _tier_sql("day"),
         "doc_token_counts": """
