@@ -384,7 +384,9 @@ def _q_range_minmax_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         F.col("user_id").cast("string").alias("conv_id"), "ts", "value"
     )
-    comp = compress_series(ev, ["value"], stats=True)
+    # persist: range_minmax's covered/straddling split scans comp
+    # twice, and uncached it would re-run the whole encode pipeline
+    comp = compress_series(ev, ["value"], stats=True).persist()
     return range_minmax(
         comp, "value", "2024-01-10 00:00:00", "2024-01-25 00:00:00"
     )

@@ -59,6 +59,9 @@ __all__ = [
     "dod_decode",
     "gorilla_encode_batch",
     "dod_encode_batch",
+    "chimp_encode",
+    "chimp_decode",
+    "chimp_encode_batch",
 ]
 
 _U1 = np.uint64(1)

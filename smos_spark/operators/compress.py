@@ -114,9 +114,9 @@ def compress_series(
             arr = pdf[c].to_numpy(dtype="float64")
             rows[f"{c}_blob"].extend(enc_batch(arr, starts))
             if stats:
-                finite = np.where(np.isnan(arr), np.nan, arr)
-                mins = np.fmin.reduceat(finite, starts)
-                maxs = np.fmax.reduceat(finite, starts)
+                # fmin/fmax skip NaN natively — no pre-masking copy
+                mins = np.fmin.reduceat(arr, starts)
+                maxs = np.fmax.reduceat(arr, starts)
                 rows[f"{c}_min"].extend(
                     [None if np.isnan(v) else float(v) for v in mins]
                 )
@@ -211,9 +211,12 @@ def range_minmax(
     [first_ts, last_ts] lies fully inside the range contributes its
     stored `<col>_min`/`<col>_max`/`n` WITHOUT decompression (requires
     `compress_series(stats=True)` blocks); only range-STRADDLING
-    blocks — at most two per key per compression granularity (blocks
-    are one per key per compressed slice, e.g. per day partition)
-    however long the range — are decoded
+    blocks are decoded. Block granularity matters: `compress_series`
+    over one input emits ONE block per key, so the fast path fires
+    only for keys whose whole span fits the range — the
+    month-scan-to-two-decodes benefit needs per-slice blocks (run
+    compress_series per day/tier partition, as the store layout
+    does), giving at most two straddling blocks per key
     and filtered row-wise. At retention scale this turns a month-long
     scan into header arithmetic plus two block decodes per series (the
     compressed-analytics pattern of VLDB'20 "Approximate Analytics
@@ -222,8 +225,10 @@ def range_minmax(
     range are pruned by the first_ts/last_ts predicate — which also
     reaches the parquet scan as min/max stats when blocks are stored.
 
-    Returns (key, vmin, vmax, n_points); keys with no in-range points
-    are absent. n_points counts ROWS (the engine's rows-kept/
+    The covered/straddling split scans `comp` twice — persist it when
+    it is not already a materialized block store (the driver query
+    does). Returns (key, vmin, vmax, n_points); keys with no in-range
+    points are absent. n_points counts ROWS (the engine's rows-kept/
     values-masked contract — matching each block's stored `n`); NaN
     values are ignored by min/max (NULL-equivalent, like the block
     stats; a bare Spark max() would return NaN since NaN sorts
