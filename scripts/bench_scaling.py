@@ -158,6 +158,9 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=2,
                     help="alternating trials per level; best is reported "
                     "(the sandbox host is noisy — see BENCH.md)")
+    ap.add_argument("--force", action="store_true",
+                    help="overwrite the recorded JSON even when it holds "
+                    "a better scaling_efficiency")
     args = ap.parse_args()
     if args.quick:
         args.n_conv, args.span_days = 2000, 3
