@@ -107,6 +107,29 @@ def main() -> None:
     co.add_argument("--target-file-mb", type=int, default=128)
     co.add_argument("--min-files", type=int, default=8)
 
+    bl = sub.add_parser(
+        "blocks",
+        help="compress a tier into the day x bucket partitioned block "
+        "store (Gorilla/Chimp + DoD, per-block stats)",
+    )
+    bl.add_argument("--store", required=True)
+    bl.add_argument("--tier", default="1h")
+    bl.add_argument("--parameters", default="n_turns,len_sum")
+    bl.add_argument("--codec", default="gorilla", choices=("gorilla", "chimp"))
+
+    ra = sub.add_parser(
+        "range-agg",
+        help="per-conv min/max/count over a time range straight from "
+        "block stats (covered blocks never decode)",
+    )
+    ra.add_argument("--store", required=True)
+    ra.add_argument("--tier", default="1h")
+    ra.add_argument("--parameter", required=True)
+    ra.add_argument("--ts-range", required=True,
+                    help="comma pair 'YYYY-MM-DD HH:MM:SS,YYYY-MM-DD HH:MM:SS'")
+    ra.add_argument("--codec", default="gorilla", choices=("gorilla", "chimp"))
+    ra.add_argument("--limit", type=int, default=20)
+
     args = ap.parse_args()
 
     from smos_spark.session import get_spark
@@ -191,6 +214,42 @@ def main() -> None:
         store = TranscriptStore(args.store)
         res = merge_quarantine(store, spark, run_id=args.run_id)
         print(json.dumps({"cmd": "merge-late", **res}))
+
+    elif args.cmd == "blocks":
+        from pyspark.sql import functions as F
+
+        from smos_spark.operators.compress import compress_series
+
+        store = TranscriptStore(args.store)
+        params = [p.strip() for p in args.parameters.split(",")]
+        tier_df = store.read_tier(spark, args.tier).select(
+            "conv_id",
+            F.col("bucket_start").alias("ts"),
+            *[F.col(p).cast("double").alias(p) for p in params],
+        )
+        blocks = compress_series(
+            tier_df,
+            params,
+            codec=args.codec,
+            stats=True,
+            slice_col=F.to_date("ts"),
+        )
+        store.write_blocks(blocks, tier=args.tier)
+        n = store.read_blocks(spark, args.tier).count()
+        print(json.dumps({"cmd": "blocks", "tier": args.tier, "blocks": n}))
+
+    elif args.cmd == "range-agg":
+        store = TranscriptStore(args.store)
+        t0, t1 = (x.strip() for x in args.ts_range.split(","))
+        df = store.blocks_range_minmax(
+            spark, args.tier, args.parameter, t0, t1, codec=args.codec
+        )
+        df.show(args.limit, truncate=False)
+        print(
+            json.dumps(
+                {"cmd": "range-agg", "tier": args.tier, "rows": df.count()}
+            )
+        )
 
     elif args.cmd == "compact":
         store = TranscriptStore(args.store)

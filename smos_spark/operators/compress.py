@@ -61,6 +61,7 @@ def compress_series(
     num_partitions: int | None = None,
     codec: str = "gorilla",
     stats: bool = False,
+    slice_col=None,
 ) -> DataFrame:
     """→ one row per key: (key, n, first_ts, last_ts, ts_blob,
     <col>_blob…). Ordering inside the block is (ts, *order_cols) —
@@ -70,7 +71,14 @@ def compress_series(
     all-NaN) — the compressed-domain pruning metadata `range_minmax`
     answers covered blocks from without decoding (the same idea as
     parquet column stats / the reference's per-variable attributes,
-    /root/reference/src/smos/smos_ic/interface_ic.py:104-119)."""
+    /root/reference/src/smos/smos_ic/interface_ic.py:104-119).
+
+    `slice_col` (a Column expression, e.g. `F.to_date("ts")`) slices
+    each key's series into one block per (key, slice) instead of one
+    per key — the retention-store granularity: day-sliced blocks give
+    range queries at-most-two straddling decodes per key and let the
+    store partition blocks by day (TranscriptStore.write_blocks). The
+    slice value is emitted as a `slice` column."""
     if codec not in _CODECS:
         raise ValueError(f"unknown codec {codec!r}; choose from {sorted(_CODECS)}")
     enc_batch = _CODECS[codec][0]
@@ -84,8 +92,17 @@ def compress_series(
         schema += ", " + ", ".join(
             f"{c}_min double, {c}_max double" for c in value_cols
         )
+    has_slice = slice_col is not None
+    if has_slice:
+        df = df.withColumn("_slice", slice_col)
+        del slice_col  # a JVM-backed Column must not reach the closures
+        slice_ddl = df.schema["_slice"].dataType.simpleString()
+        schema += f", slice {slice_ddl}"
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
-    arranged = df.repartition(n_parts, key).sortWithinPartitions(key, *order)
+    group_cols = [key] + (["_slice"] if has_slice else [])
+    arranged = df.repartition(n_parts, *group_cols).sortWithinPartitions(
+        *group_cols, *order
+    )
 
     def _empty_rows() -> dict:
         cols = [key, "n", "first_ts", "last_ts", "ts_blob"] + [
@@ -93,6 +110,8 @@ def compress_series(
         ]
         if stats:
             cols += [f"{c}_{m}" for c in value_cols for m in ("min", "max")]
+        if has_slice:
+            cols.append("slice")
         return {c: [] for c in cols}
 
     def _encode_block(rows: dict, pdf: pd.DataFrame, starts: np.ndarray) -> None:
@@ -106,6 +125,8 @@ def compress_series(
         ts_raw = pdf[ts_col].to_numpy()
         ts_us = ts_raw.astype("datetime64[us]").astype("int64")
         rows[key].extend(keys[starts].tolist())
+        if has_slice:
+            rows["slice"].extend(pdf["_slice"].to_numpy()[starts])
         rows["n"].extend((ends - starts).tolist())
         rows["first_ts"].extend(ts_raw[starts])
         rows["last_ts"].extend(ts_raw[ends - 1])
@@ -133,7 +154,14 @@ def compress_series(
             if not len(pdf):
                 continue
             keys = pdf[key].to_numpy()
-            change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            if has_slice:
+                slc = pdf["_slice"].to_numpy()
+                change = (
+                    np.flatnonzero((keys[1:] != keys[:-1]) | (slc[1:] != slc[:-1]))
+                    + 1
+                )
+            else:
+                change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
             starts = np.concatenate(([0], change))
             # the last group may continue into the next batch → carry
             carry = pdf.iloc[starts[-1] :]

@@ -213,6 +213,102 @@ class TranscriptStore:
             (F.col("bucket_id") == F.lit(b)) & (F.col("conv_id") == conv_id)
         ).drop("bucket_id")
 
+    def blocks_path(self, tier: str) -> str:
+        return str(self.root / f"blocks_{tier}")
+
+    def write_blocks(
+        self, blocks: DataFrame, tier: str = "1h", mode: str = "overwrite"
+    ) -> None:
+        """Persist compressed per-conv block rows under
+        blocks_<tier>/block_date=…/bucket_id=… — the K3 cell layout
+        applied to the codec family. Expects the output of
+        `compress_series(..., stats=True, slice_col=F.to_date(ts))`
+        (day-sliced blocks with per-block min/max stats): the slice
+        becomes the date partition, so time-range reads prune whole
+        day directories, bucket_id prunes point reads, and the stored
+        stats let `blocks_range_minmax` answer covered blocks without
+        decoding. Same writer-sort discipline as write_tier (partition
+        columns lead the sort — no hidden re-sort, one open file)."""
+        if "slice" not in blocks.columns:
+            raise ValueError(
+                "write_blocks expects day-sliced blocks: run "
+                "compress_series(..., slice_col=F.to_date(ts_col))"
+            )
+        out = (
+            blocks.withColumn("block_date", F.col("slice"))
+            .withColumn("bucket_id", bucket_expr("conv_id", self.n_buckets))
+            .drop("slice")
+        )
+        (
+            out.repartition("block_date", "bucket_id")
+            .sortWithinPartitions("block_date", "bucket_id", "conv_id")
+            .write.partitionBy("block_date", "bucket_id")
+            .mode(mode)
+            .parquet(self.blocks_path(tier))
+        )
+
+    def read_blocks(
+        self, spark: SparkSession, tier: str, day_lo=None, day_hi=None
+    ) -> DataFrame:
+        """Block rows, optionally pruned to block_date ∈ [day_lo,
+        day_hi] — the filter hits the PARTITION column, so out-of-range
+        day directories never enter the scan."""
+        df = spark.read.parquet(self.blocks_path(tier))
+        if day_lo is not None:
+            df = df.where(F.col("block_date") >= F.to_date(F.lit(str(day_lo))))
+        if day_hi is not None:
+            df = df.where(F.col("block_date") <= F.to_date(F.lit(str(day_hi))))
+        return df.drop("bucket_id")
+
+    def read_blocks_for_conv(
+        self, spark: SparkSession, tier: str, conv_id: str
+    ) -> DataFrame:
+        """Point read with bucket pruning (same literal-bucket
+        resolution as read_tier_for_conv — J2 locality for blocks)."""
+        b = (
+            spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(conv_id)), F.lit(self.n_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .collect()[0]
+            .b
+        )
+        df = spark.read.parquet(self.blocks_path(tier))
+        return df.where(
+            (F.col("bucket_id") == F.lit(b)) & (F.col("conv_id") == conv_id)
+        ).drop("bucket_id")
+
+    def blocks_range_minmax(
+        self,
+        spark: SparkSession,
+        tier: str,
+        value_col: str,
+        ts_from: str,
+        ts_to: str,
+        codec: str = "gorilla",
+    ) -> DataFrame:
+        """Per-conv (min, max, count) over [ts_from, ts_to] straight
+        from the block store: day-partition pruning cuts the scan to
+        the range's days, block stats answer fully-covered blocks
+        without decode, and only the ≤2 boundary-day blocks per conv
+        decompress (compress.range_minmax). ts_from/ts_to:
+        'YYYY-MM-DD HH:MM:SS' strings or datetimes."""
+        from datetime import datetime
+
+        from smos_spark.operators.compress import range_minmax
+
+        def _d(x):
+            return (
+                datetime.fromisoformat(x) if isinstance(x, str) else x
+            ).date()
+
+        blocks = self.read_blocks(
+            spark, tier, day_lo=_d(ts_from), day_hi=_d(ts_to)
+        )
+        return range_minmax(blocks, value_col, ts_from, ts_to, codec=codec)
+
     def tier_bucket_count(self, tier: str) -> int:
         """Number of distinct key buckets on disk (the 2,449-cell-files
         assertion analog, tests/test_ICreshuffle.py:47)."""

@@ -148,3 +148,32 @@ def test_store_tool_compact(spark, transcripts, tmp_path):
          "--store", str(tmp_path / "cstore"), "--min-files", "2"]
     )
     assert r2["dates"] == 0
+
+
+def test_store_tool_blocks_and_range_agg(spark, transcripts, tmp_path):
+    """CLI block-store build + compressed-domain range aggregate:
+    blocks from a 1h tier, then a range query answered from block
+    stats; row count equals distinct convs active in the range."""
+    from smos_spark.operators.rollup import reaggregate, rollup_from_raw
+    from smos_spark.sources.store import TranscriptStore
+
+    store = TranscriptStore(tmp_path / "bstore", n_buckets=8)
+    h1 = reaggregate(rollup_from_raw(transcripts, "1m"), "1h")
+    store.write_tier(h1, "1h")
+
+    r = _run(
+        ["scripts/store_tool.py", "--master", "local[4]", "blocks",
+         "--store", str(tmp_path / "bstore"), "--tier", "1h",
+         "--parameters", "n_turns,len_sum", "--codec", "chimp"]
+    )
+    assert r["blocks"] > 0
+
+    lo, hi = h1.agg(F.min("bucket_start"), F.max("bucket_start")).first()
+    r2 = _run(
+        ["scripts/store_tool.py", "--master", "local[4]", "range-agg",
+         "--store", str(tmp_path / "bstore"), "--tier", "1h",
+         "--parameter", "n_turns", "--codec", "chimp",
+         "--ts-range", f"{lo},{hi}"]
+    )
+    exp = h1.select("conv_id").distinct().count()
+    assert r2["rows"] == exp

@@ -544,3 +544,67 @@ def test_merge_quarantine_crash_resume(spark, small, days, tmp_path):
     got = tier_pdf(spark, store, "1h")
     pd.testing.assert_frame_equal(got[ref.columns], ref, check_dtype=True)
     assert store.read_transcripts(spark).count() == small.count()
+
+
+def test_block_store_roundtrip_and_pruned_range(spark, transcripts, tmp_path):
+    """Day-sliced compressed blocks through the store: write → read
+    round-trips every row; the conv point read prunes to one bucket
+    directory; blocks_range_minmax over a mid-span window equals the
+    raw aggregate while scanning ONLY the range's day partitions."""
+    from pyspark.sql import functions as F
+    from smos_spark.operators.compress import compress_series, decompress_series
+
+    ev = transcripts.select(
+        "conv_id",
+        "ts",
+        F.coalesce(F.length("text"), F.lit(0)).cast("double").alias("value"),
+    )
+    store = TranscriptStore(str(tmp_path / "bs"), n_buckets=8)
+    blocks = compress_series(
+        ev, ["value"], stats=True, slice_col=F.to_date("ts")
+    )
+    store.write_blocks(blocks, tier="raw")
+
+    back = decompress_series(
+        store.read_blocks(spark, "raw").drop("block_date"), ["value"]
+    )
+    assert sorted(map(tuple, ev.collect())) == sorted(map(tuple, back.collect()))
+
+    some_conv = ev.select("conv_id").first()[0]
+    one = store.read_blocks_for_conv(spark, "raw", some_conv)
+    files = {
+        r[0]
+        for r in one.select(F.input_file_name()).distinct().collect()
+    }
+    assert files and all("bucket_id=" in f for f in files)
+    assert len({f.split("bucket_id=")[1].split("/")[0] for f in files}) == 1
+
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = hi - lo
+    t0, t1 = lo + span / 4, lo + 3 * span / 4
+    got = {
+        r["conv_id"]: (r["vmin"], r["vmax"], r["n_points"])
+        for r in store.blocks_range_minmax(
+            spark, "raw", "value", t0, t1
+        ).collect()
+    }
+    exp = {
+        r["conv_id"]: (r["vmin"], r["vmax"], r["n_points"])
+        for r in ev.where((F.col("ts") >= t0) & (F.col("ts") <= t1))
+        .groupBy("conv_id")
+        .agg(
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .collect()
+    }
+    assert got == exp
+    # day pruning reaches the scan: files touched by the pruned read
+    # stay within [t0.date, t1.date]
+    pruned = store.read_blocks(spark, "raw", day_lo=t0.date(), day_hi=t1.date())
+    pfiles = {
+        r[0].split("block_date=")[1].split("/")[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert pfiles and all(str(t0.date()) <= d <= str(t1.date()) for d in pfiles)
