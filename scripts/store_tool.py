@@ -127,7 +127,8 @@ def main() -> None:
     ra.add_argument("--parameter", required=True)
     ra.add_argument("--ts-range", required=True,
                     help="comma pair 'YYYY-MM-DD HH:MM:SS,YYYY-MM-DD HH:MM:SS'")
-    ra.add_argument("--codec", default="gorilla", choices=("gorilla", "chimp"))
+    ra.add_argument("--codec", default=None, choices=("gorilla", "chimp"),
+                    help="defaults to the codec recorded at write time")
     ra.add_argument("--limit", type=int, default=20)
 
     args = ap.parse_args()
@@ -234,7 +235,14 @@ def main() -> None:
             stats=True,
             slice_col=F.to_date("ts"),
         )
-        store.write_blocks(blocks, tier=args.tier)
+        # writer lock: the full-directory overwrite must not race a
+        # concurrent blocks build or ingest (same discipline as every
+        # other mutating store path)
+        store.acquire_writer_lock()
+        try:
+            store.write_blocks(blocks, tier=args.tier, codec=args.codec)
+        finally:
+            store.release_writer_lock()
         n = store.read_blocks(spark, args.tier).count()
         print(json.dumps({"cmd": "blocks", "tier": args.tier, "blocks": n}))
 
@@ -244,10 +252,13 @@ def main() -> None:
         df = store.blocks_range_minmax(
             spark, args.tier, args.parameter, t0, t1, codec=args.codec
         )
-        df.show(args.limit, truncate=False)
+        # one execution: collect once, display a slice, count the rest
+        rows = df.collect()
+        for r in rows[: args.limit]:
+            print(r)
         print(
             json.dumps(
-                {"cmd": "range-agg", "tier": args.tier, "rows": df.count()}
+                {"cmd": "range-agg", "tier": args.tier, "rows": len(rows)}
             )
         )
 

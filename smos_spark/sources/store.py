@@ -198,16 +198,28 @@ class TranscriptStore:
             "bucket_id", "bucket_date"
         )
 
+    def _bucket_literal(self, spark: SparkSession, conv_id: str) -> int:
+        """Resolve a key's bucket to a LITERAL so partition filters
+        actually prune directories (a column-vs-column predicate would
+        scan every bucket). THE one definition of the key→bucket map
+        shared by tier and block point reads — hash/cast changes here
+        stay consistent across both layouts."""
+        return (
+            spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(conv_id)), F.lit(self.n_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .collect()[0]
+            .b
+        )
+
     def read_tier_for_conv(self, spark: SparkSession, tier: str, conv_id: str) -> DataFrame:
         """Point read with bucket pruning: the partition filter on
         bucket_id restricts the scan to one directory — the read-one-
         cell-file locality of the reference (J2)."""
-        # resolve the key's bucket to a LITERAL so the partition filter
-        # actually prunes directories (a column-vs-column predicate
-        # would scan every bucket)
-        b = spark.range(1).select(
-            F.pmod(F.xxhash64(F.lit(conv_id)), F.lit(self.n_buckets)).cast("int").alias("b")
-        ).collect()[0].b
+        b = self._bucket_literal(spark, conv_id)
         df = spark.read.parquet(self.tier_path(tier))
         return df.where(
             (F.col("bucket_id") == F.lit(b)) & (F.col("conv_id") == conv_id)
@@ -217,7 +229,11 @@ class TranscriptStore:
         return str(self.root / f"blocks_{tier}")
 
     def write_blocks(
-        self, blocks: DataFrame, tier: str = "1h", mode: str = "overwrite"
+        self,
+        blocks: DataFrame,
+        tier: str = "1h",
+        mode: str = "overwrite",
+        codec: str = "gorilla",
     ) -> None:
         """Persist compressed per-conv block rows under
         blocks_<tier>/block_date=…/bucket_id=… — the K3 cell layout
@@ -234,6 +250,19 @@ class TranscriptStore:
                 "write_blocks expects day-sliced blocks: run "
                 "compress_series(..., slice_col=F.to_date(ts_col))"
             )
+        # enforce DAY grain: blocks_range_minmax's day-partition
+        # pruning assumes every block's span lies inside its slice day;
+        # a coarser slice (week) would make the pruning DROP in-range
+        # data silently. One limit(1) probe at write time.
+        bad = blocks.where(
+            (F.to_date("first_ts") != F.col("slice"))
+            | (F.to_date("last_ts") != F.col("slice"))
+        ).limit(1)
+        if bad.count() > 0:
+            raise ValueError(
+                "write_blocks: block spans cross their slice value — "
+                "slices must be DAY-grained (slice_col=F.to_date(ts_col))"
+            )
         out = (
             blocks.withColumn("block_date", F.col("slice"))
             .withColumn("bucket_id", bucket_expr("conv_id", self.n_buckets))
@@ -246,6 +275,16 @@ class TranscriptStore:
             .mode(mode)
             .parquet(self.blocks_path(tier))
         )
+        # record layout + codec so a reopen can never mis-bucket point
+        # reads (same guard as write_tier) or decode with the wrong
+        # codec (gorilla/chimp blobs share a header and misparse
+        # silently)
+        self._ensure_overview()
+        ov = self.load_overview()
+        codecs = dict((ov.extra or {}).get("block_codecs") or {})
+        codecs[tier] = codec
+        ov.extra = {**(ov.extra or {}), "block_codecs": codecs}
+        self.save_overview(ov)
 
     def read_blocks(
         self, spark: SparkSession, tier: str, day_lo=None, day_hi=None
@@ -265,16 +304,7 @@ class TranscriptStore:
     ) -> DataFrame:
         """Point read with bucket pruning (same literal-bucket
         resolution as read_tier_for_conv — J2 locality for blocks)."""
-        b = (
-            spark.range(1)
-            .select(
-                F.pmod(F.xxhash64(F.lit(conv_id)), F.lit(self.n_buckets))
-                .cast("int")
-                .alias("b")
-            )
-            .collect()[0]
-            .b
-        )
+        b = self._bucket_literal(spark, conv_id)
         df = spark.read.parquet(self.blocks_path(tier))
         return df.where(
             (F.col("bucket_id") == F.lit(b)) & (F.col("conv_id") == conv_id)
@@ -287,17 +317,31 @@ class TranscriptStore:
         value_col: str,
         ts_from: str,
         ts_to: str,
-        codec: str = "gorilla",
+        codec: str | None = None,
     ) -> DataFrame:
         """Per-conv (min, max, count) over [ts_from, ts_to] straight
         from the block store: day-partition pruning cuts the scan to
         the range's days, block stats answer fully-covered blocks
         without decode, and only the ≤2 boundary-day blocks per conv
         decompress (compress.range_minmax). ts_from/ts_to:
-        'YYYY-MM-DD HH:MM:SS' strings or datetimes."""
+        'YYYY-MM-DD HH:MM:SS' strings or datetimes. `codec` defaults
+        to the one recorded at write_blocks time — gorilla and chimp
+        blobs share a header and misparse each other SILENTLY, so a
+        mismatching explicit codec raises."""
         from datetime import datetime
 
         from smos_spark.operators.compress import range_minmax
+
+        recorded = ((self.load_overview().extra or {}).get("block_codecs") or {}).get(
+            tier
+        )
+        if codec is None:
+            codec = recorded or "gorilla"
+        elif recorded is not None and codec != recorded:
+            raise ValueError(
+                f"blocks_{tier} was written with codec {recorded!r}; "
+                f"decoding with {codec!r} would corrupt values silently"
+            )
 
         def _d(x):
             return (
@@ -307,6 +351,12 @@ class TranscriptStore:
         blocks = self.read_blocks(
             spark, tier, day_lo=_d(ts_from), day_hi=_d(ts_to)
         )
+        # stats columns are required for the covered-block fast path
+        if f"{value_col}_min" not in blocks.columns:
+            raise ValueError(
+                f"blocks_{tier} lacks {value_col}_min/_max stats — write "
+                "them with compress_series(..., stats=True)"
+            )
         return range_minmax(blocks, value_col, ts_from, ts_to, codec=codec)
 
     def tier_bucket_count(self, tier: str) -> int:

@@ -572,12 +572,13 @@ def test_block_store_roundtrip_and_pruned_range(spark, transcripts, tmp_path):
 
     some_conv = ev.select("conv_id").first()[0]
     one = store.read_blocks_for_conv(spark, "raw", some_conv)
-    files = {
-        r[0]
-        for r in one.select(F.input_file_name()).distinct().collect()
-    }
-    assert files and all("bucket_id=" in f for f in files)
-    assert len({f.split("bucket_id=")[1].split("/")[0] for f in files}) == 1
+    # pruning must reach the PHYSICAL plan (input_file_name() over
+    # surviving rows would pass even if the scan read every bucket)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket_id" in plan.split(
+        "PartitionFilters"
+    )[1][:200], plan
+    assert one.count() > 0
 
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
     span = hi - lo
@@ -600,11 +601,15 @@ def test_block_store_roundtrip_and_pruned_range(spark, transcripts, tmp_path):
         .collect()
     }
     assert got == exp
-    # day pruning reaches the scan: files touched by the pruned read
-    # stay within [t0.date, t1.date]
+    # day pruning reaches the PHYSICAL plan (not just the row filter)
     pruned = store.read_blocks(spark, "raw", day_lo=t0.date(), day_hi=t1.date())
-    pfiles = {
-        r[0].split("block_date=")[1].split("/")[0]
-        for r in pruned.select(F.input_file_name()).distinct().collect()
-    }
-    assert pfiles and all(str(t0.date()) <= d <= str(t1.date()) for d in pfiles)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "block_date" in plan.split(
+        "PartitionFilters"
+    )[1][:260], plan
+    # recorded-codec guard: a mismatching explicit codec must refuse
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="codec"):
+        store.blocks_range_minmax(spark, "raw", "value", str(t0), str(t1),
+                                  codec="chimp")
