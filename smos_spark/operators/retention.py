@@ -103,6 +103,29 @@ def _apply_retention_locked(
                         "committed_seq": -1,
                     }
                 )
+        # the tier's compressed block store (blocks_<tier>/block_date=…)
+        # shares the day-partition layout and the SAME horizon: expired
+        # tier rows must not survive as decodable blocks
+        blocks_dir = Path(store.blocks_path(tier))
+        if blocks_dir.exists():
+            for date_dir in sorted(blocks_dir.glob("block_date=*")):
+                d = dt.date.fromisoformat(date_dir.name.split("=", 1)[1])
+                if d < cutoff:
+                    shutil.rmtree(date_dir)
+                    dropped[tier].append(f"blocks:{d}")
+                    lineage.append(
+                        {
+                            "run_id": run_id,
+                            "batch_id": -1,
+                            "tier": f"blocks_{tier}",
+                            "partition_key": f"block_date={d}",
+                            "rows_in": 0,
+                            "rows_out": 0,
+                            "min_ts": None,
+                            "max_ts": None,
+                            "committed_seq": -1,
+                        }
+                    )
         if dropped[tier]:
             floors[tier] = str(cutoff)
 

@@ -65,3 +65,54 @@ def test_apply_retention(spark, tmp_path):
         spark, store, now, policy={"1m": 2, "1h": 4, "1d": None}
     )
     assert all(not v for v in dropped2.values())
+
+
+def test_retention_expires_blocks_too(spark, tmp_path):
+    """The compressed block store shares the tier's horizon: expired
+    day partitions disappear from blocks_<tier>, lineage records each
+    drop, and surviving blocks still decode."""
+    from smos_spark.operators.compress import compress_series, decompress_series
+    from smos_spark.operators.rollup import rollup_from_raw
+    from smos_spark.sources.store import TranscriptStore
+    from smos_spark.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_conv=20, seed=13, span_days=6)
+    store = TranscriptStore(str(tmp_path / "rb"), n_buckets=4)
+    m1 = rollup_from_raw(t, "1m")
+    store.write_tier(m1, "1m")
+    blocks = compress_series(
+        m1.select(
+            "conv_id",
+            F.col("bucket_start").alias("ts"),
+            F.col("n_turns").cast("double").alias("n_turns"),
+        ),
+        ["n_turns"],
+        stats=True,
+        slice_col=F.to_date("ts"),
+    )
+    store.write_blocks(blocks, tier="1m")
+    days = sorted(
+        d.name.split("=")[1]
+        for d in (tmp_path / "rb" / "blocks_1m").glob("block_date=*")
+    )
+    assert len(days) >= 4
+    now = days[-1]
+    dropped = apply_retention(spark, store, now, policy={"1m": 2})
+    blk_dropped = [d for d in dropped["1m"] if d.startswith("blocks:")]
+    assert blk_dropped
+    left = sorted(
+        d.name.split("=")[1]
+        for d in (tmp_path / "rb" / "blocks_1m").glob("block_date=*")
+    )
+    import datetime as dt
+
+    cutoff = dt.date.fromisoformat(now) - dt.timedelta(days=2)
+    assert all(dt.date.fromisoformat(d) >= cutoff for d in left)
+    # survivors still decode
+    surv = decompress_series(
+        store.read_blocks(spark, "1m").drop("block_date"), ["n_turns"]
+    )
+    assert surv.count() > 0
+    # lineage rows for the block drops
+    cp = store.read_checkpoint(spark)
+    assert cp.where(F.col("tier") == "blocks_1m").count() == len(blk_dropped)
