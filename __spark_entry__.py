@@ -1328,7 +1328,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver checks only the FIRST 50 entries each
+    # round (CORRECTNESS_r0N keys == positions 1-50).  Entries are therefore
+    # ranked by driver-signal debt, not by theme:
+    #   1. rows that failed (or were fixed) last round,
+    #   2. rows never driver-checked in any round,
+    #   3. rows last checked before the most recent round,
+    #   4. new round-4 queries,
+    #   5. long-proven rows (green in r3) fill the tail.
+    # Rotate per round until every query has a green driver row on record.
     return {
+        # -- fixed this round (r3 hash-FAIL, oracle cast slip) ------------
+        "rolling_10m": _q_rolling_10m,
+        "burst_events": _q_burst_events,
+        # -- never driver-checked (r3 positions 51+) ----------------------
+        "events_cms_weekly": _q_events_cms_weekly,
+        "doc_normalize": _q_doc_normalize,
+        "turn_dedup_consecutive": _q_turn_dedup_consecutive,
+        "conv_features": _q_conv_features,
+        "doc_hash_split": _q_doc_hash_split,
+        "doc_stratified_sample": _q_doc_stratified_sample,
+        "doc_topk_per_lang": _q_doc_topk_per_lang,
+        "doc_pack_shards": _q_doc_pack_shards,
+        "doc_bloom_decontaminate": _q_doc_bloom_decontaminate,
+        "events_kmv_daily": _q_events_kmv_daily,
+        "events_kmv_weekly": _q_events_kmv_weekly,
+        "events_bottomk_weekly": _q_events_bottomk_weekly,
+        "doc_token_budget": _q_doc_token_budget,
+        "emb_quantized_topk": _q_emb_quantized_topk,
+        "stats_pearson": _q_stats_pearson,
+        "stats_histogram": _q_stats_histogram,
+        "stats_hourly_profile": _q_stats_hourly_profile,
+        "doc_distinctive_terms": _q_doc_distinctive_terms,
+        "doc_dedup_full": _q_doc_dedup_full,
+        # -- green in r2 but outside the r3 window ------------------------
+        "conv_len_percentiles": _q_conv_len_percentiles,
+        "doc_minhash": _q_doc_minhash,
+        "doc_minhash_pairs": _q_doc_minhash_pairs,
+        "doc_simhash_pairs": _q_doc_simhash_pairs,
+        "doc_ngram_pairs": _q_doc_ngram_pairs,
+        "doc_dedup_near": _q_doc_dedup_near,
+        "emb_near_dup": _q_emb_near_dup,
+        "emb_cosine_topk": _q_emb_cosine_topk,
+        "emb_ivf_topk": _q_emb_ivf_topk,
+        "emb_ivf_auto": _q_emb_ivf_auto,
+        "emb_lsh_topk": _q_emb_lsh_topk,
+        "emb_ann_index_topk": _q_emb_ann_index_topk,
+        "multimodal_features": _q_multimodal_features,
+        # -- new round-4 queries (slots 35-50) -----------------------------
+        # (inserted here as they land)
+        # -- long-proven (green in CORRECTNESS_r03, positions 1-50) --------
         "rollup_1m": _q_rollup_1m,
         "cascade_1h": _q_cascade_1h,
         "cascade_1d": _q_cascade_1d,
@@ -1368,8 +1417,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_redact": _q_doc_pii_redact,
         "resample_15m": _q_resample_15m,
         "asof_click": _q_asof_click,
-        "rolling_10m": _q_rolling_10m,
-        "burst_events": _q_burst_events,
         "m4_hourly": _q_m4_hourly,
         "counter_rate_1h": _q_counter_rate_1h,
         "top_gaps": _q_top_gaps,
@@ -1379,38 +1426,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_transitions": _q_role_transitions,
         "emb_knn_graph": _q_emb_knn_graph,
         "emb_centroid_outliers": _q_emb_centroid_outliers,
-        "events_cms_weekly": _q_events_cms_weekly,
-        "doc_normalize": _q_doc_normalize,
-        "turn_dedup_consecutive": _q_turn_dedup_consecutive,
-        "conv_features": _q_conv_features,
-        "doc_hash_split": _q_doc_hash_split,
-        "doc_stratified_sample": _q_doc_stratified_sample,
-        "doc_topk_per_lang": _q_doc_topk_per_lang,
-        "doc_pack_shards": _q_doc_pack_shards,
-        "doc_bloom_decontaminate": _q_doc_bloom_decontaminate,
-        "events_kmv_daily": _q_events_kmv_daily,
-        "events_kmv_weekly": _q_events_kmv_weekly,
-        "events_bottomk_weekly": _q_events_bottomk_weekly,
-        "doc_token_budget": _q_doc_token_budget,
-        "emb_quantized_topk": _q_emb_quantized_topk,
-        "conv_len_percentiles": _q_conv_len_percentiles,
-        "stats_pearson": _q_stats_pearson,
-        "stats_histogram": _q_stats_histogram,
-        "stats_hourly_profile": _q_stats_hourly_profile,
-        "doc_distinctive_terms": _q_doc_distinctive_terms,
-        "doc_minhash": _q_doc_minhash,
-        "doc_minhash_pairs": _q_doc_minhash_pairs,
-        "doc_simhash_pairs": _q_doc_simhash_pairs,
-        "doc_ngram_pairs": _q_doc_ngram_pairs,
-        "doc_dedup_near": _q_doc_dedup_near,
-        "doc_dedup_full": _q_doc_dedup_full,
-        "emb_near_dup": _q_emb_near_dup,
-        "emb_cosine_topk": _q_emb_cosine_topk,
-        "emb_ivf_topk": _q_emb_ivf_topk,
-        "emb_ivf_auto": _q_emb_ivf_auto,
-        "emb_lsh_topk": _q_emb_lsh_topk,
-        "emb_ann_index_topk": _q_emb_ann_index_topk,
-        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -2121,8 +2136,8 @@ def oracle_sql() -> dict[str, str]:
           WITH r AS (
             SELECT event_id, user_id, ts, value,
                    count(*) OVER w AS roll_cnt,
-                   sum(CAST(round(value * 100) AS BIGINT)) OVER w
-                     AS roll_sum_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                     AS BIGINT) AS roll_sum_cents
             FROM events
             WINDOW w AS (
               PARTITION BY user_id ORDER BY ts
@@ -2137,8 +2152,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_10m": """
           SELECT event_id,
                  count(*) OVER w AS roll_cnt,
-                 sum(CAST(round(value * 100) AS BIGINT)) OVER w
-                   AS roll_sum_cents,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                   AS BIGINT) AS roll_sum_cents,
                  min(value) OVER w AS roll_min,
                  max(value) OVER w AS roll_max
           FROM events

@@ -88,6 +88,24 @@ def main() -> int:
             for c in g.columns:
                 gv, ev = g[c], e[c]
                 try:
+                    # The driver's hash is exact on rendered values, so an
+                    # int64-vs-float64 dtype slip (e.g. DuckDB HUGEINT sums)
+                    # fails there even when values coincide.  Mirror that:
+                    # mixed int/float dtypes are a FAIL, not a coercion.
+                    if gv.dtype.kind in "iu" and ev.dtype.kind == "f":
+                        ok = False
+                        status.append(
+                            f"col {c} dtype int-vs-float ({gv.dtype} vs "
+                            f"{ev.dtype}) — driver hash would diverge"
+                        )
+                        continue
+                    if gv.dtype.kind == "f" and ev.dtype.kind in "iu":
+                        ok = False
+                        status.append(
+                            f"col {c} dtype float-vs-int ({gv.dtype} vs "
+                            f"{ev.dtype}) — driver hash would diverge"
+                        )
+                        continue
                     if gv.dtype.kind == "f" or ev.dtype.kind == "f":
                         ok = np.allclose(
                             gv.fillna(np.nan), ev.fillna(np.nan), equal_nan=True, atol=0
