@@ -36,6 +36,7 @@ from smos_spark.functions.texthash import fast_hash64, md5_hash64
 __all__ = [
     "hash_split",
     "split_bucket",
+    "split_thresholds",
     "stratified_sample",
     "topk_per_group",
     "pack_documents",
@@ -63,6 +64,19 @@ def split_bucket(key_col: Column, seed: int = 42, portable: bool = True) -> Colu
     return F.pmod(_tagged_hash(key_col, seed, portable), F.lit(MICRO))
 
 
+def split_thresholds(fractions: Mapping[str, float]) -> list[int]:
+    """Cumulative micro-unit upper bounds for each label but the last.
+    Rounded, not truncated: float accumulation error in the cumulative
+    sum is ±ulps around the exact boundary, and int() would pull e.g.
+    0.29+0.58 → 869999.999… down to 869999, silently shifting one
+    bucket-in-a-million across splits vs the requested fractions."""
+    out, cum = [], 0.0
+    for name in list(fractions)[:-1]:
+        cum += fractions[name]
+        out.append(round(cum * MICRO))
+    return out
+
+
 def hash_split(
     df: DataFrame,
     key: str = "doc_id",
@@ -74,7 +88,7 @@ def hash_split(
     """Assign every row a reproducible split label by hashing its key.
 
     `fractions` maps label → fraction (must sum to 1.0 within 1e-9);
-    thresholds are exact micro-unit floors, so the assignment is a
+    thresholds are rounded micro-unit boundaries, so the assignment is a
     pure integer comparison — identical on every run, cluster size,
     and engine. Rows with the same key always land in the same split
     (the property that prevents train/test leakage across duplicate
@@ -89,11 +103,8 @@ def hash_split(
         raise ValueError(f"fractions must sum to 1.0, got {total}")
     bucket = split_bucket(F.col(key), seed=seed, portable=portable)
     labels = list(fractions)
-    cum = 0.0
     expr: Column | None = None
-    for name in labels[:-1]:
-        cum += fractions[name]
-        thresh = int(cum * MICRO)
+    for name, thresh in zip(labels[:-1], split_thresholds(fractions)):
         expr = (
             F.when(bucket < thresh, F.lit(name))
             if expr is None

@@ -85,10 +85,19 @@ def mirror_ingest(
         # the newest landing day may still be receiving files
         skipped.append(days.pop())
     ov = store.load_overview()
-    if ov.last_day is not None:
-        already = [d for d in days if d <= str(ov.last_day)[:10]]
+    # two watermarks gate re-planning: the store's last_day (data
+    # watermark) AND the max landing DAY already processed (persisted
+    # in overview.extra). The second one matters when a landing day's
+    # rows all fall at/before last_day: the batch quarantines
+    # everything (n_in=0) so last_day never advances, and without the
+    # landing watermark every later run would re-plan the same day and
+    # append duplicate rows to _quarantine.
+    landing_mark = str((ov.extra or {}).get("mirror_last_landing_day") or "")
+    cut = max(str(ov.last_day)[:10] if ov.last_day is not None else "", landing_mark)
+    if cut:
+        already = [d for d in days if d <= cut]
         skipped.extend(already)
-        days = [d for d in days if d > str(ov.last_day)[:10]]
+        days = [d for d in days if d > cut]
 
     results = []
     ingested: list[str] = []
@@ -103,6 +112,18 @@ def mirror_ingest(
         if not r.get("skipped"):
             ingested.extend(batch_days)
         next_batch += 1
+        # advance the landing watermark per batch (crash mid-sync keeps
+        # the completed prefix; ingest_batch just saved overview, so
+        # reload before mutating to not clobber its commit)
+        ov = store.load_overview()
+        ov.extra = {
+            **(ov.extra or {}),
+            "mirror_last_landing_day": max(
+                max(batch_days),
+                str((ov.extra or {}).get("mirror_last_landing_day") or ""),
+            ),
+        }
+        store.save_overview(ov)
     return {
         "ingested": ingested,
         "skipped": sorted(skipped),

@@ -228,8 +228,20 @@ def merge_quarantine(
     * tiers are recomputed for the affected bucket_dates from the
       MERGED raw days (1m/1h/1d buckets never span a day, so a day
       recompute is self-contained) — also a dynamic overwrite;
+    * derived compressed block stores (``blocks_<tier>/block_date=d``)
+      are computed FROM tier rows, so a merged day makes its blocks
+      stale: they are DROPPED for every affected day (same tier/blocks
+      consistency rule retention enforces) and the drop is recorded in
+      lineage — a reader hitting the missing day re-encodes from the
+      (now correct) tier instead of silently serving pre-merge values;
     * the lineage row commits, then the frozen dir is deleted.
       A crash in between re-runs the (idempotent) rewrites once more.
+
+    Survivor choice on a turn-key collision is DETERMINISTIC: the late
+    row wins (a late delivery is a correction — MERGE/upsert
+    semantics), and ties within a side break on (ts, role, tool, text),
+    so re-running the merge — or racing rows inside one merge — always
+    converges to the same bytes.
 
     NULL-ts rows can never be placed on the time axis; they are moved
     to ``_quarantine_unplaceable`` (mode=overwrite per merge — also
@@ -281,11 +293,24 @@ def merge_quarantine(
             return {"merged": 0, "unplaceable": n_null, "days": []}
 
         # --- raw merge: rewrite only the affected day partitions ---
+        from pyspark.sql import Window
+
         raw = spark.read.parquet(store.transcripts_path)
         existing_days = raw.where(F.col("ts_date").isin(days)).drop("ts_date")
+        # deterministic survivor per turn key: late (_src=0) beats
+        # existing (_src=1); within a side, (ts, role, tool, text) is a
+        # total order over the payload so dropDuplicates' arbitrary pick
+        # can't make reruns diverge. Window partitions are turn keys —
+        # a handful of rows each, no skew.
+        surv = Window.partitionBy("conv_id", "turn_idx").orderBy(
+            "_src", "ts", "role", "tool", "text"
+        )
         merged_days = (
-            existing_days.unionByName(placeable)
-            .dropDuplicates(["conv_id", "turn_idx"])
+            existing_days.withColumn("_src", F.lit(1))
+            .unionByName(placeable.withColumn("_src", F.lit(0)))
+            .withColumn("_rn", F.row_number().over(surv))
+            .where(F.col("_rn") == 1)
+            .drop("_src", "_rn")
             .withColumn("ts_date", F.to_date("ts"))
         )
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -314,6 +339,26 @@ def merge_quarantine(
         merge_batch = ov.last_batch_id + 1
         for tier, out in tiers.items():
             store.overwrite_tier_partitions(out, tier)
+            # the tier's derived compressed block store shares the day
+            # layout; its blocks for a merged day now encode PRE-merge
+            # values — drop them (mirrors retention's block handling)
+            for d in days:
+                bdir = Path(store.blocks_path(tier)) / f"block_date={d}"
+                if bdir.exists():
+                    shutil.rmtree(bdir)
+                    stats.append(
+                        {
+                            "run_id": run_id,
+                            "batch_id": merge_batch,
+                            "tier": f"blocks_{tier}",
+                            "partition_key": f"block_date={d}",
+                            "rows_in": 0,
+                            "rows_out": 0,
+                            "min_ts": None,
+                            "max_ts": None,
+                            "committed_seq": -1,
+                        }
+                    )
             stats.append(
                 {
                     "run_id": run_id,

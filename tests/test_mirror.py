@@ -106,3 +106,41 @@ def test_mirror_ingest_skips_last_day_and_is_idempotent(spark, landing, tmp_path
     assert res3["ingested"] == [days[-1]]
     n_all = store.read_tier(spark, "1m").count()
     assert n_all == rollup_from_raw(df, "1m").count()
+
+
+def test_mirror_all_late_day_not_replanned(spark, landing, tmp_path):
+    """A landing day whose rows all fall at/before the store's
+    last_day quarantines everything (n_in=0), so last_day never
+    advances — the persisted landing-day watermark must still stop
+    later runs from re-planning the day and appending duplicate rows
+    to _quarantine forever."""
+    root, df, days = landing
+    import shutil
+
+    land2 = tmp_path / "landing2"
+    land2.mkdir()
+    for d in days:
+        shutil.copytree(root / f"day={d}", land2 / f"day={d}")
+
+    store = TranscriptStore(tmp_path / "wm", n_buckets=4)
+    mirror_ingest(spark, store, land2, run_id="m1", include_last_day=True)
+    last_day = str(store.load_overview().last_day)[:10]
+
+    # an external writer drops a NEW day directory dated after
+    # last_day whose rows are actually old (ts on day 0) — every row
+    # is late, n_in=0, last_day cannot advance
+    stale_rows = df.where(F.to_date("ts") == days[0])
+    fake_day = (dt.date.fromisoformat(last_day) + dt.timedelta(days=1)).isoformat()
+    stale_rows.write.mode("overwrite").parquet(str(land2 / f"day={fake_day}"))
+
+    r1 = mirror_ingest(spark, store, land2, run_id="m2", include_last_day=True)
+    assert r1["batches"] == 1 and r1["results"][0]["rows_in"] == 0
+    qdir = store.root / "_quarantine"
+    n_q = spark.read.parquet(str(qdir)).count()
+    assert n_q == stale_rows.count()
+
+    # re-running must NOT re-plan the all-late day (watermark) and
+    # must not grow the quarantine
+    r2 = mirror_ingest(spark, store, land2, run_id="m3", include_last_day=True)
+    assert r2["batches"] == 0 and fake_day in r2["skipped"]
+    assert spark.read.parquet(str(qdir)).count() == n_q

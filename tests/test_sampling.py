@@ -49,6 +49,20 @@ def test_hash_split_rejects_bad_fractions(spark, docs):
         hash_split(docs, fractions={"train": 0.5, "val": 0.4})
 
 
+def test_split_thresholds_round_not_truncate():
+    """0.29+0.58 accumulates to 0.869999…97 in float; int() would
+    yield 869999 and move one bucket-in-a-million between splits."""
+    from smos_spark.operators.sampling import split_thresholds
+
+    assert split_thresholds({"a": 0.29, "b": 0.58, "c": 0.13}) == [290000, 870000]
+    assert split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05}) == [
+        900000,
+        950000,
+    ]
+    # a third of a corpus twice: boundaries land on the nearest micro
+    assert split_thresholds({"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}) == [333333, 666667]
+
+
 def test_stratified_sample_exact_quota_and_determinism(spark, docs):
     out = stratified_sample(docs, stratum="lang", n_per_stratum=3)
     per = out.groupBy("lang").agg(F.count("*").alias("n")).collect()

@@ -613,3 +613,112 @@ def test_block_store_roundtrip_and_pruned_range(spark, transcripts, tmp_path):
     with _pt.raises(ValueError, match="codec"):
         store.blocks_range_minmax(spark, "raw", "value", str(t0), str(t1),
                                   codec="chimp")
+
+
+def test_merge_quarantine_invalidates_stale_blocks(spark, small, days, tmp_path):
+    """A late-data merge rewrites tier rows for the affected days, so
+    the tier's derived compressed blocks for those days are STALE and
+    must be dropped (same tier/blocks consistency rule retention
+    enforces) — a reader must never decode pre-merge values for a day
+    the merge touched. Unaffected days' blocks survive."""
+    from smos_spark.operators.compress import compress_series
+    from smos_spark.streaming.incremental import merge_quarantine
+
+    late_mask = (F.to_date("ts") == days[0]) & (
+        F.crc32(F.col("conv_id")) % 4 == 0
+    )
+    store = TranscriptStore(tmp_path / "blk", n_buckets=8)
+    ingest_batches(store, day_batches(small.where(~late_mask), days), run_id="r1")
+
+    # derive a block store from the 1m tier (value = per-bucket count)
+    tier = store.read_tier(spark, "1m").select(
+        "conv_id",
+        F.col("bucket_start").alias("ts"),
+        F.col("n_turns").cast("double").alias("value"),
+    )
+    store.write_blocks(
+        compress_series(tier, ["value"], stats=True, slice_col=F.to_date("ts")),
+        tier="1m",
+    )
+    from pathlib import Path
+
+    bdirs = sorted(Path(store.blocks_path("1m")).glob("block_date=*"))
+    assert {d.name.split("=")[1] for d in bdirs} >= set(days)
+
+    # late rows for day 0 arrive and are merged
+    ingest_batch(store, small.where(late_mask), run_id="r1", batch_id=len(days))
+    out = merge_quarantine(store, spark, run_id="r1-merge")
+    assert out["days"] == [days[0]]
+
+    remaining = {
+        d.name.split("=")[1]
+        for d in Path(store.blocks_path("1m")).glob("block_date=*")
+    }
+    assert days[0] not in remaining, "stale pre-merge blocks survived the merge"
+    assert days[1] in remaining, "unaffected day's blocks were dropped"
+
+    # the drop is recorded in lineage
+    cp = store.read_checkpoint(spark)
+    drops = cp.where(
+        (F.col("tier") == "blocks_1m")
+        & (F.col("partition_key") == f"block_date={days[0]}")
+    )
+    assert drops.count() == 1
+
+
+def test_merge_quarantine_deterministic_survivor(spark, small, days, tmp_path):
+    """When a late row collides with an existing raw row on the turn
+    key (conv_id, turn_idx) with DIFFERENT content, the survivor is
+    deterministic: the late row wins (a late delivery is a
+    correction), and tiers reflect the corrected payload."""
+    from smos_spark.streaming.incremental import merge_quarantine
+
+    store = TranscriptStore(tmp_path / "det", n_buckets=8)
+    ingest_batches(store, day_batches(small, days), run_id="r1")
+
+    victim = small.where(F.to_date("ts") == days[0]).orderBy(
+        "conv_id", "turn_idx"
+    ).first()
+    corrected = spark.createDataFrame(
+        [
+            (
+                victim["conv_id"],
+                victim["turn_idx"],
+                victim["role"],
+                "CORRECTED " + (victim["text"] or ""),
+                victim["tool"],
+                victim["ts"],
+            )
+        ],
+        small.schema,
+    )
+    res = ingest_batch(store, corrected, run_id="r1", batch_id=len(days))
+    assert res["rows_in"] == 0  # quarantined: at/before last_day
+
+    merge_quarantine(store, spark, run_id="m1")
+    got = (
+        store.read_transcripts(spark)
+        .where(
+            (F.col("conv_id") == victim["conv_id"])
+            & (F.col("turn_idx") == victim["turn_idx"])
+        )
+        .collect()
+    )
+    assert len(got) == 1
+    assert got[0]["text"].startswith("CORRECTED ")
+    # no row count drift: a collision replaces, never appends
+    assert store.read_transcripts(spark).count() == small.count()
+
+    # re-running the merge with the same correction converges to the
+    # same bytes (the already-merged row is now the 'existing' side)
+    ingest_batch(store, corrected, run_id="r1", batch_id=len(days) + 1)
+    merge_quarantine(store, spark, run_id="m2")
+    again = (
+        store.read_transcripts(spark)
+        .where(
+            (F.col("conv_id") == victim["conv_id"])
+            & (F.col("turn_idx") == victim["turn_idx"])
+        )
+        .collect()
+    )
+    assert [r.asDict() for r in again] == [r.asDict() for r in got]
