@@ -317,17 +317,33 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     allow_unblocked: bool = False,
 ) -> DataFrame:
-    """Word n-gram Jaccard similarity on blocked pairs. Without a
-    block column this is an O(n²) self-join — a cluster-killer if
-    called accidentally at scale, so it now RAISES unless the caller
-    passes allow_unblocked=True (tiny/test data only). Use a cheap
-    blocking key (lang/source, a length bucket, a minhash band) at
-    scale — or `minhash_dedup_pairs`, which blocks itself."""
+    """Word n-gram Jaccard similarity via EXACT prefix filtering.
+
+    Candidate pairs come from a prefix-filtered inverted-index join
+    (Chaudhuri et al. ICDE'06 SSJoin; Bayardo et al. WWW'07 "Scaling
+    up all pairs similarity search"), then each candidate is verified
+    with the exact Jaccard on the full gram arrays — the output is
+    IDENTICAL to the all-pairs form, but the quadratic term shrinks to
+    pairs sharing a rare prefix gram:
+
+      * grams are globally ordered by (document frequency, gram) —
+        rarest first — inside each block;
+      * a doc with s grams indexes only its first
+        ``s - ceil(threshold*s) + 1`` grams (any J >= t pair must
+        share at least one gram in both prefixes, so recall is exact);
+      * candidates = prefix-gram equi-join, verified on the arrays.
+
+    Per-doc work is O(|grams|); the join is driven by rare grams, so a
+    hot boilerplate gram lands in nobody's prefix and never fans out.
+    A block column (lang/source/length bucket) still bounds the index;
+    without one the prefix index is global, which is correct but can
+    still concentrate shuffle on one index — RAISES unless the caller
+    passes allow_unblocked=True (tiny/test data only)."""
     if block_col is None and not allow_unblocked:
         raise ValueError(
-            "ngram_jaccard_pairs without block_col is an O(n^2) cross "
-            "join; pass block_col=... or allow_unblocked=True for "
-            "small data"
+            "ngram_jaccard_pairs without block_col builds one global "
+            "prefix index; pass block_col=... or allow_unblocked=True "
+            "for small data"
         )
     # tokenize behind a projection boundary: `_t` is referenced from
     # inside the transform() lambda, and an inlined split() would
@@ -346,18 +362,51 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(tc, i + 1, n)),
         )
     )
-    base = toked.select(F.col(key), grams.alias("_g"), *extra)
-    a = base.alias("a")
-    b = base.alias("b")
-    cond = F.col(f"a.{key}") < F.col(f"b.{key}")
-    if block_col:
-        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    return (
-        a.join(b, cond)
+    base = toked.select(F.col(key), grams.alias("_g"), *extra).persist()
+    block = [block_col] if block_col else []
+
+    # --- candidate generation: df-ordered prefix index ---
+    ex = base.select(F.col(key), *extra, F.explode("_g").alias("_gram"))
+    dfreq = ex.groupBy("_gram", *block).agg(F.count(F.lit(1)).alias("_df"))
+    ranked = ex.join(dfreq, ["_gram", *block]).groupBy(F.col(key), *extra).agg(
+        F.array_sort(F.collect_list(F.struct("_df", "_gram"))).alias("_r")
+    )
+    # prefix length s - ceil(t*s) + 1 as floor((1-t)*s + eps) + 1: the
+    # epsilon absorbs float slop BELOW an exact integer boundary and
+    # can only ENLARGE the prefix, so exact recall is never at risk
+    plen = (
+        F.floor(F.size("_r") * F.lit(1.0 - threshold) + F.lit(1e-6)) + 1
+    ).cast("int")
+    prefix = ranked.select(
+        F.col(key),
+        *extra,
+        F.explode(F.slice("_r", F.lit(1), plen)).alias("_s"),
+    ).select(F.col(key), *extra, F.col("_s._gram").alias("_pg"))
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            [F.col("a._pg") == F.col("b._pg")]
+            + [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block]
+            + [F.col(f"a.{key}") < F.col(f"b.{key}")],
+        )
         .select(
-            F.col(f"a.{key}").alias("id_a"),
-            F.col(f"b.{key}").alias("id_b"),
-            exact_jaccard(F.col("a._g"), F.col("b._g")).alias("jaccard"),
+            F.col(f"a.{key}").alias("id_a"), F.col(f"b.{key}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    # --- exact verify on the cached gram arrays (candidates only) ---
+    ga = base.select(F.col(key).alias("id_a"), F.col("_g").alias("_ga"))
+    gb = base.select(F.col(key).alias("id_b"), F.col("_g").alias("_gb"))
+    _release_later(base)
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            exact_jaccard(F.col("_ga"), F.col("_gb")).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
