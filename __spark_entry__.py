@@ -392,6 +392,24 @@ def _q_range_minmax_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_range_minmax_chimp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain range aggregate over CHIMP-coded blocks (the
+    block store records its codec; this row pins that the Chimp block
+    headers' stats + straddling-block decode compose exactly, like the
+    Gorilla row `range_minmax_pruned` does for the default codec).
+    Window differs from the Gorilla row so the two pins are
+    independent."""
+    from smos_spark.operators.compress import compress_series, range_minmax
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts", "value"
+    )
+    comp = compress_series(ev, ["value"], stats=True, codec="chimp").persist()
+    return range_minmax(
+        comp, "value", "2024-01-05 12:00:00", "2024-01-20 06:00:00", codec="chimp"
+    )
+
+
 def _q_incremental_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5/K6/A5: ingest the table as two time-ordered micro-batches
     through the checkpointed incremental path; final 1d tier must equal
@@ -1376,7 +1394,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_index_topk": _q_emb_ann_index_topk,
         "multimodal_features": _q_multimodal_features,
         # -- new round-4 queries (slots 35-50) -----------------------------
-        # (inserted here as they land)
+        "range_minmax_chimp": _q_range_minmax_chimp,
         # -- long-proven (green in CORRECTNESS_r03, positions 1-50) --------
         "rollup_1m": _q_rollup_1m,
         "cascade_1h": _q_cascade_1h,
@@ -1964,6 +1982,18 @@ def oracle_sql() -> dict[str, str]:
           FROM events
           WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
             AND ts <= TIMESTAMP '2024-01-25 00:00:00'
+          GROUP BY 1
+        """,
+        "range_minmax_chimp": """
+          SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                 min(CASE WHEN isnan(value) THEN NULL ELSE value END)
+                   AS vmin,
+                 max(CASE WHEN isnan(value) THEN NULL ELSE value END)
+                   AS vmax,
+                 CAST(count(*) AS BIGINT) AS n_points
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-05 12:00:00'
+            AND ts <= TIMESTAMP '2024-01-20 06:00:00'
           GROUP BY 1
         """,
         "incremental_1d": _T_CTE + _tier_sql("day"),

@@ -338,6 +338,14 @@ def main() -> None:
     }
 
     n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    # UNTIMED warm-up pass: first-trial samples previously carried up
+    # to 3.6× cold-start skew (executor-thread spin-up, codegen, Arrow
+    # worker pools, parquet footer cache — BENCH_r03 all_trials), which
+    # made best-of-N a lottery rather than a measurement. One full
+    # suite pass up front pays all one-time costs before trial 1.
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+        for fn in queries.values():
+            fn()
     samples: dict[str, list[float]] = {}
     for _trial in range(n_trials):
         for name, fn in queries.items():

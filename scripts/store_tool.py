@@ -252,13 +252,15 @@ def main() -> None:
         df = store.blocks_range_minmax(
             spark, args.tier, args.parameter, t0, t1, codec=args.codec
         )
-        # one execution: collect once, display a slice, count the rest
-        rows = df.collect()
-        for r in rows[: args.limit]:
+        # CLI shape: never materialize the full result on the driver —
+        # push the display limit into the plan (GlobalLimit, asserted
+        # in tests) and count separately; output is O(limit) + 1 long
+        shown = df.limit(args.limit).collect()
+        for r in shown:
             print(r)
         print(
             json.dumps(
-                {"cmd": "range-agg", "tier": args.tier, "rows": len(rows)}
+                {"cmd": "range-agg", "tier": args.tier, "rows": df.count()}
             )
         )
 

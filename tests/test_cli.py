@@ -177,3 +177,13 @@ def test_store_tool_blocks_and_range_agg(spark, transcripts, tmp_path):
     )
     exp = h1.select("conv_id").distinct().count()
     assert r2["rows"] == exp
+
+    # the CLI never collects the full result: display rows are capped
+    # by a limit PUSHED INTO THE PLAN — re-build the displayed frame
+    # exactly as range-agg does and pin GlobalLimit in the physical plan
+    shown = store.blocks_range_minmax(
+        spark, "1h", "n_turns", str(lo), str(hi), codec="chimp"
+    ).limit(3)
+    plan = shown._jdf.queryExecution().executedPlan().toString()
+    assert "GlobalLimit" in plan or "CollectLimit" in plan, plan
+    assert len(shown.collect()) == min(3, exp)
