@@ -140,3 +140,71 @@ def test_event_funnel_auto_identity(spark, skewed):
     assert _sorted(event_funnel_auto(skewed, **kw, **HOT)) == _sorted(
         event_funnel(skewed, **kw)
     )
+
+
+@pytest.mark.slow
+def test_dispatch_scale_smoke_pathological_key(spark):
+    """PLANS.md §28 scale audit: ~4M synthetic rows with ONE key
+    holding ~20% of them. The dispatcher must (a) detect the key and
+    route it through the bucketed twin (pinned in the optimized plan),
+    (b) keep every window partition's input bounded (the twin's
+    (key, bucket) groups stay small even for the hot key), and
+    (c) produce checksum-identical results to the plain form."""
+    N = 4_000_000
+    WIN = 3600.0
+    base = spark.range(N).select(
+        F.when(F.col("id") % 5 == 0, F.lit(999_999))
+        .otherwise(F.col("id") % 50_000)
+        .cast("long")
+        .alias("user_id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000)
+            + ((F.col("id") * 7_919) % (86_400 * 30)) * 1_000_000
+            + F.col("id") % 1_000_000
+        ).alias("ts"),
+        ((F.col("id") % 997) / 10.0).alias("value"),
+    )
+
+    from smos_spark.operators.dispatch import detect_hot_keys, rolling_stats_auto
+
+    knobs = dict(hot_threshold=400_000, sample_fraction=0.002, seed=42)
+    hot = detect_hot_keys(base, ["user_id"], **knobs)
+    assert hot == [(999_999,)]
+
+    out = rolling_stats_auto(base, WIN, "value", on="user_id", **knobs)
+    # (a) the hot branch runs the twin: its window partitions on the
+    # derived time bucket, visible as _bkt in the optimized plan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_bkt" in plan, plan
+
+    # (b) bounded partitions: with real+ghost copies, a (key, bucket)
+    # window group holds at most 2x the rows of one bucket — measure
+    # the actual max and check it is a tiny fraction of the hot key's
+    # ~800k rows (the plain form would sort all of them in ONE task)
+    win_us = int(WIN * 1_000_000)
+    per_bucket_max = (
+        base.groupBy(
+            "user_id",
+            F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / win_us),
+        )
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert 2 * per_bucket_max < 0.05 * (N // 5)
+
+    # (c) checksum identity with the plain form (aggregates, not a
+    # full 8M-row collect)
+    from smos_spark.operators.asof import rolling_stats
+
+    def checksum(df):
+        return df.agg(
+            F.count(F.lit(1)),
+            F.sum("roll_cnt"),
+            F.sum("roll_sum_cents"),
+            F.sum(F.hash("user_id", "roll_min", "roll_max").cast("long")),
+        ).first()
+
+    assert checksum(out) == checksum(
+        rolling_stats(base, WIN, "value", on="user_id")
+    )
