@@ -824,6 +824,72 @@ def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_funnel(ev, steps=("view", "click", "purchase"))
 
 
+# --- skew auto-dispatchers (PLANS.md §28): same semantics as their
+# plain rows, routed through detect_hot_keys. The contract knobs
+# (sample_fraction=1.0, hot_threshold=50) make EVERY user hot at
+# contract scale, exercising the split regime at sf0.001 (15 users
+# ≤ max_split) and the twin-wholesale regime at sf0.01+ (150+ users);
+# the oracles are the plain rows' — twin == plain, driver-pinned. ---
+
+_AUTO_KNOBS = dict(hot_threshold=50, sample_fraction=1.0, seed=42)
+
+
+def _q_rolling_10m_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rolling_10m` through rolling_stats_auto (hot keys → bounded
+    (key, bucket) ghost-copy twin)."""
+    from smos_spark.operators.dispatch import rolling_stats_auto
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return rolling_stats_auto(
+        ev, window_sec=600.0, on="user_id", **_AUTO_KNOBS
+    ).select("event_id", "roll_cnt", "roll_sum_cents", "roll_min", "roll_max")
+
+
+def _q_counter_rate_1h_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`counter_rate_1h` through counter_rate_auto (hot keys → the
+    two-level-adjacency twin)."""
+    from smos_spark.operators.dispatch import counter_rate_auto
+    from pyspark.sql.window import Window
+
+    ev = _read_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.floor(F.col("value") * 100).cast("long") + 100
+    counters = ev.where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.pmod(F.sum(cents).over(w), F.lit(50000)).alias("counter"),
+    )
+    return counter_rate_auto(counters, width_sec=3600.0, **_AUTO_KNOBS)
+
+
+def _q_top_gaps_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`top_gaps` through largest_gaps_auto (hot keys → in-bucket lag
+    + per-key boundary carry twin)."""
+    from smos_spark.operators.dispatch import largest_gaps_auto
+
+    return largest_gaps_auto(_read_events(spark, sf_dir), top_k=3, **_AUTO_KNOBS)
+
+
+def _q_event_funnel_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`event_funnel` through event_funnel_auto (hot keys → the
+    join-of-min-aggregations twin)."""
+    from smos_spark.operators.dispatch import event_funnel_auto
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return event_funnel_auto(ev, steps=("view", "click", "purchase"), **_AUTO_KNOBS)
+
+
 def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily cohort retention: distinct users active at each
     (first-seen day, day offset); explicit two-level distinct."""
@@ -1395,6 +1461,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         # -- new round-4 queries (slots 35-50) -----------------------------
         "range_minmax_chimp": _q_range_minmax_chimp,
+        "rolling_10m_auto": _q_rolling_10m_auto,
+        "counter_rate_1h_auto": _q_counter_rate_1h_auto,
+        "top_gaps_auto": _q_top_gaps_auto,
+        "event_funnel_auto": _q_event_funnel_auto,
         # -- long-proven (green in CORRECTNESS_r03, positions 1-50) --------
         "rollup_1m": _q_rollup_1m,
         "cascade_1h": _q_cascade_1h,
@@ -1780,7 +1850,7 @@ def oracle_sql() -> dict[str, str]:
       FROM grams g LEFT JOIN per_doc p USING (doc_id)
     """
 
-    return {
+    sql = {
         "rollup_1m": _T_CTE + _tier_sql("minute"),
         "resample_15m": _T_CTE
         + _tier_sql(
@@ -2879,3 +2949,14 @@ def oracle_sql() -> dict[str, str]:
           LIMIT 10
         """,
     }
+    # the *_auto dispatcher rows are DEFINED to be row-identical to
+    # their plain forms, so they share the plain rows' exact oracles —
+    # a driver hash match pins twin == plain through the full gate
+    for auto, plain in [
+        ("rolling_10m_auto", "rolling_10m"),
+        ("counter_rate_1h_auto", "counter_rate_1h"),
+        ("top_gaps_auto", "top_gaps"),
+        ("event_funnel_auto", "event_funnel"),
+    ]:
+        sql[auto] = sql[plain]
+    return sql
