@@ -879,6 +879,29 @@ def _q_top_gaps_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return largest_gaps_auto(_read_events(spark, sf_dir), top_k=3, **_AUTO_KNOBS)
 
 
+def _q_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution via the bucketed interval join:
+    every (click, purchase) pair where the click falls in the
+    purchase's trailing 2-hour window. Equi-join on (key, time
+    bucket) with bounded interval fan-out — never a nested-loop range
+    join (plan pinned in tests/test_interval.py)."""
+    from smos_spark.operators.interval import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("start_ts"),
+        F.col("ts").alias("end_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    return interval_join(
+        clicks, purchases, width_sec=7200.0, on="user_id"
+    ).select("click_id", "purchase_id")
+
+
 def _q_event_funnel_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`event_funnel` through event_funnel_auto (hot keys → the
     join-of-min-aggregations twin)."""
@@ -1465,6 +1488,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate_1h_auto": _q_counter_rate_1h_auto,
         "top_gaps_auto": _q_top_gaps_auto,
         "event_funnel_auto": _q_event_funnel_auto,
+        "interval_attribution": _q_interval_attribution,
         # -- long-proven (green in CORRECTNESS_r03, positions 1-50) --------
         "rollup_1m": _q_rollup_1m,
         "cascade_1h": _q_cascade_1h,
@@ -2053,6 +2077,14 @@ def oracle_sql() -> dict[str, str]:
           WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
             AND ts <= TIMESTAMP '2024-01-25 00:00:00'
           GROUP BY 1
+        """,
+        "interval_attribution": """
+          SELECT c.event_id AS click_id, p.event_id AS purchase_id
+          FROM (SELECT * FROM events WHERE event_type = 'click') c
+          JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+            ON c.user_id = p.user_id
+           AND c.ts >= p.ts - INTERVAL 2 HOURS
+           AND c.ts <= p.ts
         """,
         "range_minmax_chimp": """
           SELECT CAST(user_id AS VARCHAR) AS conv_id,

@@ -1,0 +1,139 @@
+"""Bucketed interval (range-overlap) join: known answers, equality
+with the naive theta join, left semantics, NULL routing, the
+degenerate-interval guard, and the no-nested-loop plan pin."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from smos_spark.operators.interval import interval_join
+
+UTC = dt.timezone.utc
+SF = "/root/testdata/sf0.001"
+
+
+def _ts(s: float):
+    return dt.datetime.fromtimestamp(s, UTC).replace(tzinfo=None)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    points = spark.createDataFrame(
+        [
+            ("a", _ts(5.0), "P0"),      # before every interval
+            ("a", _ts(10.0), "P1"),     # == start of I1 (inclusive)
+            ("a", _ts(15.0), "P2"),     # inside I1, inside I2
+            ("a", _ts(20.0), "P3"),     # == end of I1, inside I2
+            ("a", _ts(30.0), "P4"),     # inside I2 only
+            ("b", _ts(15.0), "P5"),     # same ts, other key
+            ("a", None, "P6"),          # NULL ts: never matches
+        ],
+        "conv_id string, ts timestamp, lbl string",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("a", _ts(10.0), _ts(20.0), "I1"),
+            ("a", _ts(12.0), _ts(31.0), "I2"),
+            ("b", _ts(100.0), _ts(200.0), "I3"),   # no points inside
+            ("a", None, _ts(50.0), "I4"),          # NULL bound: dropped
+        ],
+        "conv_id string, start_ts timestamp, end_ts timestamp, ivl string",
+    )
+    return points, intervals
+
+
+def test_known_answers_inner(spark, frames):
+    points, intervals = frames
+    got = {
+        (r["lbl"], r["ivl"])
+        for r in interval_join(points, intervals, width_sec=8.0).collect()
+    }
+    assert got == {
+        ("P1", "I1"),
+        ("P2", "I1"),
+        ("P2", "I2"),
+        ("P3", "I1"),
+        ("P3", "I2"),
+        ("P4", "I2"),
+    }
+
+
+def test_left_keeps_unmatched_points(spark, frames):
+    points, intervals = frames
+    out = interval_join(points, intervals, width_sec=8.0, how="left")
+    rows = {(r["lbl"], r["ivl"]) for r in out.collect()}
+    # unmatched (P0, P5) and NULL-ts (P6) survive with NULL interval
+    assert ("P0", None) in rows and ("P5", None) in rows and ("P6", None) in rows
+    assert out.count() == 6 + 3
+
+
+def test_equals_naive_theta_join(spark, frames):
+    """Bucketing is an optimization, not a semantics change: equality
+    with the naive BETWEEN join on real event data, across widths that
+    divide / don't divide / exceed the interval length."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("start_ts"),
+        F.col("ts").alias("end_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    naive = {
+        (r["click_id"], r["purchase_id"])
+        for r in clicks.join(
+            purchases,
+            (clicks["user_id"] == purchases["user_id"])
+            & (clicks["ts"] >= purchases["start_ts"])
+            & (clicks["ts"] <= purchases["end_ts"]),
+        ).collect()
+    }
+    assert naive, "fixture must produce matches"
+    for width in (1800.0, 3456.7, 7200.0, 50000.0):
+        got = {
+            (r["click_id"], r["purchase_id"])
+            for r in interval_join(
+                clicks, purchases, width_sec=width, on="user_id"
+            ).collect()
+        }
+        assert got == naive, f"width={width}"
+
+
+def test_no_duplicate_pairs(spark, frames):
+    """A point lives in exactly one bucket, so multi-bucket intervals
+    can never produce the same (point, interval) pair twice."""
+    points, intervals = frames
+    out = interval_join(points, intervals, width_sec=2.0)  # I2 spans 10 buckets
+    assert out.count() == out.select("lbl", "ivl").distinct().count()
+
+
+def test_degenerate_interval_guard(spark, frames):
+    points, intervals = frames
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises((SparkRuntimeException, Py4JJavaError, Exception)) as e:
+        interval_join(points, intervals, width_sec=0.001, max_buckets=100).count()
+    assert "interval_join" in str(e.value)
+
+
+def test_plan_is_equi_join(spark, frames):
+    points, intervals = frames
+    plan = (
+        interval_join(points, intervals, width_sec=8.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_column_collision_raises(spark, frames):
+    points, intervals = frames
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(points, intervals.withColumnRenamed("ivl", "lbl"), width_sec=8.0)
