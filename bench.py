@@ -313,6 +313,32 @@ def main() -> None:
 
         _force(quantized_topk(embs, query_id=0, k=10))
 
+    def q_interval_join():
+        # bucketed range-overlap join: clicks attributed to trailing
+        # 2h purchase windows (equi-join on (key, bucket), bounded
+        # interval fan-out — never a nested-loop range join)
+        from smos_spark.operators.interval import interval_join
+
+        evf = spark.read.parquet(f"{sf_dir}/events.parquet")
+        purchases = evf.where(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("start_ts"),
+            F.col("ts").alias("end_ts"),
+        )
+        clicks = evf.where(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), "ts"
+        )
+        _force(interval_join(clicks, purchases, width_sec=7200.0, on="user_id"))
+
+    def q_ngram_pairs():
+        # exact prefix-filtered n-gram Jaccard (PLANS.md §29): df-
+        # ordered prefix index -> candidate equi-join -> exact verify.
+        # Was the 293s all-pairs form before round 4.
+        from smos_spark.operators.dedup import ngram_jaccard_pairs
+
+        _force(ngram_jaccard_pairs(docs, threshold=0.8, block_col="lang"))
+
     queries = {
         "sessionize": q_sessionize,
         "rollup_cascade": q_rollup_cascade,
@@ -335,6 +361,8 @@ def main() -> None:
         "cosine_topk": q_cosine_topk,
         "quantized_topk": q_quantized_topk,
         "ann_index": q_ann_index,
+        "interval_join": q_interval_join,
+        "ngram_pairs": q_ngram_pairs,
     }
 
     n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
