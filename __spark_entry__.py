@@ -879,6 +879,24 @@ def _q_top_gaps_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return largest_gaps_auto(_read_events(spark, sf_dir), top_k=3, **_AUTO_KNOBS)
 
 
+def _q_stats_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation of the (centi-quantized) event
+    value in (ts, event_id) order — lag window + the exact
+    integer-moment Pearson (decimal(38,0) cross products, one double
+    chain, ppm floor)."""
+    from smos_spark.operators.stats import autocorrelation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    return autocorrelation(
+        ev, "vc", lag=1, key_cols=["conv_id"], tie_cols=["event_id"]
+    )
+
+
 def _q_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click→purchase attribution via the bucketed interval join:
     every (click, purchase) pair where the click falls in the
@@ -1489,6 +1507,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_gaps_auto": _q_top_gaps_auto,
         "event_funnel_auto": _q_event_funnel_auto,
         "interval_attribution": _q_interval_attribution,
+        "stats_autocorr": _q_stats_autocorr,
         # -- long-proven (green in CORRECTNESS_r03, positions 1-50) --------
         "rollup_1m": _q_rollup_1m,
         "cascade_1h": _q_cascade_1h,
@@ -2077,6 +2096,39 @@ def oracle_sql() -> dict[str, str]:
           WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
             AND ts <= TIMESTAMP '2024-01-25 00:00:00'
           GROUP BY 1
+        """,
+        "stats_autocorr": """
+          WITH p AS (
+            SELECT CAST(user_id AS VARCHAR) AS conv_id, ts, event_id,
+                   CAST(floor(value * 100) AS BIGINT) AS vc
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          ), lagged AS (
+            SELECT conv_id,
+                   lag(vc) OVER (PARTITION BY conv_id
+                                 ORDER BY ts, event_id) AS x,
+                   vc AS y
+            FROM p
+          ), pairs AS (
+            SELECT conv_id, x, y FROM lagged WHERE x IS NOT NULL
+          ), a AS (
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS HUGEINT) AS sx,
+                   CAST(sum(y) AS HUGEINT) AS sy,
+                   CAST(sum(x * x) AS HUGEINT) AS sxx,
+                   CAST(sum(y * y) AS HUGEINT) AS syy,
+                   CAST(sum(x * y) AS HUGEINT) AS sxy
+            FROM pairs GROUP BY 1
+          )
+          SELECT conv_id, n AS n_pairs,
+            CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                 THEN CAST(floor(
+                   (n * sxy - sx * sy)::DOUBLE
+                   / sqrt((n * sxx - sx * sx)::DOUBLE
+                          * (n * syy - sy * sy)::DOUBLE)
+                   * 1000000) AS BIGINT)
+            END AS acf_ppm
+          FROM a
         """,
         "interval_attribution": """
           SELECT c.event_id AS click_id, p.event_id AS purchase_id

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_pearson", "histogram", "hourly_profile"]
+__all__ = ["autocorrelation", "grouped_pearson", "histogram", "hourly_profile"]
 
 _DEC = "decimal(38,0)"
 
@@ -155,3 +155,46 @@ def hourly_profile(
         ).cast("long")
         out = out.withColumn("mean_ppm", mean_ppm).drop("_svc")
     return out
+
+
+def autocorrelation(
+    df: DataFrame,
+    value_col: str,
+    lag: int = 1,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    tie_cols: list[str] | None = None,
+    out_col: str = "acf_ppm",
+) -> DataFrame:
+    """Lag-k sample autocorrelation per key: Pearson between v_t and
+    v_{t-k} over consecutive samples in (ts, *tie_cols) order —
+    exactly `grouped_pearson` on lag-paired rows, so the same
+    exact-integer-moment / one-double-chain / ppm-floor discipline
+    (and the same exact DuckDB oracle shape) applies. The value column
+    must already be integer-quantized (floor(v*100) etc.), like every
+    stats input here.
+
+    Output: key cols, n_pairs (samples with a lag-k predecessor),
+    acf_ppm (NULL when either side is constant or n_pairs < 2).
+
+    Plan: one per-key ordered window for the lag (the keyed-lag class;
+    for a pathologically hot key route through a (key, bucket) twin
+    first — PLANS.md §27/§28), then one map-side-combined aggregation.
+    """
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols or ["conv_id"])
+    ties = list(tie_cols or [])
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col), *[F.col(t) for t in ties]
+    )
+    v = F.col(value_col).cast("long")
+    paired = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(*keys, F.col(ts_col), *[F.col(t) for t in ties], v.alias("_y"))
+        .withColumn("_x", F.lag("_y", lag).over(w))
+        .where(F.col("_x").isNotNull())
+    )
+    return grouped_pearson(paired, "_x", "_y", keys, out_col=out_col)

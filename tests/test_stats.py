@@ -105,3 +105,57 @@ def test_distinctive_terms_ranking(spark):
     # doc 3: beta 3/1 then common 1/3 vs ... beta wins, common ranks below beta
     assert by_doc[3][0]["term"] == "beta"
     assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_autocorrelation_known_answers(spark):
+    """Alternating series → lag-1 ACF = -1 (floor → -1_000_000);
+    a linear ramp → +1; constants and short series → NULL."""
+    import datetime as dt
+    from smos_spark.operators.stats import autocorrelation
+
+    def rows(key, vals):
+        t0 = dt.datetime(2024, 1, 1)
+        return [
+            (key, t0 + dt.timedelta(seconds=i), i, v) for i, v in enumerate(vals)
+        ]
+
+    df = spark.createDataFrame(
+        rows("alt", [1, -1] * 8)
+        + rows("ramp", list(range(10)))
+        + rows("const", [5] * 6)
+        + rows("short", [3]),
+        "conv_id string, ts timestamp, event_id long, vc long",
+    )
+    got = {
+        r["conv_id"]: (r["n_pairs"], r["acf_ppm"])
+        for r in autocorrelation(
+            df, "vc", key_cols=["conv_id"], tie_cols=["event_id"]
+        ).collect()
+    }
+    assert got["alt"] == (15, -1_000_000)
+    assert got["ramp"] == (9, 1_000_000)
+    assert got["const"][1] is None  # constant: zero variance
+    assert "short" not in got       # no lagged pair at all
+
+
+def test_autocorrelation_lag_k(spark):
+    """Period-2 series at lag 2 is perfectly self-similar (+1) while
+    lag 1 is -1 — the lag parameter must actually shift."""
+    import datetime as dt
+    from smos_spark.operators.stats import autocorrelation
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("p", t0 + dt.timedelta(seconds=i), i, (1 if i % 2 == 0 else -1))
+         for i in range(12)],
+        "conv_id string, ts timestamp, event_id long, vc long",
+    )
+    a1 = autocorrelation(df, "vc", lag=1, key_cols=["conv_id"],
+                         tie_cols=["event_id"]).first()
+    a2 = autocorrelation(df, "vc", lag=2, key_cols=["conv_id"],
+                         tie_cols=["event_id"]).first()
+    assert a1["acf_ppm"] == -1_000_000 and a2["acf_ppm"] == 1_000_000
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        autocorrelation(df, "vc", lag=0)
