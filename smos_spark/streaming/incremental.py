@@ -140,6 +140,8 @@ def _ingest_batch_locked(
     affected["1h"] = reaggregate(new_1m, "1h")
     affected["1d"] = reaggregate(affected["1h"], "1d")
 
+    import datetime as _dt
+    import shutil as _shutil
     from pathlib import Path
 
     from pyspark.sql import Observation
@@ -148,6 +150,16 @@ def _ingest_batch_locked(
     # (bucket_start = date_trunc(unit, ts ≥ lo)), so the day-aligned
     # rewrite boundary is known WITHOUT a per-tier min() job
     batch_day = str(lo)[:10]
+    # the batch's calendar-day span, enumerated driver-side (no job):
+    # any derived compressed blocks for these days encode PRE-append
+    # tier values and must be dropped (same tier/blocks consistency
+    # rule as retention and merge_quarantine). Dropping an untouched
+    # day in the span is safe — it just re-encodes later.
+    d0 = _dt.date.fromisoformat(batch_day)
+    d1 = _dt.date.fromisoformat(str(hi)[:10])
+    batch_days = [
+        str(d0 + _dt.timedelta(days=i)) for i in range((d1 - d0).days + 1)
+    ]
     for tier in ("1m", "1h", "1d"):
         new_partials = affected[tier]
         tier_exists = Path(store.tier_path(tier)).exists()
@@ -166,6 +178,23 @@ def _ingest_batch_locked(
             merged = reaggregate(overlap.unionByName(new_partials), tier)
             out = merged.observe(obs, F.count(F.lit(1)).alias("rows_out"))
             store.overwrite_tier_partitions(out, tier)
+        for d in batch_days:
+            bdir = Path(store.blocks_path(tier)) / f"block_date={d}"
+            if bdir.exists():
+                _shutil.rmtree(bdir)
+                stats.append(
+                    {
+                        "run_id": run_id,
+                        "batch_id": batch_id,
+                        "tier": f"blocks_{tier}",
+                        "partition_key": f"block_date={d}",
+                        "rows_in": 0,
+                        "rows_out": 0,
+                        "min_ts": None,
+                        "max_ts": None,
+                        "committed_seq": -1,
+                    }
+                )
         out_rows = obs.get["rows_out"]
         stats.append(
             {

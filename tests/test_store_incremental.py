@@ -722,3 +722,64 @@ def test_merge_quarantine_deterministic_survivor(spark, small, days, tmp_path):
         .collect()
     )
     assert [r.asDict() for r in again] == [r.asDict() for r in got]
+
+
+def test_ingest_batch_invalidates_stale_blocks(spark, small, days, tmp_path):
+    """An ordinary append rewrites the boundary day's tier partitions,
+    so that day's derived blocks are stale too — ingest_batch must
+    drop them (the same rule merge_quarantine and retention enforce).
+    Blocks for days before the batch span survive."""
+    from smos_spark.operators.compress import compress_series
+
+    store = TranscriptStore(tmp_path / "ibk", n_buckets=8)
+    ingest_batch(store, small.where(F.to_date("ts") == days[0]),
+                 run_id="r1", batch_id=0)
+    tier = store.read_tier(spark, "1m").select(
+        "conv_id",
+        F.col("bucket_start").alias("ts"),
+        F.col("n_turns").cast("double").alias("value"),
+    )
+    store.write_blocks(
+        compress_series(tier, ["value"], stats=True, slice_col=F.to_date("ts")),
+        tier="1m",
+    )
+    from pathlib import Path
+
+    assert (Path(store.blocks_path("1m")) / f"block_date={days[0]}").exists()
+
+    # a second batch whose rows are ALL on day 1 still has day-0 rows
+    # in no partition it rewrites -> day-0 blocks survive; if the
+    # batch also touched day 0 they must not. Append day 1:
+    ingest_batch(store, small.where(F.to_date("ts") == days[1]),
+                 run_id="r1", batch_id=1)
+    remaining = {
+        d.name.split("=")[1]
+        for d in Path(store.blocks_path("1m")).glob("block_date=*")
+    }
+    assert days[0] in remaining  # untouched day keeps its blocks
+    # now write blocks for day 1 and append more day-1 data (same day
+    # re-appended late in the day is the boundary-day rewrite case)
+    t2 = store.read_tier(spark, "1m").select(
+        "conv_id",
+        F.col("bucket_start").alias("ts"),
+        F.col("n_turns").cast("double").alias("value"),
+    )
+    store.write_blocks(
+        compress_series(t2, ["value"], stats=True, slice_col=F.to_date("ts")),
+        tier="1m",
+    )
+    extra = small.where(F.to_date("ts") == days[1]).withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("_x"))
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 SECOND"))
+    ingest_batch(store, extra, run_id="r1", batch_id=2)
+    remaining = {
+        d.name.split("=")[1]
+        for d in Path(store.blocks_path("1m")).glob("block_date=*")
+    }
+    assert days[1] not in remaining, "stale boundary-day blocks survived append"
+    assert days[0] in remaining
+    cp = store.read_checkpoint(spark)
+    assert cp.where(
+        (F.col("tier") == "blocks_1m")
+        & (F.col("partition_key") == f"block_date={days[1]}")
+    ).count() >= 1
