@@ -879,6 +879,21 @@ def _q_top_gaps_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return largest_gaps_auto(_read_events(spark, sf_dir), top_k=3, **_AUTO_KNOBS)
 
 
+def _q_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24h p50/p90 per user at every event — exact
+    linear-interpolation percentiles over centi-unit longs (a function
+    of the frame multiset, order-independent; bit-identical to
+    DuckDB's quantile_cont, no tolerance)."""
+    from smos_spark.operators.asof import rolling_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return rolling_stats(
+        ev, window_sec=86400.0, on="user_id", quantiles=(0.5, 0.9)
+    ).select("event_id", "roll_cnt", "roll_p50", "roll_p90")
+
+
 def _q_stats_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user lag-1 autocorrelation of the (centi-quantized) event
     value in (ts, event_id) order — lag window + the exact
@@ -1508,6 +1523,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel_auto": _q_event_funnel_auto,
         "interval_attribution": _q_interval_attribution,
         "stats_autocorr": _q_stats_autocorr,
+        "rolling_quantiles": _q_rolling_quantiles,
         # -- long-proven (green in CORRECTNESS_r03, positions 1-50) --------
         "rollup_1m": _q_rollup_1m,
         "cascade_1h": _q_cascade_1h,
@@ -2096,6 +2112,18 @@ def oracle_sql() -> dict[str, str]:
           WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
             AND ts <= TIMESTAMP '2024-01-25 00:00:00'
           GROUP BY 1
+        """,
+        "rolling_quantiles": """
+          SELECT event_id,
+                 CAST(count(*) OVER w AS BIGINT) AS roll_cnt,
+                 quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5)
+                   OVER w AS roll_p50,
+                 quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9)
+                   OVER w AS roll_p90
+          FROM events
+          WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
         """,
         "stats_autocorr": """
           WITH p AS (

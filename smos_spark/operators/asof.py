@@ -138,6 +138,11 @@ def asof_join(
     return out
 
 
+def _q_name(prefix: str, q: float) -> str:
+    """roll_p50 / roll_p90 / roll_p99_9 — deterministic quantile names."""
+    return f"{prefix}p" + f"{q * 100:g}".replace(".", "_")
+
+
 def rolling_stats(
     df: DataFrame,
     window_sec: float,
@@ -145,6 +150,7 @@ def rolling_stats(
     on: str | Sequence[str] = "conv_id",
     ts_col: str = "ts",
     prefix: str = "roll_",
+    quantiles: Sequence[float] = (),
 ) -> DataFrame:
     """Trailing event-time window per key: for every row, aggregates
     over rows with ``ts in (row.ts - window_sec, row.ts]`` (inclusive
@@ -154,7 +160,12 @@ def rolling_stats(
     Emits ``<prefix>cnt`` (rows in frame), ``<prefix>sum`` (exact
     int64 sum of the value scaled by 100 — centi-units — so the
     result is order-independent and engine-portable; floats summed in
-    frame order are not), ``<prefix>min`` / ``<prefix>max``.
+    frame order are not), ``<prefix>min`` / ``<prefix>max``, and one
+    ``<prefix>p<q>`` column per requested quantile — EXACT linear-
+    interpolation percentiles over the centi-unit longs (a function of
+    the frame multiset, so order-independent; bit-identical to
+    DuckDB's ``quantile_cont`` on the same ints — verified in the
+    contract suite).
     """
     keys = [on] if isinstance(on, str) else list(on)
     v = F.col(value_col) if isinstance(value_col, str) else value_col
@@ -171,6 +182,10 @@ def rolling_stats(
         F.sum(cents).over(w).alias(f"{prefix}sum_cents"),
         F.min(v).over(w).alias(f"{prefix}min"),
         F.max(v).over(w).alias(f"{prefix}max"),
+        *[
+            F.percentile(cents, F.lit(q)).over(w).alias(_q_name(prefix, q))
+            for q in quantiles
+        ],
     )
 
 
@@ -181,6 +196,7 @@ def rolling_stats_bucketed(
     on: str | Sequence[str] = "conv_id",
     ts_col: str = "ts",
     prefix: str = "roll_",
+    quantiles: Sequence[float] = (),
 ) -> DataFrame:
     """`rolling_stats` with BOUNDED window partitions — the hot-key
     path. The plain implementation partitions by key alone, so one
@@ -223,6 +239,12 @@ def rolling_stats_bucketed(
             F.sum("_cents").over(w).alias(f"{prefix}sum_cents"),
             F.min("_v").over(w).alias(f"{prefix}min"),
             F.max("_v").over(w).alias(f"{prefix}max"),
+            *[
+                F.percentile(F.col("_cents"), F.lit(q))
+                .over(w)
+                .alias(_q_name(prefix, q))
+                for q in quantiles
+            ],
         )
         .where(~F.col("_ghost"))
         .drop("_us", "_cents", "_v", "_bkt", "_ghost")

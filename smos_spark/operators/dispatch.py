@@ -141,6 +141,7 @@ def rolling_stats_auto(
     on: str | Sequence[str] = "conv_id",
     ts_col: str = "ts",
     prefix: str = "roll_",
+    quantiles: Sequence[float] = (),
     hot_threshold: int = 1_000_000,
     sample_fraction: float = 0.001,
     seed: int = 42,
@@ -151,7 +152,12 @@ def rolling_stats_auto(
 
     keys = [on] if isinstance(on, str) else list(on)
     kw = dict(
-        window_sec=window_sec, value_col=value_col, on=on, ts_col=ts_col, prefix=prefix
+        window_sec=window_sec,
+        value_col=value_col,
+        on=on,
+        ts_col=ts_col,
+        prefix=prefix,
+        quantiles=quantiles,
     )
     return _dispatch(
         df,

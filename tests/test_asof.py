@@ -218,3 +218,20 @@ def test_asof_bucketed_equals_plain(spark):
     )
     b = sorted(map(tuple, asof_join_bucketed(pl, pr, 86400.0, on="user_id").collect()))
     assert a == b and len(a) > 50
+
+
+def test_rolling_quantiles_bucketed_equals_plain(spark):
+    """Quantile columns obey the same twin identity as the other
+    rolling aggregates: the (key, bucket) ghost-copy form reproduces
+    the plain per-key RANGE frame exactly."""
+    from smos_spark.operators.asof import rolling_stats, rolling_stats_bucketed
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    kw = dict(window_sec=43200.0, on="user_id", quantiles=(0.5, 0.9, 0.99))
+    plain = rolling_stats(ev, **kw).orderBy("event_id").collect()
+    twin = rolling_stats_bucketed(ev, **kw).orderBy("event_id").collect()
+    assert twin == plain
+    cols = plain[0].asDict()
+    assert "roll_p50" in cols and "roll_p90" in cols and "roll_p99" in cols
