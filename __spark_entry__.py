@@ -879,6 +879,16 @@ def _q_top_gaps_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return largest_gaps_auto(_read_events(spark, sf_dir), top_k=3, **_AUTO_KNOBS)
 
 
+def _q_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT-example extraction: one row per assistant turn with the
+    preceding 4 turns rendered 'role: text' as the prompt — one
+    bounded conv window, NULL-coalesced string assembly (exact
+    cross-engine)."""
+    from smos_spark.operators.flow import training_pairs
+
+    return training_pairs(_transcripts(spark, sf_dir), context_turns=4)
+
+
 def _q_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 24h p50/p90 per user at every event — exact
     linear-interpolation percentiles over centi-unit longs (a function
@@ -1524,6 +1534,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_attribution": _q_interval_attribution,
         "stats_autocorr": _q_stats_autocorr,
         "rolling_quantiles": _q_rolling_quantiles,
+        "training_pairs": _q_training_pairs,
         # -- long-proven (green in CORRECTNESS_r03, positions 1-50) --------
         "rollup_1m": _q_rollup_1m,
         "cascade_1h": _q_cascade_1h,
@@ -2112,6 +2123,21 @@ def oracle_sql() -> dict[str, str]:
           WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
             AND ts <= TIMESTAMP '2024-01-25 00:00:00'
           GROUP BY 1
+        """,
+        "training_pairs": _T_CTE
+        + """
+          , r AS (
+            SELECT conv_id, turn_idx, role, text,
+              coalesce(list(coalesce(role, '') || ': ' || coalesce(text, ''))
+                OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                      ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING),
+                []) AS ctx
+            FROM t)
+          SELECT conv_id, turn_idx,
+                 CAST(len(ctx) AS BIGINT) AS n_context,
+                 coalesce(array_to_string(ctx, chr(10)), '') AS prompt,
+                 text AS response
+          FROM r WHERE role = 'assistant'
         """,
         "rolling_quantiles": """
           SELECT event_id,

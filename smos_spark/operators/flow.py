@@ -26,6 +26,7 @@ __all__ = [
     "transition_matrix",
     "dedup_consecutive",
     "conv_features",
+    "training_pairs",
 ]
 
 #: fixed-point scale for exact cross-engine ratio outputs
@@ -203,4 +204,61 @@ def conv_features(
     )
     return agg.withColumn(
         "user_share_ppm", F.expr(f"(n_user * {MICRO}) div n_turns")
+    )
+
+
+def training_pairs(
+    df: DataFrame,
+    context_turns: int = 4,
+    response_role: str = "assistant",
+    sep: str = "\n",
+) -> DataFrame:
+    """Extract (prompt context, response) training examples: one row
+    per `response_role` turn, with the preceding `context_turns` turns
+    rendered "role: text" in stable (ts, turn_idx) order — the
+    SFT-example extraction step of a transcript training pipeline.
+
+    Deterministic text assembly: every fragment is NULL-coalesced to
+    '' BEFORE concatenation (engines disagree on NULL propagation
+    through string aggs otherwise), the frame is ROWS BETWEEN
+    -context_turns AND -1, and an empty frame yields n_context=0 with
+    an empty prompt, never NULL.
+
+    Scale shape: one window pass partitioned by conv_id (bounded
+    partitions — a conversation is a bounded object in this data
+    model), no join; output shuffle carries the rendered strings only
+    for response turns.
+    """
+    if context_turns < 1:
+        raise ValueError("context_turns must be >= 1")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("ts", "turn_idx")
+        .rowsBetween(-context_turns, -1)
+    )
+    frag = F.concat(
+        F.coalesce(F.col("role"), F.lit("")),
+        F.lit(": "),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    ctx = F.coalesce(
+        F.collect_list(frag).over(w), F.array().cast("array<string>")
+    )
+    return (
+        df.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            "ts",
+            ctx.alias("_ctx"),
+        )
+        .where(F.col("role") == response_role)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.size("_ctx").cast("long").alias("n_context"),
+            F.array_join(F.col("_ctx"), sep).alias("prompt"),
+            F.col("text").alias("response"),
+        )
     )

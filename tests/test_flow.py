@@ -160,3 +160,33 @@ def test_conv_features_matches_pandas(transcripts, transcripts_pdf):
         np.testing.assert_array_equal(
             got[c].to_numpy().astype("int64"), exp[c].to_numpy().astype("int64"), c
         )
+
+
+def test_training_pairs_known_answers(spark):
+    """Context rendering, frame bounds, NULL text coalescing, and the
+    empty-context first turn."""
+    import datetime as dt
+
+    from smos_spark.operators.flow import training_pairs
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("c", 0, "user", "hi", None, t0),
+            ("c", 1, "assistant", "hello", None, t0 + dt.timedelta(seconds=1)),
+            ("c", 2, "user", None, None, t0 + dt.timedelta(seconds=2)),
+            ("c", 3, "assistant", "sure", None, t0 + dt.timedelta(seconds=3)),
+            ("d", 0, "assistant", "cold open", None, t0),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["n_context"], r["prompt"], r["response"])
+        for r in training_pairs(df, context_turns=2).collect()
+    }
+    assert got[("c", 1)] == (1, "user: hi", "hello")
+    # frame is the last TWO turns, NULL text renders as ''
+    assert got[("c", 3)] == (2, "assistant: hello\nuser: ", "sure")
+    # a response with no context: empty prompt, never NULL
+    assert got[("d", 0)] == (0, "", "cold open")
+    assert ("c", 0) not in got and ("c", 2) not in got  # only assistant turns
