@@ -879,6 +879,31 @@ def _q_top_gaps_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return largest_gaps_auto(_read_events(spark, sf_dir), top_k=3, **_AUTO_KNOBS)
 
 
+def _q_ewma_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user final EWMA (α=0.3) of the centi-quantized value in
+    (ts, event_id) order — the sequential recurrence streamed through
+    one group-carry mapInPandas; pandas' adjust=False recurrence is
+    bit-equal to DuckDB's list_reduce fold (exact oracle, no
+    tolerance). The final value pins the entire recursion."""
+    from pyspark.sql.window import Window
+
+    from smos_spark.operators.smooth import ewma
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").cast("double").alias("vc"),
+    )
+    sm = ewma(ev, alpha=0.3, value_col="vc", key_cols=["conv_id"], tie_cols=["event_id"])
+    w = Window.partitionBy("conv_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        sm.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("conv_id", F.col("ewma").alias("ewma_final"))
+    )
+
+
 def _q_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT-example extraction: one row per assistant turn with the
     preceding 4 turns rendered 'role: text' as the prompt — one
@@ -1535,6 +1560,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_autocorr": _q_stats_autocorr,
         "rolling_quantiles": _q_rolling_quantiles,
         "training_pairs": _q_training_pairs,
+        "ewma_final": _q_ewma_final,
         # -- long-proven (green in CORRECTNESS_r03, positions 1-50) --------
         "rollup_1m": _q_rollup_1m,
         "cascade_1h": _q_cascade_1h,
@@ -2123,6 +2149,20 @@ def oracle_sql() -> dict[str, str]:
           WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
             AND ts <= TIMESTAMP '2024-01-25 00:00:00'
           GROUP BY 1
+        """,
+        "ewma_final": """
+          WITH o AS (
+            SELECT CAST(user_id AS VARCHAR) AS conv_id, ts, event_id,
+                   CAST(round(value * 100) AS BIGINT)::DOUBLE AS vc
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+          ), g AS (
+            SELECT conv_id, list(vc ORDER BY ts, event_id) AS vs
+            FROM o GROUP BY 1
+          )
+          SELECT conv_id,
+                 list_reduce(vs, (acc, x) -> acc * (1.0 - 0.3) + x * 0.3)
+                   AS ewma_final
+          FROM g
         """,
         "training_pairs": _T_CTE
         + """

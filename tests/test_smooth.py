@@ -1,0 +1,66 @@
+"""EWMA: known answers, batch-boundary group carry, guards."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from smos_spark.operators.smooth import ewma
+
+
+def _rows(key, vals):
+    t0 = dt.datetime(2024, 1, 1)
+    return [(key, t0 + dt.timedelta(seconds=i), i, float(v))
+            for i, v in enumerate(vals)]
+
+
+def test_ewma_known_answers(spark):
+    df = spark.createDataFrame(
+        _rows("a", [10, 20, 30]) + _rows("b", [5]) + [("c", None, 0, 1.0),
+                                                      ("d", dt.datetime(2024, 1, 1), 0, None)],
+        "conv_id string, ts timestamp, event_id long, value double",
+    )
+    got = {
+        (r["conv_id"], r["event_id"]): r["ewma"]
+        for r in ewma(df, 0.5, key_cols=["conv_id"], tie_cols=["event_id"]).collect()
+    }
+    assert got[("a", 0)] == 10.0
+    assert got[("a", 1)] == 15.0          # 0.5*10 + 0.5*20
+    assert got[("a", 2)] == 22.5          # 0.5*15 + 0.5*30
+    assert got[("b", 0)] == 5.0
+    # NULL ts / NULL value rows are excluded
+    assert ("c", 0) not in got and ("d", 0) not in got
+    with pytest.raises(ValueError):
+        ewma(df, 0.0)
+
+
+def test_ewma_group_carry_across_arrow_batches(spark):
+    """A key whose rows straddle Arrow batch boundaries must produce
+    the same recursion as a single-batch run: force 7-row batches over
+    100-row groups and compare against pandas directly."""
+    import pandas as pd
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        df = spark.createDataFrame(
+            _rows("k1", range(100)) + _rows("k2", range(50, 150)),
+            "conv_id string, ts timestamp, event_id long, value double",
+        ).repartition(1)
+        out = (
+            ewma(df, 0.3, key_cols=["conv_id"], tie_cols=["event_id"],
+                 num_partitions=1)
+            .orderBy("conv_id", "event_id")
+            .toPandas()
+        )
+        pdf = df.orderBy("conv_id", "event_id").toPandas()
+        exp = (
+            pdf.groupby("conv_id", sort=True)["value"]
+            .apply(lambda s: s.ewm(alpha=0.3, adjust=False).mean())
+            .reset_index(drop=True)
+        )
+        assert (out["ewma"].to_numpy() == exp.to_numpy()).all()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
