@@ -1512,6 +1512,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   4. new round-4 queries,
     #   5. long-proven rows (green in r3) fill the tail.
     # Rotate per round until every query has a green driver row on record.
+    #
+    # ROUND-5 ROTATION NOTE: CORRECTNESS_r04 will cover the current
+    # positions 1-50 (the 2 r3-fixed rows, the 20 never-checked, the 12
+    # r2-green, the 10 new round-4 rows, and 6 long-proven). Next round,
+    # move the tail rows from `incremental_1d` onward (r3-green but not
+    # r4-checked) into the window and push this round's freshly-checked
+    # rows to the tail; every row then has a green driver record within
+    # the last two rounds.
     return {
         # -- fixed this round (r3 hash-FAIL, oracle cast slip) ------------
         "rolling_10m": _q_rolling_10m,
