@@ -113,14 +113,13 @@ def _dispatch(
     hot_threshold: int,
     sample_fraction: float,
     seed: int,
-    heat_df: DataFrame | None = None,
 ) -> DataFrame:
     """Shared routing: sample → plain / split-union / twin-wholesale.
-    ``heat_df`` overrides the frame the heat sample runs on (the as-of
-    join's window partitions hold LEFT∪RIGHT rows, so its heat must be
-    measured on the union, not either side)."""
+    (asof_join_auto routes inline instead: its heat sample runs on
+    LEFT∪RIGHT and the hot filter must apply to BOTH frames, which
+    this single-frame helper cannot express.)"""
     hot = detect_hot_keys(
-        heat_df if heat_df is not None else df,
+        df,
         key_cols,
         hot_threshold,
         sample_fraction,

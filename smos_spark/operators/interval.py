@@ -132,17 +132,24 @@ def interval_join(
         return matched
     # left: a point is unmatched only if NO interval matched — union
     # the anti-join remainder (incl. NULL-ts points, which never enter
-    # the bucketed join) with NULL interval columns
-    unmatched = (
-        points.join(matched.select(*[F.col(c) for c in points.columns]).distinct(),
-                    points.columns, "left_anti")
-        .select(
-            *points.columns,
-            *[
-                F.lit(None).cast(intervals.schema[c].dataType).alias(c)
-                for c in intervals.columns
-                if c not in keys
-            ],
-        )
+    # the bucketed join) with NULL interval columns. The anti-join
+    # must be NULL-SAFE on every point column: with plain equality a
+    # matched row carrying a NULL attribute never equals its own image
+    # in `matched` and would be re-emitted as unmatched. `matched` is
+    # persisted briefly so the bucketed join runs ONCE, not once per
+    # union branch (bounded lifetime via the package cache ring).
+    from smos_spark.operators.dedup import _release_later
+
+    matched = matched.persist()
+    _release_later(matched)
+    seen = matched.select(*[F.col(c) for c in points.columns]).distinct()
+    anti = [points[c].eqNullSafe(seen[c]) for c in points.columns]
+    unmatched = points.join(seen, anti, "left_anti").select(
+        *points.columns,
+        *[
+            F.lit(None).cast(intervals.schema[c].dataType).alias(c)
+            for c in intervals.columns
+            if c not in keys
+        ],
     )
     return matched.unionByName(unmatched)

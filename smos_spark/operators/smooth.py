@@ -88,12 +88,18 @@ def ewma(
                 pdf = pd.concat([carry, pdf], ignore_index=True)
             if not len(pdf):
                 continue
-            gk = pdf[keys[0]].to_numpy()
-            change = gk[1:] != gk[:-1]
-            for k in keys[1:]:
-                a = pdf[k].to_numpy()
-                change = change | (a[1:] != a[:-1])
-            starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+            # NULL-safe boundary detection: Arrow maps a nullable
+            # numeric key to float64 NaN, and NaN != NaN would split a
+            # NULL-keyed series at every row (and silently restart the
+            # recursion at a batch boundary) — treat both-missing as
+            # equal, matching groupby(dropna=False)
+            change = None
+            for k in keys:
+                col = pdf[k]
+                neq = (col != col.shift()) & ~(col.isna() & col.shift().isna())
+                change = neq if change is None else (change | neq)
+            starts = np.flatnonzero(change.to_numpy())
+            starts = np.concatenate(([0], starts[starts > 0]))
             # the last group may continue into the next Arrow batch
             carry = pdf.iloc[starts[-1] :]
             if len(starts) == 1:

@@ -85,19 +85,22 @@ def mirror_ingest(
         # the newest landing day may still be receiving files
         skipped.append(days.pop())
     ov = store.load_overview()
-    # two watermarks gate re-planning: the store's last_day (data
-    # watermark) AND the max landing DAY already processed (persisted
-    # in overview.extra). The second one matters when a landing day's
-    # rows all fall at/before last_day: the batch quarantines
-    # everything (n_in=0) so last_day never advances, and without the
-    # landing watermark every later run would re-plan the same day and
-    # append duplicate rows to _quarantine.
-    landing_mark = str((ov.extra or {}).get("mirror_last_landing_day") or "")
-    cut = max(str(ov.last_day)[:10] if ov.last_day is not None else "", landing_mark)
-    if cut:
-        already = [d for d in days if d <= cut]
-        skipped.extend(already)
-        days = [d for d in days if d > cut]
+    # two gates stop re-planning: the store's last_day (data
+    # watermark — a day at/before it is already mirrored), and the
+    # explicit STALE-DAY list persisted in overview.extra. A stale day
+    # is one whose ingest produced 0 on-time rows (everything
+    # quarantined, so last_day never advanced); without the list every
+    # later run would re-plan it and append duplicate rows to
+    # _quarantine. A bare max-day watermark would be wrong here: a day
+    # directory can appear OUT OF ORDER (eventually-consistent
+    # listings), and blanket-skipping everything below the max
+    # processed day would silently drop its rows — the stale list
+    # skips exactly the days known to contribute nothing.
+    last = str(ov.last_day)[:10] if ov.last_day is not None else ""
+    stale = set((ov.extra or {}).get("mirror_stale_days") or [])
+    gated = [d for d in days if (last and d <= last) or d in stale]
+    skipped.extend(gated)
+    days = [d for d in days if d not in set(gated)]
 
     results = []
     ingested: list[str] = []
@@ -112,18 +115,25 @@ def mirror_ingest(
         if not r.get("skipped"):
             ingested.extend(batch_days)
         next_batch += 1
-        # advance the landing watermark per batch (crash mid-sync keeps
-        # the completed prefix; ingest_batch just saved overview, so
-        # reload before mutating to not clobber its commit)
-        ov = store.load_overview()
-        ov.extra = {
-            **(ov.extra or {}),
-            "mirror_last_landing_day": max(
-                max(batch_days),
-                str((ov.extra or {}).get("mirror_last_landing_day") or ""),
-            ),
-        }
-        store.save_overview(ov)
+        if not r.get("skipped") and r.get("rows_in") == 0:
+            # all-late batch: record its days as stale so they are not
+            # re-planned forever (crash mid-sync keeps the completed
+            # prefix; ingest_batch just saved overview, so reload
+            # before mutating to not clobber its commit). The list
+            # stays bounded: only pathological all-late days enter it,
+            # and entries at/before last_day are pruned (the data
+            # watermark already gates them).
+            ov = store.load_overview()
+            cur_last = str(ov.last_day)[:10] if ov.last_day is not None else ""
+            cur = set((ov.extra or {}).get("mirror_stale_days") or [])
+            cur.update(batch_days)
+            ov.extra = {
+                **(ov.extra or {}),
+                "mirror_stale_days": sorted(
+                    d for d in cur if not (cur_last and d <= cur_last)
+                ),
+            }
+            store.save_overview(ov)
     return {
         "ingested": ingested,
         "skipped": sorted(skipped),

@@ -137,3 +137,20 @@ def test_column_collision_raises(spark, frames):
     points, intervals = frames
     with pytest.raises(ValueError, match="collide"):
         interval_join(points, intervals.withColumnRenamed("ivl", "lbl"), width_sec=8.0)
+
+
+def test_left_null_attribute_point_not_duplicated(spark, frames):
+    """A matched point carrying a NULL attribute must appear ONCE in
+    how='left' output — the unmatched anti-join is null-safe (plain
+    equality would never match the row against its own matched image
+    and re-emit it as unmatched)."""
+    _, intervals = frames
+    points = spark.createDataFrame(
+        [("a", _ts(15.0), None), ("a", _ts(5.0), None)],
+        "conv_id string, ts timestamp, lbl string",
+    )
+    out = interval_join(points, intervals, width_sec=8.0, how="left").collect()
+    t15 = [r for r in out if r["ts"] == _ts(15.0)]
+    t5 = [r for r in out if r["ts"] == _ts(5.0)]
+    assert sorted(r["ivl"] for r in t15) == ["I1", "I2"]  # matched only
+    assert len(t5) == 1 and t5[0]["ivl"] is None          # unmatched once

@@ -144,3 +144,40 @@ def test_mirror_all_late_day_not_replanned(spark, landing, tmp_path):
     r2 = mirror_ingest(spark, store, land2, run_id="m3", include_last_day=True)
     assert r2["batches"] == 0 and fake_day in r2["skipped"]
     assert spark.read.parquet(str(qdir)).count() == n_q
+
+
+def test_mirror_out_of_order_day_still_ingested(spark, landing, tmp_path):
+    """An eventually-consistent listing can surface an OLDER day dir
+    after a newer all-late day was processed; the stale-day gate must
+    not blanket-skip it (a bare max-day watermark would silently drop
+    its rows)."""
+    root, df, days = landing
+    import shutil
+
+    land = tmp_path / "landing_ooo"
+    land.mkdir()
+    # mirror only days[0..1]; days[2] will "appear" later
+    for d in days[:2]:
+        shutil.copytree(root / f"day={d}", land / f"day={d}")
+    store = TranscriptStore(tmp_path / "ooo", n_buckets=4)
+    mirror_ingest(spark, store, land, run_id="m1", include_last_day=True)
+    last_day = str(store.load_overview().last_day)[:10]
+
+    # an all-late day dated AFTER days[2] processes first (rows are
+    # old -> n_in=0 -> recorded stale, last_day unchanged)
+    stale_day = (dt.date.fromisoformat(days[-1]) + dt.timedelta(days=2)).isoformat()
+    df.where(F.to_date("ts") == days[0]).write.mode("overwrite").parquet(
+        str(land / f"day={stale_day}")
+    )
+    r1 = mirror_ingest(spark, store, land, run_id="m2", include_last_day=True)
+    assert r1["results"][0]["rows_in"] == 0
+    assert stale_day in (store.load_overview().extra or {}).get(
+        "mirror_stale_days", []
+    )
+
+    # NOW days[2] appears — it is newer than last_day and must ingest
+    shutil.copytree(root / f"day={days[2]}", land / f"day={days[2]}")
+    r2 = mirror_ingest(spark, store, land, run_id="m3", include_last_day=True)
+    assert days[2] in r2["ingested"], r2
+    assert stale_day in r2["skipped"]
+    assert last_day < str(store.load_overview().last_day)[:10]

@@ -64,3 +64,41 @@ def test_ewma_group_carry_across_arrow_batches(spark):
         assert (out["ewma"].to_numpy() == exp.to_numpy()).all()
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_ewma_null_numeric_key_single_group(spark):
+    """A nullable NUMERIC key arrives in pandas as float64 NaN; the
+    boundary detection must treat the NULL-keyed series as ONE group
+    (NaN != NaN would split it at every row and restart the recursion
+    at Arrow batch boundaries)."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        rows = [(None, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), i, 10.0)
+                for i in range(20)]
+        df = spark.createDataFrame(
+            rows + [(7, dt.datetime(2024, 1, 1), 0, 4.0)],
+            "user_id int, ts timestamp, event_id long, value double",
+        ).repartition(1)
+        out = ewma(df, 0.5, key_cols=["user_id"], tie_cols=["event_id"],
+                   num_partitions=1).collect()
+        nulls = sorted((r["event_id"], r["ewma"]) for r in out if r["user_id"] is None)
+        # constant series: EWMA stays 10.0 only if the recursion never
+        # restarts mid-series (it would anyway for a constant — so use
+        # the count and a varying check below)
+        assert len(nulls) == 20
+        # varying NULL-key series across batch boundaries
+        rows2 = [(None, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), i,
+                  float(i)) for i in range(12)]
+        df2 = spark.createDataFrame(
+            rows2, "user_id int, ts timestamp, event_id long, value double"
+        ).repartition(1)
+        got = {r["event_id"]: r["ewma"] for r in
+               ewma(df2, 0.5, key_cols=["user_id"], tie_cols=["event_id"],
+                    num_partitions=1).collect()}
+        exp = 0.0
+        for i in range(12):
+            exp = exp * 0.5 + i * 0.5 if i else 0.0
+            assert got[i] == exp, (i, got[i], exp)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)

@@ -792,3 +792,12 @@ def test_duplicate_span_ratio_null_ids_excluded(spark):
     got = duplicate_span_ratio(df, n=3).collect()
     assert [r["doc_id"] for r in got] == [1]
     assert got[0]["n_dup"] == 0
+
+
+def test_ngram_threshold_zero_raises(spark, docs):
+    """threshold<=0 would require gram-disjoint pairs (a cross join,
+    outside the prefix-filter theorem) — refused."""
+    from smos_spark.operators.dedup import ngram_jaccard_pairs
+
+    with pytest.raises(ValueError, match="threshold"):
+        ngram_jaccard_pairs(docs, threshold=0.0, block_col="lang")
