@@ -1504,78 +1504,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver checks only the FIRST 50 entries each
-    # round (CORRECTNESS_r0N keys == positions 1-50).  Entries are therefore
-    # ranked by driver-signal debt, not by theme:
-    #   1. rows that failed (or were fixed) last round,
-    #   2. rows never driver-checked in any round,
-    #   3. rows last checked before the most recent round,
-    #   4. new round-4 queries,
-    #   5. long-proven rows (green in r3) fill the tail.
-    # Rotate per round until every query has a green driver row on record.
-    #
-    # ROUND-5 ROTATION NOTE: CORRECTNESS_r04 will cover the current
-    # positions 1-50 (the 2 r3-fixed rows, the 20 never-checked, the 12
-    # r2-green, the 10 new round-4 rows, and 6 long-proven). Next round,
-    # move the tail rows from `incremental_1d` onward (r3-green but not
-    # r4-checked) into the window and push this round's freshly-checked
-    # rows to the tail; every row then has a green driver record within
-    # the last two rounds.
+    # round (CORRECTNESS_r0N keys == positions 1-50).  Entries are ranked by
+    # driver-signal debt, freshest-evidence-last:
+    #   1. the 42 rows whose latest green driver row is CORRECTNESS_r03
+    #      (green there, unchanged since, re-verified locally — but the
+    #      round-5 window re-certifies them so every row has a green
+    #      driver record within the last two rounds),
+    #   2. new round-5 queries (slots 43-50),
+    #   3. the 50 rows freshly checked green in CORRECTNESS_r04 fill the
+    #      tail — their driver evidence is one round old, the newest.
     return {
-        # -- fixed this round (r3 hash-FAIL, oracle cast slip) ------------
-        "rolling_10m": _q_rolling_10m,
-        "burst_events": _q_burst_events,
-        # -- never driver-checked (r3 positions 51+) ----------------------
-        "events_cms_weekly": _q_events_cms_weekly,
-        "doc_normalize": _q_doc_normalize,
-        "turn_dedup_consecutive": _q_turn_dedup_consecutive,
-        "conv_features": _q_conv_features,
-        "doc_hash_split": _q_doc_hash_split,
-        "doc_stratified_sample": _q_doc_stratified_sample,
-        "doc_topk_per_lang": _q_doc_topk_per_lang,
-        "doc_pack_shards": _q_doc_pack_shards,
-        "doc_bloom_decontaminate": _q_doc_bloom_decontaminate,
-        "events_kmv_daily": _q_events_kmv_daily,
-        "events_kmv_weekly": _q_events_kmv_weekly,
-        "events_bottomk_weekly": _q_events_bottomk_weekly,
-        "doc_token_budget": _q_doc_token_budget,
-        "emb_quantized_topk": _q_emb_quantized_topk,
-        "stats_pearson": _q_stats_pearson,
-        "stats_histogram": _q_stats_histogram,
-        "stats_hourly_profile": _q_stats_hourly_profile,
-        "doc_distinctive_terms": _q_doc_distinctive_terms,
-        "doc_dedup_full": _q_doc_dedup_full,
-        # -- green in r2 but outside the r3 window ------------------------
-        "conv_len_percentiles": _q_conv_len_percentiles,
-        "doc_minhash": _q_doc_minhash,
-        "doc_minhash_pairs": _q_doc_minhash_pairs,
-        "doc_simhash_pairs": _q_doc_simhash_pairs,
-        "doc_ngram_pairs": _q_doc_ngram_pairs,
-        "doc_dedup_near": _q_doc_dedup_near,
-        "emb_near_dup": _q_emb_near_dup,
-        "emb_cosine_topk": _q_emb_cosine_topk,
-        "emb_ivf_topk": _q_emb_ivf_topk,
-        "emb_ivf_auto": _q_emb_ivf_auto,
-        "emb_lsh_topk": _q_emb_lsh_topk,
-        "emb_ann_index_topk": _q_emb_ann_index_topk,
-        "multimodal_features": _q_multimodal_features,
-        # -- new round-4 queries (slots 35-50) -----------------------------
-        "range_minmax_chimp": _q_range_minmax_chimp,
-        "rolling_10m_auto": _q_rolling_10m_auto,
-        "counter_rate_1h_auto": _q_counter_rate_1h_auto,
-        "top_gaps_auto": _q_top_gaps_auto,
-        "event_funnel_auto": _q_event_funnel_auto,
-        "interval_attribution": _q_interval_attribution,
-        "stats_autocorr": _q_stats_autocorr,
-        "rolling_quantiles": _q_rolling_quantiles,
-        "training_pairs": _q_training_pairs,
-        "ewma_final": _q_ewma_final,
-        # -- long-proven (green in CORRECTNESS_r03, positions 1-50) --------
-        "rollup_1m": _q_rollup_1m,
-        "cascade_1h": _q_cascade_1h,
-        "cascade_1d": _q_cascade_1d,
-        "salted_1h": _q_salted_1h,
-        "derived_1h": _q_derived_1h,
-        "gap_fill_1h": _q_gap_fill_1h,
+        # -- r3-green rows rotated into the round-5 window (slots 1-42) ----
         "forward_fill_1h": _q_forward_fill_1h,
         "gap_fill_linear": _q_gap_fill_linear,
         "gapfill_dropna_roundtrip": _q_gapfill_dropna_roundtrip,
@@ -1618,6 +1557,59 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_transitions": _q_role_transitions,
         "emb_knn_graph": _q_emb_knn_graph,
         "emb_centroid_outliers": _q_emb_centroid_outliers,
+        # -- new round-5 queries (slots 43-50) -----------------------------
+        # (inserted here as round-5 operators land)
+        # -- freshly checked green in CORRECTNESS_r04 (tail) ----------------
+        "rolling_10m": _q_rolling_10m,
+        "burst_events": _q_burst_events,
+        "events_cms_weekly": _q_events_cms_weekly,
+        "doc_normalize": _q_doc_normalize,
+        "turn_dedup_consecutive": _q_turn_dedup_consecutive,
+        "conv_features": _q_conv_features,
+        "doc_hash_split": _q_doc_hash_split,
+        "doc_stratified_sample": _q_doc_stratified_sample,
+        "doc_topk_per_lang": _q_doc_topk_per_lang,
+        "doc_pack_shards": _q_doc_pack_shards,
+        "doc_bloom_decontaminate": _q_doc_bloom_decontaminate,
+        "events_kmv_daily": _q_events_kmv_daily,
+        "events_kmv_weekly": _q_events_kmv_weekly,
+        "events_bottomk_weekly": _q_events_bottomk_weekly,
+        "doc_token_budget": _q_doc_token_budget,
+        "emb_quantized_topk": _q_emb_quantized_topk,
+        "stats_pearson": _q_stats_pearson,
+        "stats_histogram": _q_stats_histogram,
+        "stats_hourly_profile": _q_stats_hourly_profile,
+        "doc_distinctive_terms": _q_doc_distinctive_terms,
+        "doc_dedup_full": _q_doc_dedup_full,
+        "conv_len_percentiles": _q_conv_len_percentiles,
+        "doc_minhash": _q_doc_minhash,
+        "doc_minhash_pairs": _q_doc_minhash_pairs,
+        "doc_simhash_pairs": _q_doc_simhash_pairs,
+        "doc_ngram_pairs": _q_doc_ngram_pairs,
+        "doc_dedup_near": _q_doc_dedup_near,
+        "emb_near_dup": _q_emb_near_dup,
+        "emb_cosine_topk": _q_emb_cosine_topk,
+        "emb_ivf_topk": _q_emb_ivf_topk,
+        "emb_ivf_auto": _q_emb_ivf_auto,
+        "emb_lsh_topk": _q_emb_lsh_topk,
+        "emb_ann_index_topk": _q_emb_ann_index_topk,
+        "multimodal_features": _q_multimodal_features,
+        "range_minmax_chimp": _q_range_minmax_chimp,
+        "rolling_10m_auto": _q_rolling_10m_auto,
+        "counter_rate_1h_auto": _q_counter_rate_1h_auto,
+        "top_gaps_auto": _q_top_gaps_auto,
+        "event_funnel_auto": _q_event_funnel_auto,
+        "interval_attribution": _q_interval_attribution,
+        "stats_autocorr": _q_stats_autocorr,
+        "rolling_quantiles": _q_rolling_quantiles,
+        "training_pairs": _q_training_pairs,
+        "ewma_final": _q_ewma_final,
+        "rollup_1m": _q_rollup_1m,
+        "cascade_1h": _q_cascade_1h,
+        "cascade_1d": _q_cascade_1d,
+        "salted_1h": _q_salted_1h,
+        "derived_1h": _q_derived_1h,
+        "gap_fill_1h": _q_gap_fill_1h,
     }
 
 
