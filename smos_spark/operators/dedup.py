@@ -419,28 +419,44 @@ def ngram_jaccard_pairs(
 
 
 # -------------------------------------------------------------- simhash
+def simhash_votes_batch(arrs: list, out: np.ndarray) -> None:
+    """Segmented SimHash vote for one Arrow batch, no per-row Python:
+    flatten every row's token hashes into one (Σn,) array, build the
+    (Σn × 64) bit matrix once, and collapse it to per-row bit sums with
+    a single ``np.add.reduceat`` over the row boundaries. Writes int64
+    signatures (two's-complement view of the uint64 bit pack) into
+    ``out`` at the rows with ≥1 hash; empty/None rows stay 0."""
+    shifts = np.arange(64, dtype=np.uint64)
+    lengths = np.fromiter(
+        (0 if a is None else len(a) for a in arrs), dtype=np.int64, count=len(arrs)
+    )
+    nz = np.flatnonzero(lengths)
+    if not nz.size:
+        return
+    flat = np.concatenate([np.asarray(arrs[i], dtype=np.int64) for i in nz]).view(
+        np.uint64
+    )
+    bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64)  # (Σn, 64)
+    seg_lens = lengths[nz]
+    boundaries = np.concatenate(([0], np.cumsum(seg_lens)[:-1]))
+    sums = np.add.reduceat(bits, boundaries, axis=0)  # (k, 64)
+    votes = 2 * sums - seg_lens[:, None]
+    sig = ((votes > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+    out[nz] = sig.view(np.int64)
+
+
 def _simhash_from_hashes_udf():
     """Arrow-batched SimHash kernel: array<long> token hashes → long
-    signature. Per row, the (n_tokens × 64) bit matrix collapses with
-    one vectorized sum — vs 64 interpreted aggregate() folds per doc
-    in the expression path."""
+    signature. The whole batch collapses through one segmented
+    reduceat vote (simhash_votes_batch) — no per-row Python loop, vs
+    64 interpreted aggregate() folds per doc in the expression path."""
     from pyspark.sql.functions import pandas_udf
-
-    shifts = np.arange(64, dtype=np.uint64)
 
     @pandas_udf("long")
     def _sh(hashes: pd.Series) -> pd.Series:
         out = np.zeros(len(hashes), dtype=np.int64)
-        for i, h in enumerate(hashes):
-            if h is None or not len(h):
-                continue
-            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
-            bits = (hv[:, None] >> shifts) & np.uint64(1)  # (n, 64)
-            votes = 2 * bits.astype(np.int64).sum(axis=0) - len(hv)
-            sig = np.uint64(0)
-            for j in np.flatnonzero(votes > 0):
-                sig |= np.uint64(1) << np.uint64(j)
-            out[i] = sig.astype(np.int64) if sig < (1 << 63) else np.int64(sig - (1 << 64))
+        if len(hashes):
+            simhash_votes_batch(list(hashes), out)
         return pd.Series(out)
 
     return _sh

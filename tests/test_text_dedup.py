@@ -801,3 +801,39 @@ def test_ngram_threshold_zero_raises(spark, docs):
 
     with pytest.raises(ValueError, match="threshold"):
         ngram_jaccard_pairs(docs, threshold=0.0, block_col="lang")
+
+
+def test_simhash_batch_vote_matches_per_row_reference():
+    """simhash_votes_batch (segmented reduceat over the whole Arrow
+    batch) must produce bit-identical signatures to the obvious
+    per-row vote loop, across ragged/None/empty/single-token rows and
+    hashes with the sign bit set (two's-complement view round-trip)."""
+    from smos_spark.operators.dedup import simhash_votes_batch
+
+    rng = np.random.default_rng(11)
+    arrs = []
+    for n in [0, 1, 2, 7, 64, 1, 0, 3, 129, 5]:
+        if n == 0:
+            arrs.append(None if len(arrs) % 2 else [])
+        else:
+            arrs.append(
+                rng.integers(-(2**63), 2**63, size=n, dtype=np.int64).tolist()
+            )
+    got = np.zeros(len(arrs), dtype=np.int64)
+    simhash_votes_batch(arrs, got)
+
+    shifts = np.arange(64, dtype=np.uint64)
+    exp = np.zeros(len(arrs), dtype=np.int64)
+    for i, h in enumerate(arrs):
+        if h is None or not len(h):
+            continue
+        hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+        bits = ((hv[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        votes = 2 * bits.sum(axis=0) - len(hv)
+        sig = np.uint64(0)
+        for j in np.flatnonzero(votes > 0):
+            sig |= np.uint64(1) << np.uint64(j)
+        exp[i] = np.int64(sig.astype(np.int64)) if sig < (1 << 63) else np.int64(
+            int(sig) - (1 << 64)
+        )
+    np.testing.assert_array_equal(got, exp)
