@@ -1220,16 +1220,17 @@ def _q_emb_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column plumbing: deterministic synth blobs →
-    mapInPandas feature extraction. The decoder is an honestly-marked
-    environment stub, but it is DETERMINISTIC and byte-driven, so the
-    whole path (portable-hash synth → binary column → Arrow batch →
-    kernel → float32 features) has an exact DuckDB twin; four feature
-    dims are emitted as ppm floors to pin the kernel's values."""
+    """Binary media column plumbing, legacy strict=False mode: synth
+    blobs are opaque (no container magic) so the DETERMINISTIC
+    byte-driven fallback kernel runs — the whole path (portable-hash
+    synth → binary column → Arrow batch → kernel → float32 features)
+    has an exact DuckDB twin; four feature dims are emitted as ppm
+    floors to pin the kernel's values. Real decoding from actual
+    container bytes is the separate `multimodal_decode` row."""
     from smos_spark.operators.multimodal import extract_features, synth_media
 
     media = synth_media(spark, n=64)
-    feats = extract_features(media, dim=16)
+    feats = extract_features(media, dim=16, strict=False)
     ppm = [
         F.floor(F.element_at("feat", j + 1).cast("double") * 1e6)
         .cast("long")
@@ -1240,6 +1241,19 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes"),
         "decode_ok", *ppm,
     )
+
+
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode from actual bytes: synth WAV (PCM16, junk
+    chunk forces chunk-walking) and BMP (odd row strides) containers,
+    parsed by the pure-numpy decoders; exact int64 signal stats. The
+    oracle regenerates the signal from the same generative formulas
+    with generate_series — a hash match proves encode→bytes→decode is
+    the identity on the signal AND the header math (n_bytes, dims,
+    rate) is byte-accurate."""
+    from smos_spark.operators.multimodal import decode_features, synth_media_bytes
+
+    return decode_features(synth_media_bytes(spark, n=64))
 
 
 # ---------------------------------------------------------------------------
@@ -1558,7 +1572,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_graph": _q_emb_knn_graph,
         "emb_centroid_outliers": _q_emb_centroid_outliers,
         # -- new round-5 queries (slots 43-50) -----------------------------
-        # (inserted here as round-5 operators land)
+        "multimodal_decode": _q_multimodal_decode,
         # -- freshly checked green in CORRECTNESS_r04 (tail) ----------------
         "rolling_10m": _q_rolling_10m,
         "burst_events": _q_burst_events,
@@ -3111,6 +3125,51 @@ def oracle_sql() -> dict[str, str]:
                  max(CASE WHEN j = 10 THEN ppm END) AS f10_ppm,
                  max(CASE WHEN j = 15 THEN ppm END) AS f15_ppm
           FROM feats GROUP BY 1, 2, 3
+        """,
+        "multimodal_decode": """
+          WITH ids AS (SELECT r.range AS media_id FROM range(64) r),
+          audio AS (
+            SELECT media_id, media_id % 97 + 3 AS a, media_id % 251 AS b,
+                   256 + (media_id * 37) % 512 AS n_samples,
+                   8000 + (media_id % 5) * 2000 AS rate,
+                   10 + (media_id % 4) * 2 AS junk_len
+            FROM ids WHERE media_id % 2 = 0),
+          audio_vals AS (
+            SELECT a.media_id, ((a.a * i.range + a.b) % 65536 - 32768) AS v
+            FROM audio a, range(768) i WHERE i.range < a.n_samples),
+          audio_feats AS (
+            SELECT av.media_id, 'audio' AS kind, 'wav' AS fmt,
+                   CAST(52 + a.junk_len + 2 * a.n_samples AS BIGINT) AS n_bytes,
+                   CAST(-1 AS BIGINT) AS width, CAST(-1 AS BIGINT) AS height,
+                   CAST(a.rate AS BIGINT) AS sample_rate,
+                   CAST(a.n_samples AS BIGINT) AS n_units,
+                   CAST(sum(v) AS BIGINT) AS sum_val,
+                   CAST(sum(v * v) AS BIGINT) AS sum_sq,
+                   CAST(min(v) AS BIGINT) AS vmin,
+                   CAST(max(v) AS BIGINT) AS vmax, true AS decode_ok
+            FROM audio_vals av JOIN audio a USING (media_id)
+            GROUP BY av.media_id, a.junk_len, a.n_samples, a.rate),
+          image AS (
+            SELECT media_id, 5 + media_id % 12 AS w, 3 + media_id % 7 AS h
+            FROM ids WHERE media_id % 2 = 1),
+          image_vals AS (
+            SELECT im.media_id,
+                   ((im.media_id + 7 * y.range + 13 * x.range + 101 * c.range) % 256) AS v
+            FROM image im, range(9) y, range(16) x, range(3) c
+            WHERE y.range < im.h AND x.range < im.w),
+          image_feats AS (
+            SELECT iv.media_id, 'image' AS kind, 'bmp' AS fmt,
+                   CAST(54 + im.h * ((3 * im.w + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+                   CAST(im.w AS BIGINT) AS width, CAST(im.h AS BIGINT) AS height,
+                   CAST(-1 AS BIGINT) AS sample_rate,
+                   CAST(im.w * im.h AS BIGINT) AS n_units,
+                   CAST(sum(v) AS BIGINT) AS sum_val,
+                   CAST(sum(v * v) AS BIGINT) AS sum_sq,
+                   CAST(min(v) AS BIGINT) AS vmin,
+                   CAST(max(v) AS BIGINT) AS vmax, true AS decode_ok
+            FROM image_vals iv JOIN image im USING (media_id)
+            GROUP BY iv.media_id, im.w, im.h)
+          SELECT * FROM audio_feats UNION ALL SELECT * FROM image_feats
         """,
         "emb_cosine_topk": """
           WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
