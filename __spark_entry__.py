@@ -1256,6 +1256,34 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(synth_media_bytes(spark, n=64))
 
 
+def _q_events_quantile_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE state through the correctness gate — the
+    distribution analog of events_cms_weekly: weekly p50/p90/p99 come
+    from MERGING per-day fixed-universe histograms (elementwise integer
+    sums, never rescanning raw rows), while the oracle bins the week
+    DIRECTLY from the events table and reads the identical inverted-CDF
+    rule off the cumulative counts. Exact because bin counters are
+    order/grouping-independent integer sums and the quantile edge is
+    one identically-folded double expression — this closes the tier
+    cascade's percentile gap (sums/counts/min/max reaggregated exactly
+    before; now the full value distribution does too)."""
+    from smos_spark.operators.sketch import hist_build, hist_merge, hist_quantiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    daily = hist_build(
+        ev, value="value", group_cols=["day"], lo=0.0, hi=1024.0, n_bins=1024
+    )
+    weekly = hist_merge(
+        daily.withColumn("week", F.date_trunc("week", "day")).select("week", "hist"),
+        ["week"],
+    )
+    return hist_quantiles(weekly, [0.5, 0.9, 0.99], lo=0.0, hi=1024.0).select(
+        "week", "n_rows", "q50", "q90", "q99"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -1573,6 +1601,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_centroid_outliers": _q_emb_centroid_outliers,
         # -- new round-5 queries (slots 43-50) -----------------------------
         "multimodal_decode": _q_multimodal_decode,
+        "events_quantile_weekly": _q_events_quantile_weekly,
         # -- freshly checked green in CORRECTNESS_r04 (tail) ----------------
         "rolling_10m": _q_rolling_10m,
         "burst_events": _q_burst_events,
@@ -2970,6 +2999,35 @@ def oracle_sql() -> dict[str, str]:
           LEFT JOIN cnt ON cnt.week = w.week AND cnt.d = cp.d
                        AND cnt.pos = cp.pos
           GROUP BY 1, 2
+        """,
+        # the Spark side MERGES per-day fixed-universe histograms
+        # (hist_merge — elementwise integer sums, no raw rescans); the
+        # oracle bins the week DIRECTLY from the raw rows and reads the
+        # same inverted-CDF rule (first bin whose cumulative count
+        # reaches ceil(p·n); value = bin lower edge) off the counts.
+        "events_quantile_weekly": """
+          WITH v AS (
+            SELECT date_trunc('week', ts) AS week,
+                   least(greatest(CAST(floor((value::DOUBLE - 0.0)
+                       * 1024.0 / 1024.0) AS BIGINT), 0), 1023) AS bin
+            FROM events WHERE value IS NOT NULL),
+          c AS (SELECT week, bin, count(*) AS n FROM v GROUP BY 1, 2),
+          cum AS (
+            SELECT week, bin,
+                   sum(n) OVER (PARTITION BY week ORDER BY bin) AS cum,
+                   sum(n) OVER (PARTITION BY week) AS total
+            FROM c)
+          SELECT week, CAST(max(total) AS BIGINT) AS n_rows,
+            0.0 + CAST(min(CASE WHEN cum >= greatest(1,
+                CAST(ceil(0.5 * total::DOUBLE) AS BIGINT))
+              THEN bin END) AS DOUBLE) * 1024.0 / 1024.0 AS q50,
+            0.0 + CAST(min(CASE WHEN cum >= greatest(1,
+                CAST(ceil(0.9 * total::DOUBLE) AS BIGINT))
+              THEN bin END) AS DOUBLE) * 1024.0 / 1024.0 AS q90,
+            0.0 + CAST(min(CASE WHEN cum >= greatest(1,
+                CAST(ceil(0.99 * total::DOUBLE) AS BIGINT))
+              THEN bin END) AS DOUBLE) * 1024.0 / 1024.0 AS q99
+          FROM cum GROUP BY week
         """,
         "doc_bloom_decontaminate": _bloom_decontaminate_sql,
         # int8 symmetric quantization (floor(x/s*127+0.5) — the same

@@ -64,6 +64,9 @@ __all__ = [
     "bottomk_sample",
     "bottomk_merge",
     "bottomk_quantiles",
+    "hist_build",
+    "hist_merge",
+    "hist_quantiles",
 ]
 
 #: md5_hash64 is 15 hex chars -> uniform on [0, 2^60)
@@ -606,3 +609,153 @@ def bottomk_quantiles(
         q = v_lo + frac * (v_hi - v_lo)
         out = out.withColumn(name, F.when(n > 0, q))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fixed-universe histogram quantiles (mergeable)
+
+
+def _hist_bin(value_col: Column, lo: float, hi: float, n_bins: int) -> Column:
+    """Bin index in [0, n_bins): floor((v-lo)*n_bins/(hi-lo)), clamped
+    into the edge bins — the identical expression the SQL oracle folds,
+    so bin assignment is bit-deterministic across engines."""
+    raw = F.floor(
+        (value_col.cast("double") - F.lit(float(lo)))
+        * F.lit(float(n_bins))
+        / F.lit(float(hi - lo))
+    ).cast("long")
+    return F.least(
+        F.greatest(raw, F.lit(0).cast("long")), F.lit(n_bins - 1).cast("long")
+    )
+
+
+def hist_build(
+    df: DataFrame,
+    value: str,
+    group_cols: list[str | Column] | None = None,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Fixed-universe histogram sketch per group: a dense length-n_bins
+    int64 count array over the declared value universe [lo, hi).
+    Out-of-universe values clamp into the edge bins (never dropped —
+    rank statistics stay consistent with the group's true row count);
+    NULL values are excluded (no order statistic).
+
+    This is the QUANTILE state the tier cascade was missing: the bin
+    counters are plain integer sums — order- and grouping-independent —
+    so sketches MERGE EXACTLY (`hist_merge` == the histogram a direct
+    pass over the merged raw rows would build), the same
+    partial-reaggregation contract as `kmv_merge`/`cms_merge` and the
+    rollup tier cascade (operators/rollup.py). Quantiles read off the
+    merged counts (`hist_quantiles`) are therefore identical whether
+    the sketch came from 1m partials rolled to 1d or from one raw
+    scan — with resolution bounded by the bin width, which is a FIXED
+    universe-design choice, not a data-dependent error (unlike KLL's
+    randomized rank error, this form is deterministic end to end —
+    the property that makes an exact DuckDB oracle possible).
+
+    Plan shape: one codegen bin expression per row → groupBy(group,
+    bin) count with map-side combine — at most groups·n_bins fixed-size
+    rows cross the wire however large the input — → one densify
+    aggregation of the same size. Reference analog: the tier rollup's
+    reaggregation-by-parts (SURVEY §2.4 A2), extended from
+    sum/count/min/max moments to the full value distribution."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if n_bins > (1 << 20):
+        raise ValueError(
+            f"n_bins = {n_bins}: beyond 2^20 counters per group the sketch "
+            "no longer fits an array column sensibly — coarsen the universe "
+            "or use the exact aggregation"
+        )
+    if not (hi > lo):
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    group_cols = list(group_cols or [])
+    base = df.where(F.col(value).isNotNull()).select(
+        *group_cols, _hist_bin(F.col(value), lo, hi, n_bins).alias("_pos")
+    )
+    gnames = [c for c in base.columns if c != "_pos"]
+    counts = base.groupBy(*gnames, "_pos").agg(F.count(F.lit(1)).alias("_c"))
+    return _cms_densify(counts, gnames, n_bins).withColumnRenamed("cms", "hist")
+
+
+def hist_merge(
+    sketches: DataFrame, group_cols: list[str], hist_col: str = "hist"
+) -> DataFrame:
+    """Merge finer histograms to coarser groups by elementwise counter
+    addition — EXACT for the same reason `cms_merge` is: integer sums
+    are order- and grouping-independent, so the merged histogram is
+    bit-identical to one built directly from the raw rows (proven by
+    the events_quantile_weekly oracle, which bins the week straight
+    from the events table). Input is already O(groups·n_bins) rows."""
+    return cms_merge(sketches, group_cols, cms_col=hist_col)
+
+
+def hist_quantiles(
+    sketches: DataFrame,
+    probs: list[float],
+    lo: float,
+    hi: float,
+    hist_col: str = "hist",
+    prefix: str = "q",
+    with_n: str | None = "n_rows",
+) -> DataFrame:
+    """Read quantiles off histogram sketches: for each prob p, the
+    LOWER EDGE of the first bin whose cumulative count reaches
+    ceil(p·n) (the inverted-CDF / type-1 rule at histogram
+    resolution; p=0 maps to the first non-empty bin). Deterministic:
+    one cumulative integer sum, one ceil of an exactly-folded double
+    product, one edge expression lo + bin·(hi−lo)/n_bins — the SQL
+    oracle evaluates the identical operations, so results are
+    hash-exact across engines. Universe (lo, hi) MUST match the
+    build's (n_bins is read from the array length).
+
+    Pure codegen over the array column — no shuffle: the cumulative
+    sum is a linear `aggregate` fold and each prob's bin index is
+    `size(filter(cum < target))` (valid because cum is
+    non-decreasing). Adds one double column per prob plus `with_n`
+    (the group's total count — set None to skip); empty groups yield
+    NULL quantiles."""
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    names = []
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"prob {p} outside [0, 1]")
+        pct = f"{p * 100:g}".replace(".", "_").replace("-", "")
+        names.append(f"{prefix}{pct}")
+    if len(set(names)) != len(names):
+        raise ValueError(f"probs produce duplicate column names: {names}")
+    if not (hi > lo):
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    zero = F.struct(
+        F.lit(0).cast("long").alias("s"), F.array().cast("array<long>").alias("a")
+    )
+    cum = F.aggregate(
+        F.col(hist_col),
+        zero,
+        lambda acc, x: F.struct(
+            (acc["s"] + x).alias("s"),
+            F.concat(acc["a"], F.array(acc["s"] + x)).alias("a"),
+        ),
+        lambda acc: acc["a"],
+    )
+    out = sketches.withColumn("_cum", cum)
+    n_bins_col = F.size(hist_col).cast("double")
+    n = F.element_at(F.col("_cum"), -1)
+    if with_n:
+        out = out.withColumn(with_n, n)
+    for p, name in zip(probs, names):
+        target = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.lit(float(p)) * n.cast("double")).cast("long"),
+        )
+        bin0 = F.size(F.filter(F.col("_cum"), lambda c: c < target)).cast("double")
+        q = (
+            F.lit(float(lo))
+            + bin0 * F.lit(float(hi - lo)) / n_bins_col
+        )
+        out = out.withColumn(name, F.when(n > 0, q))
+    return out.drop("_cum")

@@ -292,3 +292,96 @@ def test_bottomk_mapside_limit_in_plan(spark, events):
     assert marker in plan, plan
     pre_exchange = plan.split(marker, 1)[-1]
     assert "WindowGroupLimit" in pre_exchange, plan
+
+
+# ---------------------------------------------------------------------------
+# fixed-universe histogram quantiles
+
+
+def test_hist_merge_is_exact(spark, events):
+    """Merged daily histograms == the histogram built directly from the
+    week's raw rows — counter arrays bit-identical (integer sums are
+    order/grouping independent). This is the quantile-state analog of
+    test_cms_merge_is_exact."""
+    from smos_spark.operators.sketch import hist_build, hist_merge
+
+    daily = hist_build(
+        events, value="value", group_cols=["day"], lo=0.0, hi=1024.0, n_bins=128
+    )
+    merged = hist_merge(
+        daily.withColumn("week", F.date_trunc("week", "day")).select("week", "hist"),
+        ["week"],
+    )
+    direct = hist_build(
+        events.withColumn("week", F.date_trunc("week", "ts")),
+        value="value",
+        group_cols=["week"],
+        lo=0.0,
+        hi=1024.0,
+        n_bins=128,
+    )
+    m = {r["week"]: r["hist"] for r in merged.collect()}
+    d = {r["week"]: r["hist"] for r in direct.collect()}
+    assert m.keys() == d.keys() and len(m) > 1
+    for wk in m:
+        assert m[wk] == d[wk]
+
+
+def test_hist_quantiles_exact_on_integer_universe(spark):
+    """With width-1 bins over an integer universe, the histogram
+    quantile IS the exact type-1 (inverted-CDF) order statistic: the
+    first value whose cumulative count reaches ceil(p*n)."""
+    import math
+
+    from smos_spark.operators.sketch import hist_build, hist_quantiles
+
+    vals = [3, 7, 7, 7, 9, 12, 12, 31, 55, 55, 55, 55, 90]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"]).withColumn(
+        "g", F.lit("a")
+    )
+    sk = hist_build(df, value="v", group_cols=["g"], lo=0.0, hi=128.0, n_bins=128)
+    out = hist_quantiles(sk, [0.0, 0.5, 0.9, 1.0], lo=0.0, hi=128.0).collect()[0]
+    svals = sorted(vals)
+
+    def type1(p):
+        return float(svals[max(1, math.ceil(p * len(svals))) - 1])
+
+    assert out["n_rows"] == len(vals)
+    assert out["q0"] == type1(0.0) == 3.0
+    assert out["q50"] == type1(0.5)
+    assert out["q90"] == type1(0.9)
+    assert out["q100"] == type1(1.0) == 90.0
+
+
+def test_hist_clamps_out_of_universe(spark):
+    """Values outside [lo, hi) land in the edge bins — kept, not
+    dropped, so n and rank positions stay true to the group."""
+    from smos_spark.operators.sketch import hist_build, hist_quantiles
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.5,), (99.5,), (1000.0,)], ["v"]
+    ).withColumn("g", F.lit("a"))
+    sk = hist_build(df, value="v", group_cols=["g"], lo=0.0, hi=100.0, n_bins=100)
+    row = sk.collect()[0]
+    assert sum(row["hist"]) == 4
+    assert row["hist"][0] == 2  # -5.0 clamped down + 0.5
+    assert row["hist"][99] == 2  # 99.5 + 1000.0 clamped up
+    q = hist_quantiles(sk, [1.0], lo=0.0, hi=100.0).collect()[0]
+    assert q["q100"] == 99.0  # top bin lower edge
+
+
+def test_hist_guards(spark, events):
+    from smos_spark.operators.sketch import hist_build, hist_quantiles
+
+    with pytest.raises(ValueError, match="n_bins"):
+        hist_build(events, value="value", lo=0.0, hi=1.0, n_bins=0)
+    with pytest.raises(ValueError, match="2\\^20"):
+        hist_build(events, value="value", lo=0.0, hi=1.0, n_bins=(1 << 20) + 1)
+    with pytest.raises(ValueError, match="hi > lo"):
+        hist_build(events, value="value", lo=1.0, hi=1.0, n_bins=4)
+    sk = hist_build(events, value="value", group_cols=["day"], lo=0.0, hi=8.0,
+                    n_bins=8)
+    with pytest.raises(ValueError, match="outside"):
+        hist_quantiles(sk, [1.5], lo=0.0, hi=8.0)
+    with pytest.raises(ValueError, match="non-empty"):
+        hist_quantiles(sk, [], lo=0.0, hi=8.0)
