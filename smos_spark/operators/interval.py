@@ -35,12 +35,14 @@ interval-length/W. Equi-join means AQE can split skewed buckets.
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import and_
 from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["interval_join"]
+__all__ = ["interval_join", "interval_join_stream"]
 
 
 def interval_join(
@@ -153,3 +155,90 @@ def interval_join(
         ],
     )
     return matched.unionByName(unmatched)
+
+
+def interval_join_stream(
+    points: DataFrame,
+    intervals: DataFrame,
+    max_len_sec: float,
+    on: str | Sequence[str] = "conv_id",
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Structured Streaming twin of ``interval_join(how="inner")``: a
+    stream-stream inner join with WATERMARKED STATE BOUNDS (§2.8
+    parity — the incremental-path contract applied to the range-join
+    algebra).
+
+    Where the batch operator buckets to avoid the nested-loop plan,
+    the streaming engine's symmetric hash join already equi-matches on
+    the key; what it needs instead is a bound on HOW LONG each side's
+    state must be retained. Two declarations provide it:
+
+    * watermarks on both event-time columns (points.ts,
+      intervals.start_ts) bound disorder;
+    * ``max_len_sec`` — the maximum interval length, enforced
+      distributedly with the same raise_error guard as the batch
+      operator — closes the time-range condition
+      ``i.start <= p.ts <= i.start + max_len``, from which Spark
+      derives both sides' state eviction horizons (a point older than
+      watermark+max_len can never match a future interval and is
+      dropped from state; same for intervals).
+
+    Output: all point columns + all non-key interval columns, exactly
+    the batch inner join's schema — streaming output equals the batch
+    operator on the same rows (pinned in
+    test_interval_join_stream_matches_batch). NULL-ts points and
+    NULL-bound intervals cannot match and are dropped, as in batch.
+    """
+    if max_len_sec <= 0:
+        raise ValueError("max_len_sec must be positive")
+    keys = [on] if isinstance(on, str) else list(on)
+    clash = (set(intervals.columns) - set(keys)) & set(points.columns)
+    if clash:
+        raise ValueError(
+            f"interval columns collide with point columns: {sorted(clash)}; "
+            "rename before joining"
+        )
+    max_us = int(round(max_len_sec * 1_000_000))
+    p = points.where(F.col(ts_col).isNotNull()).withWatermark(ts_col, watermark)
+    too_long = (
+        F.unix_micros(F.col(end_col).cast("timestamp"))
+        - F.unix_micros(F.col(start_col).cast("timestamp"))
+    ) > max_us
+    guard = F.when(
+        too_long,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"interval_join_stream: interval longer than "
+                    f"max_len_sec={max_len_sec} (key="
+                ),
+                F.concat_ws(",", *[F.col(k).cast("string") for k in keys]),
+                F.lit(") — state bounds would be violated; widen max_len_sec"),
+            )
+        ),
+    ).otherwise(F.lit(True))
+    iv = (
+        intervals.where(
+            F.col(start_col).isNotNull()
+            & F.col(end_col).isNotNull()
+            & (F.col(end_col) >= F.col(start_col))
+        )
+        .where(guard)
+        .withWatermark(start_col, watermark)
+    )
+    cond = [p[k].eqNullSafe(iv[k]) for k in keys] + [
+        p[ts_col] >= iv[start_col],
+        p[ts_col] <= iv[end_col],
+        # redundant with end<=start+max_len but stated on WATERMARKED
+        # columns so the engine can derive the state eviction bound
+        p[ts_col] <= iv[start_col] + F.expr(f"INTERVAL {max_len_sec} SECONDS"),
+    ]
+    joined = p.join(iv, reduce(and_, cond), "inner")
+    return joined.select(
+        *[p[c] for c in points.columns],
+        *[iv[c] for c in intervals.columns if c not in keys],
+    )

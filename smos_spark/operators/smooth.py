@@ -11,16 +11,28 @@ Python loop per row would be the forbidden slow path.
 Spark-first shape (same transport as `compress_series`,
 operators/compress.py): repartition on the key, sort within
 partitions by (key, ts, ties), and stream Arrow batches through ONE
-mapInPandas with group-carry — a group split across batch boundaries
-is carried forward, so each processed chunk holds complete groups
-and pandas' C-implemented ``groupby().ewm(alpha, adjust=False)``
-computes every group in the chunk vectorized (no per-group Python
-call, no per-row loop).
+mapInPandas. Every batch is emitted IMMEDIATELY — the carry between
+batches is only the last smoothed value + key of the partition tail
+(O(1) state, not rows), and the leading run of the next batch is
+re-seeded from it by prepending the carried value to the pandas
+kernel's input. The seeded continuation is BIT-IDENTICAL to running
+the kernel over the unsplit series (the recurrence step sees the same
+float operands either way; pinned in
+test_ewma_group_carry_across_arrow_batches), so batch boundaries are
+invisible — and a single key spanning arbitrarily many batches costs
+O(rows), never the O(rows·batches) concat of a row-carry design.
 
 Exactness: the pandas recurrence multiplies exactly like DuckDB's
 ``list_reduce(…, (acc, x) -> acc*(1-α) + x*α)`` — verified bit-equal
 on the contract data — so the operator ships an EXACT oracle despite
 being float recursion.
+
+`ewma_stream` is the Structured Streaming twin (§2.8 parity, the
+incremental-path contract of streaming/incremental.py applied to
+smoothing): applyInPandasWithState carries the identical (y, last_ts)
+state per key across micro-batches, so the streaming output equals
+the batch operator row-for-row (pinned in
+test_ewma_stream_matches_batch).
 """
 
 from __future__ import annotations
@@ -32,7 +44,30 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ewma"]
+__all__ = ["ewma", "ewma_stream"]
+
+
+def _seeded_ewma(vals: pd.Series, alpha: float, y0: float | None) -> np.ndarray:
+    """pandas adjust=False EWMA of `vals`, optionally seeded with the
+    previous smoothed value y0: prepend y0, run the SAME kernel, drop
+    the seed row — bit-identical to the kernel over the unsplit
+    series (the recurrence step sees identical operands)."""
+    v = vals.astype("float64")
+    if y0 is None:
+        return v.ewm(alpha=alpha, adjust=False).mean().to_numpy()
+    seeded = pd.concat(
+        [pd.Series([y0], dtype="float64"), v], ignore_index=True
+    )
+    return seeded.ewm(alpha=alpha, adjust=False).mean().iloc[1:].to_numpy()
+
+
+def _same_key(a, b) -> bool:
+    """NULL-safe key-tuple equality: Arrow maps nullable numeric keys
+    to NaN, and NaN != NaN would restart the recursion at every batch
+    boundary of a NULL-keyed series."""
+    return all(
+        (x == y) or (pd.isna(x) and pd.isna(y)) for x, y in zip(a, b)
+    )
 
 
 def ewma(
@@ -52,6 +87,13 @@ def ewma(
     missing sample is undefined and engines disagree on NaN handling;
     gap-fill first if the series needs regularization). Output: the
     selected key/ts/tie/value columns plus ``out_col`` (double).
+
+    Scale shape: rows of one key land in one partition (the recurrence
+    is inherently sequential per key — a single conversation with 10⁹
+    turns would straggle; conversations are bounded objects), but
+    WITHIN the partition state is O(1) per Arrow batch: each batch is
+    smoothed and emitted immediately, carrying only (key, last y)
+    forward — no row buffering, no whole-group materialization.
     """
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -69,43 +111,125 @@ def ewma(
         f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
     ) + f", {out_col} double"
 
-    def _smooth(chunk: pd.DataFrame) -> pd.DataFrame:
-        out = chunk.copy()
-        out[out_col] = (
-            chunk[value_col]
-            .astype("float64")
-            .groupby([chunk[k] for k in keys], sort=False, dropna=False)
-            .ewm(alpha=alpha, adjust=False)
-            .mean()
-            .reset_index(level=list(range(len(keys))), drop=True)
-        )
-        return out
-
     def _stream(batches):
-        carry: pd.DataFrame | None = None
+        carry_key: tuple | None = None
+        carry_y: float | None = None
         for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
             if not len(pdf):
                 continue
-            # NULL-safe boundary detection: Arrow maps a nullable
-            # numeric key to float64 NaN, and NaN != NaN would split a
-            # NULL-keyed series at every row (and silently restart the
-            # recursion at a batch boundary) — treat both-missing as
-            # equal, matching groupby(dropna=False)
-            change = None
-            for k in keys:
-                col = pdf[k]
-                neq = (col != col.shift()) & ~(col.isna() & col.shift().isna())
-                change = neq if change is None else (change | neq)
-            starts = np.flatnonzero(change.to_numpy())
-            starts = np.concatenate(([0], starts[starts > 0]))
-            # the last group may continue into the next Arrow batch
-            carry = pdf.iloc[starts[-1] :]
-            if len(starts) == 1:
-                continue
-            yield _smooth(pdf.iloc[: starts[-1]])
-        if carry is not None and len(carry):
-            yield _smooth(carry)
+            out = pdf.copy()
+            # all groups of the batch in one C-implemented call
+            out[out_col] = (
+                pdf[value_col]
+                .astype("float64")
+                .groupby([pdf[k] for k in keys], sort=False, dropna=False)
+                .ewm(alpha=alpha, adjust=False)
+                .mean()
+                .reset_index(level=list(range(len(keys))), drop=True)
+            )
+            # the leading run may continue the previous batch's tail
+            # group: re-smooth just those rows seeded with the carried
+            # value (input is sorted by keys, so the run is a prefix)
+            if carry_key is not None and _same_key(
+                tuple(pdf.iloc[0][k] for k in keys), carry_key
+            ):
+                change = None
+                for k in keys:
+                    col = pdf[k]
+                    neq = (col != col.shift()) & ~(col.isna() & col.shift().isna())
+                    change = neq if change is None else (change | neq)
+                breaks = np.flatnonzero(change.to_numpy())
+                breaks = breaks[breaks > 0]
+                end = int(breaks[0]) if len(breaks) else len(pdf)
+                out.iloc[:end, out.columns.get_loc(out_col)] = _seeded_ewma(
+                    pdf[value_col].iloc[:end], alpha, carry_y
+                )
+            carry_key = tuple(pdf.iloc[-1][k] for k in keys)
+            carry_y = float(out[out_col].iloc[-1])
+            yield out
 
     return arranged.mapInPandas(_stream, schema=schema)
+
+
+def ewma_stream(
+    stream: DataFrame,
+    alpha: float,
+    value_col: str = "value",
+    key_cols: Sequence[str] = ("conv_id",),
+    ts_col: str = "ts",
+    tie_cols: Sequence[str] = (),
+    out_col: str = "ewma",
+    watermark: str = "1 hour",
+):
+    """Structured Streaming twin of `ewma`: per-key smoothed values
+    maintained across micro-batches via applyInPandasWithState.
+
+    State per key is exactly the batch operator's carry — (last
+    smoothed y, last event-time micros), 16 bytes — so the streaming
+    output is row-for-row IDENTICAL to running `ewma` over the same
+    rows in batch (the seeded continuation is bit-exact; pinned in
+    test_ewma_stream_matches_batch). Emits every input row of the
+    micro-batch with its smoothed value appended (outputMode append).
+
+    Ordering contract (the streaming monotonic guard, mirroring
+    incremental.py's tier append): within a micro-batch rows are
+    sorted by (ts, *ties); a row arriving in a LATER micro-batch with
+    ts earlier than the key's last processed ts cannot re-enter the
+    recurrence (its smoothed predecessor is already emitted) and is
+    DROPPED — bound disorder with the source watermark, which gates
+    how late such rows can be. State is kept for the lifetime of the
+    key (16 bytes/key; idle-key eviction would silently restart the
+    recursion on the next row, breaking the batch-equality contract).
+
+    Rows with NULL ts or NULL value are excluded, as in batch.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keys = list(key_cols)
+    ties = list(tie_cols)
+    src = stream.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(*keys, ts_col, *ties, value_col)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+    ) + f", {out_col} double"
+    state_schema = "y double, last_us long"
+
+    def _fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return iter([])
+        y, last_us = state.get if state.exists else (None, None)
+        outs = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["_ts_us", *ties], kind="mergesort")
+            if last_us is not None:
+                pdf = pdf[pdf["_ts_us"] >= last_us]
+                if not len(pdf):
+                    continue
+            vals = _seeded_ewma(pdf[value_col], alpha, y)
+            out = pdf.drop(columns=["_ts_us"]).copy()
+            out[out_col] = vals
+            y = float(vals[-1])
+            last_us = int(pdf["_ts_us"].iloc[-1])
+            outs.append(out)
+        if last_us is not None:
+            state.update((y, last_us))
+        return iter(outs)
+
+    return (
+        src.withWatermark(ts_col, watermark)
+        .withColumn("_ts_us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

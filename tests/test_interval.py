@@ -154,3 +154,100 @@ def test_left_null_attribute_point_not_duplicated(spark, frames):
     t5 = [r for r in out if r["ts"] == _ts(5.0)]
     assert sorted(r["ivl"] for r in t15) == ["I1", "I2"]  # matched only
     assert len(t5) == 1 and t5[0]["ivl"] is None          # unmatched once
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (watermarked state bounds) must
+    equal the batch bucketed inner join on the same rows — points and
+    intervals each arriving over multiple micro-batches."""
+    import pandas as pd
+
+    from smos_spark.operators.interval import interval_join_stream
+    from smos_spark.operators.sessionize import session_stats
+    from smos_spark.synth import synth_transcripts
+
+    turns = (
+        synth_transcripts(spark, n_conv=25, seed=17)
+        .where(F.col("ts").isNotNull())
+        .cache()
+    )
+    points = turns.select("conv_id", "ts", "turn_idx").cache()
+    intervals = (
+        session_stats(turns, 1800)
+        .select(
+            "conv_id",
+            F.col("session_start").alias("start_ts"),
+            F.col("session_end").alias("end_ts"),
+            "session_id",
+        )
+        .cache()
+    )
+    max_len = (
+        intervals.selectExpr(
+            "max(unix_micros(end_ts) - unix_micros(start_ts)) as m"
+        ).collect()[0]["m"]
+        / 1e6
+        + 1.0
+    )
+
+    psrc, isrc = str(tmp_path / "pts"), str(tmp_path / "ivs")
+    for half in (0, 1):
+        points.where(F.crc32(F.col("conv_id")) % 2 == half).coalesce(1).write.mode(
+            "append"
+        ).parquet(psrc)
+        intervals.where(F.crc32(F.col("conv_id")) % 2 == half).coalesce(
+            1
+        ).write.mode("append").parquet(isrc)
+
+    pstream = (
+        spark.readStream.schema(points.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(psrc)
+    )
+    istream = spark.readStream.schema(intervals.schema).parquet(isrc)
+    q = (
+        interval_join_stream(
+            pstream, istream, max_len_sec=max_len, watermark="0 seconds"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ivj_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("ivj_stream")
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx", "session_id"])
+        .reset_index(drop=True)
+    )
+    from smos_spark.operators.interval import interval_join
+
+    exp = (
+        interval_join(points, intervals, width_sec=1800.0)
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx", "session_id"])
+        .reset_index(drop=True)
+    )
+    assert len(exp) > 0 and len(got) == len(exp)
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_interval_join_stream_guards(spark):
+    from smos_spark.operators.interval import interval_join_stream
+
+    pts = spark.readStream.format("rate").load().selectExpr(
+        "'a' as conv_id", "timestamp as ts"
+    )
+    ivs = spark.readStream.format("rate").load().selectExpr(
+        "'a' as conv_id", "timestamp as start_ts", "timestamp as end_ts"
+    )
+    with pytest.raises(ValueError, match="positive"):
+        interval_join_stream(pts, ivs, max_len_sec=0)
+    with pytest.raises(ValueError, match="collide"):
+        interval_join_stream(
+            pts.withColumn("session_id", F.lit(1)),
+            ivs.withColumn("session_id", F.lit(1)),
+            max_len_sec=10,
+        )

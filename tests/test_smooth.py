@@ -102,3 +102,99 @@ def test_ewma_null_numeric_key_single_group(spark):
             assert got[i] == exp, (i, got[i], exp)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_ewma_stream_matches_batch(spark, tmp_path):
+    """Streaming EWMA across MULTIPLE micro-batches (maxFilesPerTrigger=1
+    over time-sliced files) must equal the batch operator row-for-row —
+    the state carried per key is exactly the batch carry."""
+    import pandas as pd
+
+    from smos_spark.operators.smooth import ewma_stream
+    from smos_spark.synth import synth_transcripts
+
+    turns = (
+        synth_transcripts(spark, n_conv=30, seed=13)
+        .where(F.col("ts").isNotNull())
+        .select(
+            "conv_id", "ts", "turn_idx",
+            F.length("text").cast("double").alias("value"),
+        )
+        .where(F.col("value").isNotNull())
+        .cache()
+    )
+    # three strictly time-ordered slices -> three micro-batches
+    c1, c2 = turns.selectExpr(
+        "percentile_approx(ts, 0.33) as a", "percentile_approx(ts, 0.66) as b"
+    ).collect()[0]
+    src = str(tmp_path / "src")
+    turns.where(F.col("ts") <= F.lit(c1)).coalesce(1).write.mode("append").parquet(src)
+    turns.where((F.col("ts") > F.lit(c1)) & (F.col("ts") <= F.lit(c2))).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    turns.where(F.col("ts") > F.lit(c2)).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(turns.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        ewma_stream(stream, 0.3, key_cols=["conv_id"], tie_cols=["turn_idx"],
+                    watermark="0 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ewma_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("ewma_stream_t")
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        ewma(turns, 0.3, key_cols=["conv_id"], tie_cols=["turn_idx"])
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) and len(got) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_ewma_stream_drops_cross_batch_late_rows(spark, tmp_path):
+    """A row landing in a later micro-batch with ts before the key's
+    last processed ts cannot re-enter the recurrence — it is dropped,
+    never smoothed out of order."""
+    import datetime as dt
+
+    from smos_spark.operators.smooth import ewma_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    early = [("k", t0 + dt.timedelta(seconds=i), i, float(i)) for i in range(3)]
+    late = [("k", t0 + dt.timedelta(seconds=1), 99, 1000.0)]  # ts before batch-1 tail
+    schema = "conv_id string, ts timestamp, turn_idx long, value double"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(early, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        ewma_stream(stream, 0.5, key_cols=["conv_id"], tie_cols=["turn_idx"],
+                    watermark="0 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ewma_stream_late")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["turn_idx"]: r["ewma"] for r in spark.table("ewma_stream_late").collect()}
+    assert set(rows) == {0, 1, 2}  # the late row is dropped
+    assert rows[0] == 0.0 and rows[1] == 0.5 and rows[2] == 1.25
