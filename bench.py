@@ -275,6 +275,26 @@ def main() -> None:
             )
         )
 
+    def q_quantile_sketch():
+        # mergeable distribution state (round 5): daily fixed-universe
+        # histograms (shuffle bounded by groups·n_bins) + exact weekly
+        # merge + inverted-CDF quantile read (pure codegen, no shuffle)
+        from smos_spark.operators.sketch import hist_build, hist_merge, hist_quantiles
+
+        evd = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "day", F.date_trunc("day", "ts")
+        )
+        daily = hist_build(
+            evd, value="value", group_cols=["day"], lo=0.0, hi=1024.0, n_bins=1024
+        )
+        weekly = hist_merge(
+            daily.withColumn("week", F.date_trunc("week", "day")).select(
+                "week", "hist"
+            ),
+            ["week"],
+        )
+        _force(hist_quantiles(weekly, [0.5, 0.9, 0.99], lo=0.0, hi=1024.0))
+
     def q_pack_sample():
         # training-set assembly: hash split + shard packing (bucketed
         # two-level prefix sum) + per-group curation
@@ -355,6 +375,7 @@ def main() -> None:
         "downsample": q_downsample,
         "sketches": q_sketches,
         "cms_sketch": q_cms_sketch,
+        "quantile_sketch": q_quantile_sketch,
         "pack_sample": q_pack_sample,
         "conv_flow": q_conv_flow,
         "knn_outliers": q_knn_outliers,
@@ -400,6 +421,44 @@ def main() -> None:
         "turns_per_sec_rollup": round(n_turns / timings["rollup_cascade"], 1),
         "dedup_e2e_rounds": e2e_stats.get("rounds"),
     }
+    # PERF REGRESSION GATE: compare each entry's best-of-N against the
+    # newest prior-round BENCH_r*.json best (never-clobber files — read
+    # only). An entry >1.3x its prior best is flagged loudly on stderr
+    # and in the JSON; the process still exits 0 so the record is kept
+    # (the host's CPU-window variance makes a hard fail a coin flip —
+    # the flag plus all_trials is the attributable signal).
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(
+        f for f in os.listdir(here)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+    )
+    regressions: dict[str, dict] = {}
+    if prior and os.environ.get("SPARK_GRAFT_BENCH_GATE", "1") != "0":
+        with open(os.path.join(here, prior[-1])) as f:
+            prev_rec = json.load(f)
+        # compare like-for-like only: a different SF (or trial count)
+        # makes absolute times incomparable
+        prev = (
+            prev_rec.get("queries", {})
+            if prev_rec.get("sf") == out["sf"]
+            else {}
+        )
+        for name, now in timings.items():
+            base = prev.get(name)
+            if base and now > 1.3 * base:
+                regressions[name] = {
+                    "prev_best": base,
+                    "now_best": now,
+                    "ratio": round(now / base, 2),
+                }
+        for name, r in regressions.items():
+            print(
+                f"PERF REGRESSION {name}: {r['now_best']}s vs "
+                f"{r['prev_best']}s in {prior[-1]} ({r['ratio']}x > 1.3x gate)",
+                file=sys.stderr,
+            )
+    out["regression_gate"] = {"gate_vs": prior[-1] if prior else None,
+                              "flagged": regressions}
     # scaling evidence (local[8] vs local[32] on the identical job/input,
     # produced by scripts/bench_scaling.py — see BENCH.md protocol)
     scaling_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")

@@ -37,6 +37,10 @@ from smos_spark.schema import TIERS
 
 DEFAULT_N_BUCKETS = 64
 
+#: expected distinct conv_ids per written file for the parquet bloom
+#: filter (sizes the bitmap; ~80 KB/file at 2^16 NDV / 1% FPP)
+DEFAULT_BLOOM_NDV = 1 << 16
+
 
 class ConcurrentWriterError(RuntimeError):
     """A second writer attempted tier maintenance on a locked store."""
@@ -91,11 +95,28 @@ class Overview:
 
 
 class TranscriptStore:
-    def __init__(self, root: str | Path, n_buckets: int | None = None):
+    def __init__(
+        self,
+        root: str | Path,
+        n_buckets: int | None = None,
+        bloom_ndv: int | None = DEFAULT_BLOOM_NDV,
+    ):
         """n_buckets=None reopens an existing store with the bucket
         count recorded in its overview sidecar (the layout is physical
         — reading with a different count silently misses buckets);
-        for a new store it falls back to DEFAULT_N_BUCKETS."""
+        for a new store it falls back to DEFAULT_N_BUCKETS.
+
+        bloom_ndv sizes the per-file parquet BLOOM FILTER on conv_id
+        written by every tier/block writer (None disables). Bucket
+        pruning narrows a point read to one directory; within the
+        bucket, files are conv-sorted so column min/max prunes
+        row-groups of OTHER convs — the bloom filter closes the
+        remaining gap (absent keys, and keys inside a row-group's
+        [min,max] span that the group doesn't actually contain):
+        equality predicates on conv_id skip whole row-groups without
+        decoding them (asserted via scan metrics in
+        test_point_read_bloom_prunes_row_groups). Write-time-only
+        property; readers need no configuration."""
         self.root = Path(root)
         recorded = (Overview.load(self.root / "overview.json").extra or {}).get(
             "n_buckets"
@@ -109,7 +130,18 @@ class TranscriptStore:
                 "mis-bucket reads and writes (omit n_buckets to reopen)"
             )
         self.n_buckets = n_buckets
+        self.bloom_ndv = bloom_ndv
         self.root.mkdir(parents=True, exist_ok=True)
+
+    def _with_point_read_options(self, writer):
+        """Attach the conv_id bloom-filter options to a DataFrameWriter
+        (all tier/block writers route through here so point-read
+        pruning is uniform across layouts)."""
+        if not self.bloom_ndv:
+            return writer
+        return writer.option(
+            "parquet.bloom.filter.enabled#conv_id", "true"
+        ).option("parquet.bloom.filter.expected.ndv#conv_id", str(self.bloom_ndv))
 
     # --- paths ---
     @property
@@ -157,14 +189,13 @@ class TranscriptStore:
         # leads with the partition columns so the dynamic-partition
         # writer's required ordering is already satisfied: no hidden
         # second sort, one open file at a time, conv-clustered rows.
-        (
+        self._with_point_read_options(
             self._with_partition_cols(tier_df)
             .repartition("bucket_date", "bucket_id")
             .sortWithinPartitions("bucket_date", "bucket_id", "conv_id", "bucket_start")
             .write.partitionBy("bucket_date", "bucket_id")
             .mode(mode)
-            .parquet(self.tier_path(tier))
-        )
+        ).parquet(self.tier_path(tier))
         self._ensure_overview()
 
     def overwrite_tier_partitions(self, tier_df: DataFrame, tier: str) -> None:
@@ -175,14 +206,13 @@ class TranscriptStore:
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            (
+            self._with_point_read_options(
                 self._with_partition_cols(tier_df)
                 .repartition("bucket_date", "bucket_id")
                 .sortWithinPartitions("bucket_date", "bucket_id", "conv_id", "bucket_start")
                 .write.partitionBy("bucket_date", "bucket_id")
                 .mode("overwrite")
-                .parquet(self.tier_path(tier))
-            )
+            ).parquet(self.tier_path(tier))
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -268,13 +298,12 @@ class TranscriptStore:
             .withColumn("bucket_id", bucket_expr("conv_id", self.n_buckets))
             .drop("slice")
         )
-        (
+        self._with_point_read_options(
             out.repartition("block_date", "bucket_id")
             .sortWithinPartitions("block_date", "bucket_id", "conv_id")
             .write.partitionBy("block_date", "bucket_id")
             .mode(mode)
-            .parquet(self.blocks_path(tier))
-        )
+        ).parquet(self.blocks_path(tier))
         # record layout + codec so a reopen can never mis-bucket point
         # reads (same guard as write_tier) or decode with the wrong
         # codec (gorilla/chimp blobs share a header and misparse

@@ -783,3 +783,69 @@ def test_ingest_batch_invalidates_stale_blocks(spark, small, days, tmp_path):
         (F.col("tier") == "blocks_1m")
         & (F.col("partition_key") == f"block_date={days[1]}")
     ).count() >= 1
+
+
+def _leaf_scan_rows(df) -> int:
+    """Execute df and sum the file-scan leaves' numOutputRows metric —
+    rows that survived row-group pruning and were actually decoded."""
+    df.collect()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        if m.contains("numOutputRows"):
+            total += m.apply("numOutputRows").value()
+    return total
+
+
+def test_point_read_bloom_prunes_row_groups(spark, tmp_path):
+    """The conv_id bloom filter skips row-groups the bucket + min/max
+    stats cannot: a key lexically INSIDE one row-group's [min,max]
+    span but not present decodes ZERO row-groups with the bloom,
+    at least one without it. Present-key reads are identical.
+
+    Dictionary encoding is disabled to reproduce the at-scale regime
+    the bloom exists for: a 100 TB store's per-file conv_id
+    cardinality overflows the dictionary page and parquet falls back
+    to plain encoding, where dictionary row-group filtering (which
+    would mask the effect on this tiny fixture) cannot apply."""
+    from smos_spark.synth import synth_transcripts
+
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    prev_block, prev_page = hc.get("parquet.block.size"), hc.get("parquet.page.size")
+    prev_dict = hc.get("parquet.enable.dictionary")
+    hc.setInt("parquet.block.size", 16 * 1024)
+    hc.setInt("parquet.page.size", 4 * 1024)
+    hc.setBoolean("parquet.enable.dictionary", False)
+    try:
+        tier = rollup_from_raw(
+            synth_transcripts(spark, n_conv=300, seed=31), "1h"
+        ).cache()
+        on = TranscriptStore(tmp_path / "bloom", n_buckets=2)
+        off = TranscriptStore(tmp_path / "nobloom", n_buckets=2, bloom_ndv=None)
+        on.write_tier(tier, "1h")
+        off.write_tier(tier, "1h")
+        # absent key that sorts between two present conv ids: min/max
+        # row-group stats cannot exclude it, only the bloom can
+        ghost = "conv000123x"
+        rows_on = _leaf_scan_rows(on.read_tier_for_conv(spark, "1h", ghost))
+        rows_off = _leaf_scan_rows(off.read_tier_for_conv(spark, "1h", ghost))
+        assert rows_on == 0, f"bloom store decoded {rows_on} rows for absent key"
+        assert rows_off > 0, "without bloom some row-group must be decoded"
+        # present key: same answer either way (bloom is pruning-only)
+        a = sorted(map(tuple, on.read_tier_for_conv(spark, "1h", "conv000123").collect()))
+        b = sorted(map(tuple, off.read_tier_for_conv(spark, "1h", "conv000123").collect()))
+        assert a == b and len(a) > 0
+    finally:
+        if prev_block is None:
+            hc.unset("parquet.block.size")
+        else:
+            hc.set("parquet.block.size", prev_block)
+        if prev_page is None:
+            hc.unset("parquet.page.size")
+        else:
+            hc.set("parquet.page.size", prev_page)
+        if prev_dict is None:
+            hc.unset("parquet.enable.dictionary")
+        else:
+            hc.set("parquet.enable.dictionary", prev_dict)
