@@ -254,13 +254,18 @@ def main() -> None:
         )
         # CLI shape: never materialize the full result on the driver —
         # push the display limit into the plan (GlobalLimit, asserted
-        # in tests) and count separately; output is O(limit) + 1 long
-        shown = df.limit(args.limit).collect()
-        for r in shown:
+        # in tests). ONE execution: fetch limit+1 rows; when the
+        # sentinel row appears the true count isn't known without a
+        # second aggregation pass, so report ">= limit" instead of
+        # paying it (the result is one row per conv_id — display, not
+        # analytics).
+        shown = df.limit(args.limit + 1).collect()
+        for r in shown[: args.limit]:
             print(r)
+        rows = len(shown) if len(shown) <= args.limit else f">= {args.limit + 1}"
         print(
             json.dumps(
-                {"cmd": "range-agg", "tier": args.tier, "rows": df.count()}
+                {"cmd": "range-agg", "tier": args.tier, "rows": rows}
             )
         )
 

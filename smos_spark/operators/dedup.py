@@ -345,12 +345,14 @@ def ngram_jaccard_pairs(
             "prefix index; pass block_col=... or allow_unblocked=True "
             "for small data"
         )
-    if threshold <= 0:
+    if not 0 < threshold <= 1:
         # the prefix-filter theorem needs t > 0 (at t=0 EVERY pair
         # qualifies — including gram-disjoint ones that share no
         # candidate gram); "all pairs regardless of similarity" is a
-        # cross join, not a similarity join
-        raise ValueError(f"threshold must be > 0, got {threshold}")
+        # cross join, not a similarity join. t > 1 is unsatisfiable
+        # (Jaccard <= 1) and would compute a zero/negative prefix
+        # length — a confusing slice error instead of this message
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     # tokenize behind a projection boundary: `_t` is referenced from
     # inside the transform() lambda, and an inlined split() would
     # re-evaluate per element — O(len^2) per doc (see

@@ -46,6 +46,33 @@ def discover_landing_days(landing: str | Path) -> list[str]:
     )
 
 
+def _day_fingerprint(landing: Path, day: str) -> str:
+    """Cheap driver-side listing fingerprint of one day= directory:
+    md5 over the sorted (name, size, mtime_ns) of its files. Changes
+    whenever files land, grow, or are rewritten — the signal that a
+    previously-stale day deserves re-examination. Pure metadata,
+    O(files), no Spark job."""
+    import hashlib
+
+    entries = sorted(
+        (p.name, p.stat().st_size, p.stat().st_mtime_ns)
+        for p in (landing / f"day={day}").glob("*")
+        if p.is_file()
+    )
+    return hashlib.md5(repr(entries).encode()).hexdigest()
+
+
+def _load_stale(ov) -> dict[str, str | None]:
+    """overview.extra['mirror_stale_days'] as {day: fingerprint}.
+    Legacy lists (pre-fingerprint) map to fingerprint None, which can
+    never match a computed fingerprint — each legacy entry is
+    re-examined ONCE and re-recorded with a real fingerprint."""
+    raw = (ov.extra or {}).get("mirror_stale_days") or {}
+    if isinstance(raw, list):
+        return {d: None for d in raw}
+    return dict(raw)
+
+
 def plan_sync_batches(days: list[str]) -> list[list[str]]:
     """Group a sorted day list into ingest batches: a COMPLETE calendar
     month (every day of the month present) becomes one batch; all
@@ -87,18 +114,28 @@ def mirror_ingest(
     ov = store.load_overview()
     # two gates stop re-planning: the store's last_day (data
     # watermark — a day at/before it is already mirrored), and the
-    # explicit STALE-DAY list persisted in overview.extra. A stale day
+    # explicit STALE-DAY map persisted in overview.extra. A stale day
     # is one whose ingest produced 0 on-time rows (everything
-    # quarantined, so last_day never advanced); without the list every
-    # later run would re-plan it and append duplicate rows to
+    # quarantined, so last_day never advanced); without the record
+    # every later run would re-plan it and append duplicate rows to
     # _quarantine. A bare max-day watermark would be wrong here: a day
     # directory can appear OUT OF ORDER (eventually-consistent
     # listings), and blanket-skipping everything below the max
-    # processed day would silently drop its rows — the stale list
-    # skips exactly the days known to contribute nothing.
+    # processed day would silently drop its rows — the stale record
+    # skips exactly the days known to contribute nothing. Each stale
+    # day carries its directory's LISTING FINGERPRINT from when it was
+    # recorded: if new files land in the directory later (the same
+    # eventually-consistent scenario), the fingerprint no longer
+    # matches and the day is RE-EXAMINED instead of being silently
+    # dropped forever.
     last = str(ov.last_day)[:10] if ov.last_day is not None else ""
-    stale = set((ov.extra or {}).get("mirror_stale_days") or [])
-    gated = [d for d in days if (last and d <= last) or d in stale]
+    stale = _load_stale(ov)
+    gated = [
+        d
+        for d in days
+        if (last and d <= last)
+        or (d in stale and stale[d] == _day_fingerprint(landing, d))
+    ]
     skipped.extend(gated)
     days = [d for d in days if d not in set(gated)]
 
@@ -125,13 +162,17 @@ def mirror_ingest(
             # watermark already gates them).
             ov = store.load_overview()
             cur_last = str(ov.last_day)[:10] if ov.last_day is not None else ""
-            cur = set((ov.extra or {}).get("mirror_stale_days") or [])
-            cur.update(batch_days)
+            cur = _load_stale(ov)
+            cur.update(
+                {d: _day_fingerprint(landing, d) for d in batch_days}
+            )
             ov.extra = {
                 **(ov.extra or {}),
-                "mirror_stale_days": sorted(
-                    d for d in cur if not (cur_last and d <= cur_last)
-                ),
+                "mirror_stale_days": {
+                    d: fp
+                    for d, fp in sorted(cur.items())
+                    if not (cur_last and d <= cur_last)
+                },
             }
             store.save_overview(ov)
     return {

@@ -181,3 +181,76 @@ def test_mirror_out_of_order_day_still_ingested(spark, landing, tmp_path):
     assert days[2] in r2["ingested"], r2
     assert stale_day in r2["skipped"]
     assert last_day < str(store.load_overview().last_day)[:10]
+
+
+def test_mirror_stale_day_reexamined_on_new_files(spark, landing, tmp_path):
+    """A stale day whose directory later receives NEW files (the
+    eventually-consistent-listing scenario) must be RE-PLANNED: the
+    recorded listing fingerprint no longer matches, so the gate lets
+    the day through instead of dropping the new rows forever."""
+    root, df, days = landing
+    import shutil
+
+    land = tmp_path / "landing_fp"
+    land.mkdir()
+    for d in days[:2]:
+        shutil.copytree(root / f"day={d}", land / f"day={d}")
+    store = TranscriptStore(tmp_path / "fp", n_buckets=4)
+    mirror_ingest(spark, store, land, run_id="m1", include_last_day=True)
+
+    # all-late day (old rows in a future-dated dir) -> recorded stale
+    stale_day = (dt.date.fromisoformat(days[-1]) + dt.timedelta(days=2)).isoformat()
+    df.where(F.to_date("ts") == days[0]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(land / f"day={stale_day}"))
+    mirror_ingest(spark, store, land, run_id="m2", include_last_day=True)
+    stale = (store.load_overview().extra or {}).get("mirror_stale_days", {})
+    assert stale_day in stale and stale[stale_day]  # fingerprint recorded
+
+    # unchanged directory -> still skipped (no duplicate quarantine)
+    r_same = mirror_ingest(spark, store, land, run_id="m3", include_last_day=True)
+    assert stale_day in r_same["skipped"] and stale_day not in r_same["ingested"]
+
+    # NEW on-time rows land in the same day dir -> fingerprint changes
+    # -> the day is re-planned and its rows ingest
+    last = str(store.load_overview().last_day)[:10]
+    fresh_day = (dt.date.fromisoformat(last) + dt.timedelta(days=2)).isoformat()
+    extra = df.where(F.to_date("ts") == days[1]).withColumn(
+        "ts",
+        F.col("ts") + F.expr(
+            f"INTERVAL {(dt.date.fromisoformat(fresh_day) - dt.date.fromisoformat(days[1])).days} DAYS"
+        ),
+    )
+    extra.coalesce(1).write.mode("append").parquet(str(land / f"day={stale_day}"))
+    r_new = mirror_ingest(spark, store, land, run_id="m4", include_last_day=True)
+    assert stale_day in r_new["ingested"], r_new
+    assert r_new["results"][-1]["rows_in"] > 0
+
+
+def test_mirror_legacy_stale_list_upgrades(spark, landing, tmp_path):
+    """Pre-fingerprint overviews stored mirror_stale_days as a LIST:
+    each legacy entry is re-examined once (fingerprint None never
+    matches) and re-recorded in the new {day: fingerprint} form."""
+    root, df, days = landing
+    import shutil
+
+    land = tmp_path / "landing_legacy"
+    land.mkdir()
+    for d in days[:2]:
+        shutil.copytree(root / f"day={d}", land / f"day={d}")
+    store = TranscriptStore(tmp_path / "legacy", n_buckets=4)
+    mirror_ingest(spark, store, land, run_id="m1", include_last_day=True)
+    stale_day = (dt.date.fromisoformat(days[-1]) + dt.timedelta(days=2)).isoformat()
+    df.where(F.to_date("ts") == days[0]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(land / f"day={stale_day}"))
+    ov = store.load_overview()
+    ov.extra = {**(ov.extra or {}), "mirror_stale_days": [stale_day]}
+    store.save_overview(ov)
+    r = mirror_ingest(spark, store, land, run_id="m2", include_last_day=True)
+    # re-examined once (not gated), still all-late (0 on-time rows),
+    # and re-recorded in the new {day: fingerprint} form
+    assert stale_day not in r["skipped"]
+    assert r["results"][-1]["rows_in"] == 0
+    stale = (store.load_overview().extra or {}).get("mirror_stale_days", {})
+    assert isinstance(stale, dict) and stale.get(stale_day)
