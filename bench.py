@@ -465,6 +465,11 @@ def main() -> None:
     if os.path.exists(scaling_file):
         with open(scaling_file) as f:
             out["scaling"] = json.load(f)
+    # sf1 row-scaling evidence for the heavy entries (scripts/bench_sf1.py)
+    sf1_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1.json")
+    if os.path.exists(sf1_file):
+        with open(sf1_file) as f:
+            out["sf1"] = json.load(f)
     print(json.dumps(out))
 
 
