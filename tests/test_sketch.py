@@ -385,3 +385,32 @@ def test_hist_guards(spark, events):
         hist_quantiles(sk, [1.5], lo=0.0, hi=8.0)
     with pytest.raises(ValueError, match="non-empty"):
         hist_quantiles(sk, [], lo=0.0, hi=8.0)
+
+
+def test_hist_cascade_minute_hour_day(spark, events):
+    """The tier-cascade shape for quantile state: minute-grain
+    histograms merged to hours, hour sketches merged to days — the
+    day result is bit-identical to a direct day-grain build (merge is
+    associative integer addition, so ANY cascade path agrees)."""
+    from smos_spark.operators.sketch import hist_build, hist_merge
+
+    base = events.withColumn("minute", F.date_trunc("minute", "ts"))
+    m = hist_build(base, value="value", group_cols=["minute"],
+                   lo=0.0, hi=512.0, n_bins=64)
+    h = hist_merge(
+        m.withColumn("hour", F.date_trunc("hour", "minute")).select("hour", "hist"),
+        ["hour"],
+    )
+    d = hist_merge(
+        h.withColumn("day", F.date_trunc("day", "hour")).select("day", "hist"),
+        ["day"],
+    )
+    direct = hist_build(
+        events.withColumn("day", F.date_trunc("day", "ts")),
+        value="value", group_cols=["day"], lo=0.0, hi=512.0, n_bins=64,
+    )
+    got = {r["day"]: r["hist"] for r in d.collect()}
+    exp = {r["day"]: r["hist"] for r in direct.collect()}
+    assert got.keys() == exp.keys() and len(got) > 5
+    for k in got:
+        assert got[k] == exp[k]
