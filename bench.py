@@ -433,16 +433,25 @@ def main() -> None:
         if f.startswith("BENCH_r") and f.endswith(".json")
     )
     regressions: dict[str, dict] = {}
+    gate_src = None
     if prior and os.environ.get("SPARK_GRAFT_BENCH_GATE", "1") != "0":
-        with open(os.path.join(here, prior[-1])) as f:
-            prev_rec = json.load(f)
-        # compare like-for-like only: a different SF (or trial count)
-        # makes absolute times incomparable
-        prev = (
-            prev_rec.get("queries", {})
-            if prev_rec.get("sf") == out["sf"]
-            else {}
-        )
+        # a BENCH_r*.json is the HARNESS record {n, rc, sf, tail,
+        # parsed}: per-query times live under parsed.queries when the
+        # printed line fit the harness's 2000-char stdout tail (it did
+        # not in rounds 3-4 — see the compact-line note below). Walk
+        # newest-first to the most recent record that carries queries
+        # at a matching SF; compare like-for-like only (a different SF
+        # makes absolute times incomparable).
+        prev: dict = {}
+        for fname in reversed(prior):
+            with open(os.path.join(here, fname)) as f:
+                rec = json.load(f)
+            parsed = rec.get("parsed") if isinstance(rec.get("parsed"), dict) else rec
+            q = parsed.get("queries")
+            sf = parsed.get("sf", rec.get("sf"))
+            if q and str(sf) == str(out["sf"]):
+                prev, gate_src = q, fname
+                break
         for name, now in timings.items():
             base = prev.get(name)
             if base and now > 1.3 * base:
@@ -454,23 +463,57 @@ def main() -> None:
         for name, r in regressions.items():
             print(
                 f"PERF REGRESSION {name}: {r['now_best']}s vs "
-                f"{r['prev_best']}s in {prior[-1]} ({r['ratio']}x > 1.3x gate)",
+                f"{r['prev_best']}s in {gate_src} ({r['ratio']}x > 1.3x gate)",
                 file=sys.stderr,
             )
-    out["regression_gate"] = {"gate_vs": prior[-1] if prior else None,
+    out["regression_gate"] = {"gate_vs": gate_src,
                               "flagged": regressions}
     # scaling evidence (local[8] vs local[32] on the identical job/input,
     # produced by scripts/bench_scaling.py — see BENCH.md protocol)
-    scaling_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
+    scaling_file = os.path.join(here, "BENCH_SCALING.json")
     if os.path.exists(scaling_file):
         with open(scaling_file) as f:
             out["scaling"] = json.load(f)
     # sf1 row-scaling evidence for the heavy entries (scripts/bench_sf1.py)
-    sf1_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1.json")
+    sf1_file = os.path.join(here, "BENCH_SF1.json")
     if os.path.exists(sf1_file):
         with open(sf1_file) as f:
             out["sf1"] = json.load(f)
-    print(json.dumps(out))
+    # FULL record (all_trials, full scaling/sf1 blocks) to a side file;
+    # stdout gets a COMPACT line. The harness keeps only the LAST 2000
+    # chars of stdout and json-parses them — the full record outgrew
+    # that in rounds 3-4 (BENCH_r03/r04 show parsed:null with a
+    # truncated tail), so the printed line must stay under the cap.
+    with open(os.path.join(here, "BENCH_LOCAL_FULL.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    compact = {
+        k: out[k]
+        for k in (
+            "metric", "value", "unit", "queries", "trials", "sf", "turns",
+            "turns_per_sec_rollup", "dedup_e2e_rounds",
+        )
+    }
+    compact["regressions"] = sorted(regressions)
+    if "scaling" in out:
+        s = out["scaling"]
+        compact["scaling"] = {
+            "turns": s.get("turns"),
+            "t8": s.get("throughput_8"),
+            "t32": s.get("throughput_32"),
+            "eff": s.get("scaling_efficiency"),
+            "eff_vs_host_ceiling": s.get("efficiency_vs_ceiling"),
+        }
+    if "sf1" in out:
+        compact["sf1_time_ratio_10x_rows"] = {
+            k: v.get("time_ratio_10x_rows")
+            for k, v in out["sf1"].get("entries", {}).items()
+        }
+    compact["full_record"] = "BENCH_LOCAL_FULL.json"
+    line = json.dumps(compact)
+    if len(line) > 1900:  # stay under the 2000-char stdout tail cap
+        compact.pop("sf1_time_ratio_10x_rows", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
