@@ -414,3 +414,29 @@ def test_hist_cascade_minute_hour_day(spark, events):
     assert got.keys() == exp.keys() and len(got) > 5
     for k in got:
         assert got[k] == exp[k]
+
+
+def test_hist_plan_shapes(spark, events):
+    """Plan pins for the histogram sketch: (1) hist_build's counting
+    aggregate is map-side combined (partial_count before the exchange),
+    so the shuffle carries at most groups*n_bins rows; (2) the quantile
+    read adds NO exchange over the sketch rows — it is pure expression
+    work on the array column."""
+    from smos_spark.operators.sketch import hist_build, hist_quantiles
+
+    sk = hist_build(events, value="value", group_cols=["day"],
+                    lo=0.0, hi=512.0, n_bins=64)
+    build_plan = sk._jdf.queryExecution().executedPlan().toString()
+    first_exchange = build_plan.split("Exchange", 1)[-1]
+    assert "partial_count" in first_exchange or "partial_count" in build_plan, (
+        build_plan
+    )
+
+    cached = sk.cache()
+    cached.count()
+    try:
+        q = hist_quantiles(cached, [0.5, 0.99], lo=0.0, hi=512.0)
+        q_plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in q_plan.split("InMemoryTableScan")[0], q_plan
+    finally:
+        cached.unpersist()
