@@ -1284,6 +1284,38 @@ def _q_events_quantile_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_turn_len_quantiles_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile state riding the NORTH-RULE tier cascade itself: daily
+    p50/p90/p99 of turn text length computed from HOUR-grain
+    histograms merged hour→day (hist_merge — the tier reaggregation
+    path, never rescanning raw turns), while the oracle bins the day
+    directly from the transcripts view. Width-1 bins over the integer
+    length universe make the inverted-CDF read the EXACT order
+    statistic — the distribution analog of the tier's
+    len_sum/len_min/len_max moments. Grain choice follows the hist
+    state contract: the finest sketched grain should still expect
+    rows-per-group on the order of n_bins (sketching near-empty
+    minute groups would carry a dense n_bins array for a handful of
+    turns — build at the hour and merge upward instead)."""
+    from smos_spark.operators.sketch import hist_build, hist_merge, hist_quantiles
+
+    t = _transcripts(spark, sf_dir)
+    base = t.where(F.col("ts").isNotNull()).select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.length("text").cast("double").alias("len"),
+    )
+    m = hist_build(
+        base, value="len", group_cols=["hour"], lo=0.0, hi=2048.0, n_bins=2048
+    )
+    d = hist_merge(
+        m.withColumn("day", F.date_trunc("day", "hour")).select("day", "hist"),
+        ["day"],
+    )
+    return hist_quantiles(d, [0.5, 0.9, 0.99], lo=0.0, hi=2048.0).select(
+        "day", "n_rows", "q50", "q90", "q99"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -1602,6 +1634,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new round-5 queries (slots 43-50) -----------------------------
         "multimodal_decode": _q_multimodal_decode,
         "events_quantile_weekly": _q_events_quantile_weekly,
+        "turn_len_quantiles_1d": _q_turn_len_quantiles_1d,
         # -- freshly checked green in CORRECTNESS_r04 (tail) ----------------
         "rolling_10m": _q_rolling_10m,
         "burst_events": _q_burst_events,
@@ -3028,6 +3061,35 @@ def oracle_sql() -> dict[str, str]:
                 CAST(ceil(0.99 * total::DOUBLE) AS BIGINT))
               THEN bin END) AS DOUBLE) * 1024.0 / 1024.0 AS q99
           FROM cum GROUP BY week
+        """,
+        # minute→day hist_merge on the Spark side; the oracle bins the
+        # day straight from the transcripts view — same exact-merge
+        # proof as events_quantile_weekly, here on the tier cascade's
+        # own table and grain.
+        "turn_len_quantiles_1d": _T_CTE
+        + """
+          , v AS (
+            SELECT date_trunc('day', ts) AS day,
+                   least(greatest(CAST(floor((length(text)::DOUBLE - 0.0)
+                       * 2048.0 / 2048.0) AS BIGINT), 0), 2047) AS bin
+            FROM t WHERE ts IS NOT NULL AND text IS NOT NULL),
+          c AS (SELECT day, bin, count(*) AS n FROM v GROUP BY 1, 2),
+          cum AS (
+            SELECT day, bin,
+                   sum(n) OVER (PARTITION BY day ORDER BY bin) AS cum,
+                   sum(n) OVER (PARTITION BY day) AS total
+            FROM c)
+          SELECT day, CAST(max(total) AS BIGINT) AS n_rows,
+            0.0 + CAST(min(CASE WHEN cum >= greatest(1,
+                CAST(ceil(0.5 * total::DOUBLE) AS BIGINT))
+              THEN bin END) AS DOUBLE) * 2048.0 / 2048.0 AS q50,
+            0.0 + CAST(min(CASE WHEN cum >= greatest(1,
+                CAST(ceil(0.9 * total::DOUBLE) AS BIGINT))
+              THEN bin END) AS DOUBLE) * 2048.0 / 2048.0 AS q90,
+            0.0 + CAST(min(CASE WHEN cum >= greatest(1,
+                CAST(ceil(0.99 * total::DOUBLE) AS BIGINT))
+              THEN bin END) AS DOUBLE) * 2048.0 / 2048.0 AS q99
+          FROM cum GROUP BY day
         """,
         "doc_bloom_decontaminate": _bloom_decontaminate_sql,
         # int8 symmetric quantization (floor(x/s*127+0.5) — the same

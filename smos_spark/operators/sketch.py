@@ -661,7 +661,16 @@ def hist_build(
     rows cross the wire however large the input — → one densify
     aggregation of the same size. Reference analog: the tier rollup's
     reaggregation-by-parts (SURVEY §2.4 A2), extended from
-    sum/count/min/max moments to the full value distribution."""
+    sum/count/min/max moments to the full value distribution.
+
+    Grain guidance: the per-group state is a DENSE n_bins int64 array,
+    so sketch at the finest grain whose groups still expect on the
+    order of n_bins rows and merge upward from there — sketching
+    near-empty groups (e.g. minute grain with a handful of rows per
+    minute under a 2048-bin universe) pays n_bins state for a few
+    counts; build at the hour instead and hist_merge to days/weeks
+    (the turn_len_quantiles_1d contract query is the worked
+    example)."""
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
     if n_bins > (1 << 20):
