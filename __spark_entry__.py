@@ -1581,12 +1581,17 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round (CORRECTNESS_r0N keys == positions 1-50).  Entries are ranked by
     # driver-signal debt, freshest-evidence-last:
     #   1. the 42 rows whose latest green driver row is CORRECTNESS_r03
-    #      (green there, unchanged since, re-verified locally — but the
+    #      (green there, unchanged since, re-verified locally — the
     #      round-5 window re-certifies them so every row has a green
     #      driver record within the last two rounds),
-    #   2. new round-5 queries (slots 43-50),
-    #   3. the 50 rows freshly checked green in CORRECTNESS_r04 fill the
-    #      tail — their driver evidence is one round old, the newest.
+    #   2. the 3 new round-5 queries (slots 43-45: multimodal_decode,
+    #      events_quantile_weekly, turn_len_quantiles_1d),
+    #   3. the rows freshly checked green in CORRECTNESS_r04, oldest
+    #      evidence first — slots 46-50 (rolling_10m … conv_features)
+    #      land INSIDE the round-5 window and get re-certified; the
+    #      rest fill the tail with one-round-old driver evidence.
+    # All 94 were additionally cross-checked green against DuckDB at
+    # BOTH sf0.01 and sf0.1 this round (scripts/check_contract.py).
     return {
         # -- r3-green rows rotated into the round-5 window (slots 1-42) ----
         "forward_fill_1h": _q_forward_fill_1h,

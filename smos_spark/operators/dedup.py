@@ -421,7 +421,8 @@ def ngram_jaccard_pairs(
 
 
 # -------------------------------------------------------------- simhash
-def simhash_votes_batch(arrs: list, out: np.ndarray) -> None:
+def simhash_votes_batch(arrs: list, out: np.ndarray,
+                        max_flat: int = 1 << 18) -> None:
     """Segmented SimHash vote for one Arrow batch, no per-row Python:
     flatten every row's token hashes into one (Σn,) array, build the
     (Σn × 64) bit matrix once, and collapse it to per-row bit sums with
@@ -435,16 +436,30 @@ def simhash_votes_batch(arrs: list, out: np.ndarray) -> None:
     nz = np.flatnonzero(lengths)
     if not nz.size:
         return
-    flat = np.concatenate([np.asarray(arrs[i], dtype=np.int64) for i in nz]).view(
-        np.uint64
-    )
-    bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64)  # (Σn, 64)
     seg_lens = lengths[nz]
-    boundaries = np.concatenate(([0], np.cumsum(seg_lens)[:-1]))
-    sums = np.add.reduceat(bits, boundaries, axis=0)  # (k, 64)
-    votes = 2 * sums - seg_lens[:, None]
-    sig = ((votes > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
-    out[nz] = sig.view(np.int64)
+    # bound the (Σn × 64) bit-matrix transient: process row slices whose
+    # flattened hash count stays ≤ 2^18 (≈128 MB peak) regardless of the
+    # Arrow batch size — a 65536-row batch of long docs would otherwise
+    # allocate tens of GB in one shot. Slices align to row boundaries,
+    # so per-row votes are identical to the unsliced computation.
+    cum = np.cumsum(seg_lens)
+    start = 0
+    while start < len(nz):
+        base = int(cum[start - 1]) if start else 0
+        end = int(np.searchsorted(cum, base + max_flat, side="right"))
+        end = max(end, start + 1)  # a single over-long row still processes
+        idx = nz[start:end]
+        lens = seg_lens[start:end]
+        flat = np.concatenate(
+            [np.asarray(arrs[i], dtype=np.int64) for i in idx]
+        ).view(np.uint64)
+        bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        boundaries = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        sums = np.add.reduceat(bits, boundaries, axis=0)  # (rows, 64)
+        votes = 2 * sums - lens[:, None]
+        sig = ((votes > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+        out[idx] = sig.view(np.int64)
+        start = end
 
 
 def _simhash_from_hashes_udf():

@@ -234,8 +234,12 @@ def interval_join_stream(
         p[ts_col] >= iv[start_col],
         p[ts_col] <= iv[end_col],
         # redundant with end<=start+max_len but stated on WATERMARKED
-        # columns so the engine can derive the state eviction bound
-        p[ts_col] <= iv[start_col] + F.expr(f"INTERVAL {max_len_sec} SECONDS"),
+        # columns so the engine can derive the state eviction bound.
+        # The interval literal is INTEGER MICROSECONDS (max_us, the
+        # same rounding as the guard): a float repr like 5e-05 would
+        # not parse as an INTERVAL and could disagree with the guard's
+        # rounding at sub-microsecond widths.
+        p[ts_col] <= iv[start_col] + F.expr(f"INTERVAL {max_us} MICROSECOND"),
     ]
     joined = p.join(iv, reduce(and_, cond), "inner")
     return joined.select(

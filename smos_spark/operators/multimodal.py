@@ -174,9 +174,17 @@ def decode_features(df: DataFrame) -> DataFrame:
                     out["vmax"].append(int(v.max()) if len(v) else 0)
                     out["decode_ok"].append(True)
                 except Exception:
-                    for k in out:
-                        out[k].append(False if k == "decode_ok" else ("?" if k == "fmt" else 0))
-                    out["n_bytes"][-1] = len(p) if p is not None else 0
+                    # failure rows use the SAME -1 absent-dimension
+                    # sentinel as success rows (a 0 would read as a
+                    # real zero-width/zero-rate measurement); counts
+                    # and value sums are 0 — nothing was decoded
+                    for k in ("width", "height", "sample_rate"):
+                        out[k].append(-1)
+                    for k in ("n_units", "sum_val", "sum_sq", "vmin", "vmax"):
+                        out[k].append(0)
+                    out["fmt"].append("?")
+                    out["decode_ok"].append(False)
+                    out["n_bytes"].append(len(p) if p is not None else 0)
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "kind": pdf["kind"], **out}
             )

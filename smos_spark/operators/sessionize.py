@@ -130,9 +130,18 @@ def sessionize_stream(
         sid, start_us, last_us, n, ntool, lsum = (
             state.get if state.exists else (0, None, None, 0, 0, 0)
         )
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # the engine delivers one conv's micro-batch rows as Arrow
+        # chunks in ARBITRARY row order (only the grouping key is
+        # sorted); a later chunk can carry earlier timestamps, so
+        # per-chunk sorting would split sessions at chunk boundaries —
+        # concatenate and sort ONCE (bounded by the conv's rows in
+        # this micro-batch).
+        chunks = [c for c in pdfs if len(c)]
+        merged = (
+            pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+            else chunks[0] if chunks else None
+        )
+        for pdf in ([merged] if merged is not None else []):
             pdf = pdf.sort_values(["_ts_us", "turn_idx"], kind="mergesort")
             ts_us = pdf["_ts_us"].to_numpy(dtype="int64")
             cum_tool = np.concatenate(

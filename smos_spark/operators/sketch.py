@@ -66,6 +66,7 @@ __all__ = [
     "bottomk_quantiles",
     "hist_build",
     "hist_merge",
+    "hist_rebin",
     "hist_quantiles",
 ]
 
@@ -641,7 +642,8 @@ def hist_build(
     int64 count array over the declared value universe [lo, hi).
     Out-of-universe values clamp into the edge bins (never dropped —
     rank statistics stay consistent with the group's true row count);
-    NULL values are excluded (no order statistic).
+    NULL and NaN values are excluded (no order statistic — floor(NaN)
+    would otherwise cast to bin 0 and masquerade as a real minimum).
 
     This is the QUANTILE state the tier cascade was missing: the bin
     counters are plain integer sums — order- and grouping-independent —
@@ -673,16 +675,18 @@ def hist_build(
     example)."""
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
-    if n_bins > (1 << 20):
+    if n_bins > (1 << 16):
         raise ValueError(
-            f"n_bins = {n_bins}: beyond 2^20 counters per group the sketch "
-            "no longer fits an array column sensibly — coarsen the universe "
-            "or use the exact aggregation"
+            f"n_bins = {n_bins}: beyond 2^16 counters per group the dense "
+            "state stops paying for itself — coarsen the universe (quantile "
+            "resolution 1/65536 of the range is already far below any "
+            "percentile use) or use the exact aggregation"
         )
     if not (hi > lo):
         raise ValueError(f"need hi > lo, got [{lo}, {hi})")
     group_cols = list(group_cols or [])
-    base = df.where(F.col(value).isNotNull()).select(
+    vd = F.col(value).cast("double")
+    base = df.where(F.col(value).isNotNull() & ~F.isnan(vd)).select(
         *group_cols, _hist_bin(F.col(value), lo, hi, n_bins).alias("_pos")
     )
     gnames = [c for c in base.columns if c != "_pos"]
@@ -700,6 +704,43 @@ def hist_merge(
     the events_quantile_weekly oracle, which bins the week straight
     from the events table). Input is already O(groups·n_bins) rows."""
     return cms_merge(sketches, group_cols, cms_col=hist_col)
+
+
+def hist_rebin(
+    sketches: DataFrame, factor: int, hist_col: str = "hist"
+) -> DataFrame:
+    """EXACT coarsening: merge every `factor` adjacent bins by integer
+    addition — new[i] = Σ old[i·f .. i·f+f-1]. The rebinned sketch is
+    bit-identical to one built directly with n_bins/factor over the
+    same universe (adjacent-bin sums commute with the build's
+    groupBy), so fine build grains can be read cheaply: build at 2^16
+    bins for archival fidelity, rebin to ≤4096 before
+    `hist_quantiles` (whose cumulative fold is quadratic in array
+    length). Pure codegen, O(n_bins) per row, no shuffle. The array
+    length must be divisible by factor (checked distributedly)."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    if factor == 1:
+        return sketches
+    n = F.size(hist_col)
+    n_new = (n / F.lit(factor)).cast("int")
+    rebinned = F.transform(
+        F.sequence(F.lit(0), n_new - F.lit(1)),
+        lambda i: F.aggregate(
+            F.slice(F.col(hist_col), i * factor + F.lit(1), factor),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    guarded = F.when(n % factor == 0, rebinned).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"hist_rebin: factor {factor} does not divide length "),
+                n.cast("string"),
+            )
+        )
+    )
+    return sketches.withColumn(hist_col, guarded)
 
 
 def hist_quantiles(
@@ -722,11 +763,14 @@ def hist_quantiles(
     build's (n_bins is read from the array length).
 
     Pure codegen over the array column — no shuffle: the cumulative
-    sum is a linear `aggregate` fold and each prob's bin index is
+    sum is an `aggregate` fold and each prob's bin index is
     `size(filter(cum < target))` (valid because cum is
-    non-decreasing). Adds one double column per prob plus `with_n`
-    (the group's total count — set None to skip); empty groups yield
-    NULL quantiles."""
+    non-decreasing). The fold's array concat makes it QUADRATIC in
+    the bin count, so reads are gated at 4096 bins (≈8M element
+    copies per row, measured fine; 2^16 would be ~2×10⁹) — rebin
+    finer sketches first (`hist_rebin` is exact). Adds one double
+    column per prob plus `with_n` (the group's total count — set None
+    to skip); empty groups yield NULL quantiles."""
     if not probs:
         raise ValueError("probs must be non-empty")
     names = []
@@ -750,6 +794,18 @@ def hist_quantiles(
             F.concat(acc["a"], F.array(acc["s"] + x)).alias("a"),
         ),
         lambda acc: acc["a"],
+    )
+    cum = F.when(F.size(hist_col) <= 4096, cum).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("hist_quantiles: array length "),
+                F.size(hist_col).cast("string"),
+                F.lit(
+                    " > 4096 — the cumulative fold is quadratic in bins; "
+                    "hist_rebin to <= 4096 first (exact)"
+                ),
+            )
+        )
     )
     out = sketches.withColumn("_cum", cum)
     n_bins_col = F.size(hist_col).cast("double")

@@ -202,24 +202,28 @@ def ewma_stream(
             state.remove()
             return iter([])
         y, last_us = state.get if state.exists else (None, None)
-        outs = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["_ts_us", *ties], kind="mergesort")
-            if last_us is not None:
-                pdf = pdf[pdf["_ts_us"] >= last_us]
-                if not len(pdf):
-                    continue
-            vals = _seeded_ewma(pdf[value_col], alpha, y)
-            out = pdf.drop(columns=["_ts_us"]).copy()
-            out[out_col] = vals
-            y = float(vals[-1])
-            last_us = int(pdf["_ts_us"].iloc[-1])
-            outs.append(out)
+        # the engine hands one key's micro-batch rows as an iterator of
+        # Arrow chunks in ARBITRARY row order (only the grouping key is
+        # sorted) — a later chunk can carry earlier timestamps, so the
+        # chunks must be concatenated and sorted ONCE before the
+        # watermark filter and the recurrence run; per-chunk processing
+        # would misorder or silently drop on-time rows. State stays
+        # O(1); the concat is bounded by the key's rows in THIS
+        # micro-batch.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return iter([])
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(["_ts_us", *ties], kind="mergesort")
         if last_us is not None:
-            state.update((y, last_us))
-        return iter(outs)
+            pdf = pdf[pdf["_ts_us"] >= last_us]
+        if not len(pdf):
+            return iter([])
+        vals = _seeded_ewma(pdf[value_col], alpha, y)
+        out = pdf.drop(columns=["_ts_us"]).copy()
+        out[out_col] = vals
+        state.update((float(vals[-1]), int(pdf["_ts_us"].iloc[-1])))
+        return iter([out])
 
     return (
         src.withWatermark(ts_col, watermark)

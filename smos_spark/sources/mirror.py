@@ -144,6 +144,14 @@ def mirror_ingest(
     next_batch = ov.last_batch_id + 1
     for batch_days in plan_sync_batches(days):
         paths = [str(landing / f"day={d}") for d in batch_days]
+        # fingerprint BEFORE the read lists files: a file landing
+        # during the ingest then differs from the stored fingerprint
+        # and forces re-examination on the next run. (The opposite
+        # order would bake an unread file into the fingerprint and
+        # gate its rows out forever. A file landing between this
+        # capture and Spark's listing is ingested AND re-examined once
+        # — a bounded duplicate-quarantine cost, never a loss.)
+        pre_fps = {d: _day_fingerprint(landing, d) for d in batch_days}
         batch = spark.read.parquet(*paths)
         r = ingest_batch(
             store, batch, run_id=run_id, batch_id=next_batch, strict=strict
@@ -163,9 +171,7 @@ def mirror_ingest(
             ov = store.load_overview()
             cur_last = str(ov.last_day)[:10] if ov.last_day is not None else ""
             cur = _load_stale(ov)
-            cur.update(
-                {d: _day_fingerprint(landing, d) for d in batch_days}
-            )
+            cur.update(pre_fps)
             ov.extra = {
                 **(ov.extra or {}),
                 "mirror_stale_days": {

@@ -184,3 +184,21 @@ def test_extract_features_strict_real_bytes(spark):
     assert srow["decode_ok"] is False and srow["feat"] is None
     lrow = extract_features(opaque, strict=False).collect()[0]
     assert lrow["decode_ok"] is True and lrow["feat"] is not None
+
+
+def test_decode_failure_rows_use_minus1_dim_sentinel(spark):
+    """Failure rows must use the SAME -1 absent-dimension sentinel as
+    success rows (a 0 would read as a real zero-width measurement)."""
+    from smos_spark.operators.multimodal import decode_features
+
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(b"notariff")), (2, "image", None)],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_features(df).collect()}
+    for mid in (1, 2):
+        r = rows[mid]
+        assert r["decode_ok"] is False
+        assert r["width"] == -1 and r["height"] == -1 and r["sample_rate"] == -1
+        assert r["n_units"] == 0 and r["sum_val"] == 0 and r["fmt"] == "?"
+    assert rows[1]["n_bytes"] == 8 and rows[2]["n_bytes"] == 0

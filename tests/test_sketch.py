@@ -375,8 +375,8 @@ def test_hist_guards(spark, events):
 
     with pytest.raises(ValueError, match="n_bins"):
         hist_build(events, value="value", lo=0.0, hi=1.0, n_bins=0)
-    with pytest.raises(ValueError, match="2\\^20"):
-        hist_build(events, value="value", lo=0.0, hi=1.0, n_bins=(1 << 20) + 1)
+    with pytest.raises(ValueError, match="2\\^16"):
+        hist_build(events, value="value", lo=0.0, hi=1.0, n_bins=(1 << 16) + 1)
     with pytest.raises(ValueError, match="hi > lo"):
         hist_build(events, value="value", lo=1.0, hi=1.0, n_bins=4)
     sk = hist_build(events, value="value", group_cols=["day"], lo=0.0, hi=8.0,
@@ -440,3 +440,55 @@ def test_hist_plan_shapes(spark, events):
         assert "Exchange" not in q_plan.split("InMemoryTableScan")[0], q_plan
     finally:
         cached.unpersist()
+
+
+def test_hist_excludes_nan_values(spark):
+    """NaN values carry no order statistic: they must be EXCLUDED like
+    NULL, not silently binned at lo (floor(NaN) casts to 0)."""
+    from smos_spark.operators.sketch import hist_build, hist_quantiles
+
+    df = spark.createDataFrame(
+        [(float("nan"),), (0.5,), (None,), (2.5,)], "v double"
+    ).withColumn("g", F.lit("a"))
+    row = hist_build(df, value="v", group_cols=["g"], lo=0.0, hi=4.0,
+                     n_bins=4).collect()[0]
+    assert sum(row["hist"]) == 2 and row["hist"] == [1, 0, 1, 0]
+    q = hist_quantiles(
+        hist_build(df, value="v", group_cols=["g"], lo=0.0, hi=4.0, n_bins=4),
+        [0.0], lo=0.0, hi=4.0,
+    ).collect()[0]
+    assert q["n_rows"] == 2 and q["q0"] == 0.0  # bin of 0.5, not NaN's bin
+
+
+def test_hist_rebin_exact_and_guarded(spark, events):
+    """hist_rebin by factor f == a direct build with n_bins/f over the
+    same universe (adjacent-bin sums commute with the build), and the
+    quantile read over >4096 bins refuses with guidance."""
+    from smos_spark.operators.sketch import hist_build, hist_quantiles, hist_rebin
+
+    fine = hist_build(events, value="value", group_cols=["day"],
+                      lo=0.0, hi=512.0, n_bins=512)
+    coarse = hist_rebin(fine, 8)
+    direct = hist_build(events, value="value", group_cols=["day"],
+                        lo=0.0, hi=512.0, n_bins=64)
+    got = {r["day"]: r["hist"] for r in coarse.collect()}
+    exp = {r["day"]: r["hist"] for r in direct.collect()}
+    assert got.keys() == exp.keys()
+    for k in got:
+        assert got[k] == exp[k]
+    # factor=1 is the identity, bad factors raise
+    assert hist_rebin(fine, 1) is fine
+    with pytest.raises(ValueError):
+        hist_rebin(fine, 0)
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises(Exception, match="does not divide"):
+        hist_rebin(fine, 7).collect()
+    # oversize quantile read refuses with the rebin hint
+    big = hist_build(events, value="value", group_cols=["day"],
+                     lo=0.0, hi=8192.0, n_bins=8192)
+    with pytest.raises(Exception, match="hist_rebin"):
+        hist_quantiles(big, [0.5], lo=0.0, hi=8192.0).collect()
+    # and the documented path works: rebin to 4096 then read
+    ok = hist_quantiles(hist_rebin(big, 2), [0.5], lo=0.0, hi=8192.0)
+    assert ok.count() > 0

@@ -198,3 +198,45 @@ def test_ewma_stream_drops_cross_batch_late_rows(spark, tmp_path):
     rows = {r["turn_idx"]: r["ewma"] for r in spark.table("ewma_stream_late").collect()}
     assert set(rows) == {0, 1, 2}  # the late row is dropped
     assert rows[0] == 0.0 and rows[1] == 0.5 and rows[2] == 1.25
+
+
+def test_ewma_stream_handles_unordered_arrow_chunks(spark, tmp_path):
+    """applyInPandasWithState hands a key's micro-batch rows as Arrow
+    chunks in arbitrary order — write a key's rows ts-DESCENDING with
+    a tiny Arrow batch size so later chunks carry EARLIER timestamps;
+    every row must still be smoothed, in ts order (per-chunk
+    processing would drop or misorder them)."""
+    import pandas as pd
+
+    from smos_spark.operators.smooth import ewma_stream
+
+    rows = [("k", dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), i, float(i))
+            for i in range(20)]
+    df = spark.createDataFrame(
+        list(reversed(rows)),  # descending ts in file order
+        "conv_id string, ts timestamp, turn_idx long, value double",
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        q = (
+            ewma_stream(stream, 0.5, key_cols=["conv_id"], tie_cols=["turn_idx"],
+                        watermark="0 seconds")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ewma_chunks")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {r["turn_idx"]: r["ewma"]
+               for r in spark.table("ewma_chunks").collect()}
+        assert set(got) == set(range(20))  # nothing dropped
+        exp = ewma(df, 0.5, key_cols=["conv_id"], tie_cols=["turn_idx"]).collect()
+        for r in exp:
+            assert got[r["turn_idx"]] == r["ewma"], r["turn_idx"]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)

@@ -838,3 +838,23 @@ def test_simhash_batch_vote_matches_per_row_reference():
             int(sig) - (1 << 64)
         )
     np.testing.assert_array_equal(got, exp)
+
+
+def test_simhash_batch_vote_slicing_identical():
+    """The bounded-transient slicing (max_flat) must not change any
+    signature: force multiple slices (max_flat smaller than single
+    rows and than the batch) and compare against the unsliced run."""
+    from smos_spark.operators.dedup import simhash_votes_batch
+
+    rng = np.random.default_rng(23)
+    arrs = [
+        rng.integers(-(2**63), 2**63, size=n, dtype=np.int64).tolist()
+        for n in [5, 40, 0, 130, 7, 256, 1, 90]
+    ]
+    arrs[2] = None
+    unsliced = np.zeros(len(arrs), dtype=np.int64)
+    simhash_votes_batch(arrs, unsliced, max_flat=1 << 30)
+    for max_flat in (1, 16, 64, 128, 300):
+        sliced = np.zeros(len(arrs), dtype=np.int64)
+        simhash_votes_batch(arrs, sliced, max_flat=max_flat)
+        np.testing.assert_array_equal(sliced, unsliced, err_msg=str(max_flat))
