@@ -1066,6 +1066,23 @@ def _q_doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinctive_terms(_docs(spark, sf_dir), k=3)
 
 
+# fixed query-term list for the BM25 contract row (must match the
+# oracle twin below; vocabulary words present in the synthetic corpus)
+_BM25_TERMS = ("spark", "join", "vector")
+
+
+def _q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by transcendental-free BM25 for a fixed term
+    list. Both idf and the saturation term are rational substitutions
+    (same monotone ranking, no ln()), so the score is ONE fixed-shape
+    IEEE double expression both engines evaluate bit-identically.
+    Corpus stats are a single broadcast row; the top-k is a
+    TakeOrderedAndProject — no global sort, no text shuffle."""
+    from smos_spark.operators.text import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), terms=list(_BM25_TERMS), k=10)
+
+
 def _q_doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature head (4 hash fns over 5-char shingles) — the
     universal-hash family has an exact DuckDB twin."""
@@ -1584,13 +1601,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      (green there, unchanged since, re-verified locally — the
     #      round-5 window re-certifies them so every row has a green
     #      driver record within the last two rounds),
-    #   2. the 3 new round-5 queries (slots 43-45: multimodal_decode,
-    #      events_quantile_weekly, turn_len_quantiles_1d),
+    #   2. the 4 new round-5 queries (slots 43-46: multimodal_decode,
+    #      events_quantile_weekly, turn_len_quantiles_1d, doc_bm25_topk),
     #   3. the rows freshly checked green in CORRECTNESS_r04, oldest
-    #      evidence first — slots 46-50 (rolling_10m … conv_features)
+    #      evidence first — slots 47-50 (rolling_10m … doc_normalize)
     #      land INSIDE the round-5 window and get re-certified; the
     #      rest fill the tail with one-round-old driver evidence.
-    # All 94 were additionally cross-checked green against DuckDB at
+    # All 96 were additionally cross-checked green against DuckDB at
     # BOTH sf0.01 and sf0.1 this round (scripts/check_contract.py).
     return {
         # -- r3-green rows rotated into the round-5 window (slots 1-42) ----
@@ -1640,6 +1657,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "events_quantile_weekly": _q_events_quantile_weekly,
         "turn_len_quantiles_1d": _q_turn_len_quantiles_1d,
+        "doc_bm25_topk": _q_doc_bm25_topk,
         # -- freshly checked green in CORRECTNESS_r04 (tail) ----------------
         "rolling_10m": _q_rolling_10m,
         "burst_events": _q_burst_events,
@@ -1731,6 +1749,60 @@ def _quantile_interp_sql(p: float, vals: str = "vals") -> str:
     lo = f"{vals}[CAST(floor({pos}) AS INT) + 1]"
     hi = f"{vals}[CAST(ceil({pos}) AS INT) + 1]"
     return f"({lo} + ({pos} - floor({pos})) * ({hi} - {lo}))"
+
+
+def _bm25_oracle_sql(terms: list[str], k: int) -> str:
+    """DuckDB twin of operators.text.bm25_topk: identical expression
+    shape term by term (2N−2df+1)/(2df+1) · 22·tf·S/(10·S·tf+3·S+9·dl·N),
+    summed left-to-right, CASE-gated on tf>0 exactly like the Spark
+    F.when — every operand double-cast at the same point."""
+    tf_cols = ",\n            ".join(
+        f"CAST(len(regexp_extract_all(lower(text), '\\b{t}\\b')) AS BIGINT)"
+        f" AS tf_{t}"
+        for t in terms
+    )
+    df_cols = ",\n            ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{t}"
+        for t in terms
+    )
+    term_exprs = [
+        f"""CASE WHEN tf_{t} > 0 THEN
+              ((2.0 * n::DOUBLE - 2.0 * df_{t}::DOUBLE + 1.0)
+               / (2.0 * df_{t}::DOUBLE + 1.0))
+              * ((22.0 * tf_{t}::DOUBLE * s::DOUBLE)
+                 / (10.0 * s::DOUBLE * tf_{t}::DOUBLE + 3.0 * s::DOUBLE
+                    + 9.0 * dl::DOUBLE * n::DOUBLE))
+            ELSE 0.0 END"""
+        for t in terms
+    ]
+    score = term_exprs[0]
+    for e in term_exprs[1:]:
+        score = f"({score}\n            + {e})"
+    return f"""
+      WITH base AS (
+        SELECT doc_id,
+            CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+              AS dl,
+            {tf_cols}
+        FROM documents WHERE text IS NOT NULL
+      ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(dl) AS BIGINT) AS s,
+            {df_cols}
+        FROM base
+      ), scored AS (
+        SELECT doc_id, {score} AS score
+        FROM base CROSS JOIN stats
+      )
+      SELECT doc_id, rank, score_micro FROM (
+        SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+            AS rank,
+          CAST(floor(score * 1000000.0) AS BIGINT) AS score_micro
+        FROM scored WHERE score > 0)
+      WHERE rank <= {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2882,6 +2954,10 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN dfq USING (term))
           WHERE rk <= 3
         """,
+        # BM25 twin: the SAME rational idf/saturation expression shapes
+        # (left-assoc fold, per-operand ::DOUBLE casts) as bm25_topk —
+        # bit-identical doubles, so floor(score·1e6) hash-matches
+        "doc_bm25_topk": _bm25_oracle_sql(list(_BM25_TERMS), k=10),
         # hash64 is non-negative (< 2^60), so plain % ≡ Spark pmod
         "doc_hash_split": f"""
           SELECT doc_id,

@@ -711,3 +711,101 @@ def normalize_text(
         return out.str.strip(" ")
 
     return df.withColumn(out_col, _norm(F.col(text_col)))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by a rational BM25 relevance score for a fixed
+    query-term list (the retrieval step of a dedup-then-retrieve
+    training-data pipeline; reference analog: the attribute-filtered
+    read path of /root/reference/src/smos/interface.py:83-126, scoring
+    instead of masking).
+
+    Scoring is BM25 with k1=6/5, b=3/4, with BOTH transcendental-free
+    substitutions that keep the score an exact SQL expression:
+      idf(t)    = (2N - 2df + 1) / (2df + 1)     (Robertson idf sans ln —
+                  same argument, monotone-identical ranking per term)
+      tfpart(t) = 22·tf·S / (10·S·tf + 3·S + 9·dl·N)
+                  (the standard saturation term with avgdl = S/N,
+                  multiplied through by 10·S: every operand is a count)
+      score     = Σ_t idf(t)·tfpart(t), fixed left-to-right fold
+    All arithmetic is IEEE double +,-,×,÷ in a FIXED expression shape,
+    so Spark and DuckDB produce bit-identical scores — ln() would not.
+
+    Per-term tf uses word-boundary regexp counts (no tokenize+explode:
+    the term list is small and fixed, so tf is |terms| codegen column
+    expressions); dl is the [a-z0-9]+ token count. Corpus stats
+    (N, S=Σdl, df per term) are ONE aggregate row broadcast back over
+    the corpus — the only shuffle besides the final top-k, which is a
+    TakeOrderedAndProject (O(k) per partition, no global sort).
+
+    Returns (id_col, rank, score_micro) — floor(score·1e6), rank 1..k
+    ordered by (score desc, id asc). NULL-text rows never match.
+    """
+    import re as _re
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    for t in terms:
+        if not _re.fullmatch("[a-z0-9]+", t):
+            raise ValueError(f"terms must match [a-z0-9]+, got {t!r}")
+    if len(set(terms)) != len(terms):
+        raise ValueError("terms must be distinct")
+
+    low = F.lower(F.col(text_col))
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.regexp_count(low, F.lit("[a-z0-9]+")).cast("long").alias("_dl"),
+        *[
+            F.regexp_count(low, F.lit(f"\\b{t}\\b")).cast("long").alias(f"_tf_{t}")
+            for t in terms
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_s"),
+        *[
+            F.sum((F.col(f"_tf_{t}") > 0).cast("long")).alias(f"_df_{t}")
+            for t in terms
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+
+    def _term_score(t: str) -> Column:
+        tf = F.col(f"_tf_{t}").cast("double")
+        df_ = F.col(f"_df_{t}").cast("double")
+        n = F.col("_n").cast("double")
+        s = F.col("_s").cast("double")
+        dl = F.col("_dl").cast("double")
+        idf = (F.lit(2.0) * n - F.lit(2.0) * df_ + F.lit(1.0)) / (
+            F.lit(2.0) * df_ + F.lit(1.0)
+        )
+        tfpart = (F.lit(22.0) * tf * s) / (
+            F.lit(10.0) * s * tf + F.lit(3.0) * s + F.lit(9.0) * dl * n
+        )
+        return F.when(F.col(f"_tf_{t}") > 0, idf * tfpart).otherwise(F.lit(0.0))
+
+    score = _term_score(terms[0])
+    for t in terms[1:]:
+        score = score + _term_score(t)
+    top = (
+        scored.withColumn("_score", score)
+        .where(F.col("_score") > 0)
+        .orderBy(F.desc("_score"), F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("_score"), F.asc(id_col))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "score_micro", F.floor(F.col("_score") * F.lit(1000000.0)).cast("long")
+        )
+        .select(id_col, "rank", "score_micro")
+    )

@@ -858,3 +858,59 @@ def test_simhash_batch_vote_slicing_identical():
         sliced = np.zeros(len(arrs), dtype=np.int64)
         simhash_votes_batch(arrs, sliced, max_flat=max_flat)
         np.testing.assert_array_equal(sliced, unsliced, err_msg=str(max_flat))
+
+
+def test_bm25_topk_matches_duckdb(docs, ddb):
+    """bm25_topk vs the oracle expression evaluated in DuckDB on the
+    same corpus: same ids, same ranks, bit-identical score_micro (the
+    rational idf/saturation substitution makes the score exact SQL)."""
+    from smos_spark.operators.text import bm25_topk
+
+    import __spark_entry__ as entrymod
+
+    terms = ["spark", "join", "vector"]
+    got = (
+        bm25_topk(docs, terms=terms, k=10)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    exp = (
+        ddb.execute(entrymod._bm25_oracle_sql(terms, k=10))
+        .fetchdf()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) > 0
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["score_micro"].tolist() == exp["score_micro"].tolist()
+
+
+def test_bm25_topk_properties(docs):
+    """Ranks are 1..n contiguous, scores non-increasing, every hit
+    contains at least one query term; input validation rejects empty,
+    non-[a-z0-9], duplicate terms and k < 1."""
+    from smos_spark.operators.text import bm25_topk
+
+    out = bm25_topk(docs, terms=["customer", "vector"], k=5).toPandas()
+    assert out["rank"].tolist() == list(range(1, len(out) + 1))
+    scores = out["score_micro"].tolist()
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+    hit_ids = set(out["doc_id"].tolist())
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.where(F.col("doc_id").isin(list(hit_ids)))
+        .select("doc_id", "text")
+        .collect()
+    }
+    for did in hit_ids:
+        low = texts[did].lower()
+        assert ("customer" in low) or ("vector" in low)
+
+    import pytest as _pytest
+
+    for bad in ([], ["UPPER"], ["ok", "ok"], ["has space"]):
+        with _pytest.raises(ValueError):
+            bm25_topk(docs, terms=bad, k=5)
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, terms=["ok"], k=0)
