@@ -767,6 +767,39 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonal baseline anomalies: events deviating more
+    than 2.5σ from their (event_type, dow, hour) bucket, flagged by an
+    exact cross-multiplied integer inequality (no float σ). One
+    bounded groupBy (≤ types·168 rows) broadcast-joined back; the raw
+    side is never shuffled."""
+    from smos_spark.operators.anomaly import seasonal_anomaly
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    return seasonal_anomaly(
+        ev, "value", ["event_type"], ["event_id"], k_num=5, k_den=2
+    )
+
+
+def _q_events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM level-shift detector per user: the textbook
+    max(0, ·) recurrence computed exactly via its closed windowed form
+    S_i = P_i − min(0, min_prefix(P)) — two cumulative window
+    functions over one exchange, no UDF, all integer·n arithmetic."""
+    from smos_spark.operators.anomaly import cusum_changepoints
+
+    return cusum_changepoints(
+        _read_events(spark, sf_dir),
+        "value",
+        ["user_id"],
+        tie_cols=["event_id"],
+        slack_cents=4000,
+        h_cents=8000,
+    )
+
+
 def _q_m4_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 presentation downsample: per (user, hour pixel) keep only
     the rows realizing first/last/min/max — error-free line-chart
@@ -1601,10 +1634,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      (green there, unchanged since, re-verified locally — the
     #      round-5 window re-certifies them so every row has a green
     #      driver record within the last two rounds),
-    #   2. the 4 new round-5 queries (slots 43-46: multimodal_decode,
-    #      events_quantile_weekly, turn_len_quantiles_1d, doc_bm25_topk),
+    #   2. the 6 new round-5 queries (slots 43-48: multimodal_decode,
+    #      events_quantile_weekly, turn_len_quantiles_1d, doc_bm25_topk,
+    #      events_seasonal_anomaly, events_cusum_shift),
     #   3. the rows freshly checked green in CORRECTNESS_r04, oldest
-    #      evidence first — slots 47-50 (rolling_10m … doc_normalize)
+    #      evidence first — slots 49-50 (rolling_10m, burst_events)
     #      land INSIDE the round-5 window and get re-certified; the
     #      rest fill the tail with one-round-old driver evidence.
     # All 96 were additionally cross-checked green against DuckDB at
@@ -1658,6 +1692,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantile_weekly": _q_events_quantile_weekly,
         "turn_len_quantiles_1d": _q_turn_len_quantiles_1d,
         "doc_bm25_topk": _q_doc_bm25_topk,
+        "events_seasonal_anomaly": _q_events_seasonal_anomaly,
+        "events_cusum_shift": _q_events_cusum_shift,
         # -- freshly checked green in CORRECTNESS_r04 (tail) ----------------
         "rolling_10m": _q_rolling_10m,
         "burst_events": _q_burst_events,
@@ -2579,6 +2615,68 @@ def oracle_sql() -> dict[str, str]:
           WHERE roll_cnt >= 3
             AND CAST(round(value * 100) AS BIGINT) * roll_cnt
                 > 3 * roll_sum_cents
+        """,
+        # seasonal baseline flag: k_den²·(n·x−S)² > k_num²·(n·Q−S²)
+        # with k = 5/2 — pure HUGEINT cross-multiplication, no float σ;
+        # dow/hour from the same integer epoch-µs derivation as
+        # stats_hourly_profile
+        "events_seasonal_anomaly": """
+          WITH b AS (
+            SELECT event_type, event_id, ts,
+              ((epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000
+               + 4) % 7 AS dow,
+              ((epoch_us(ts) - epoch_us(ts) % 3600000000) // 3600000000)
+               % 24 AS hour,
+              CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vc
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          ), p AS (
+            SELECT event_type, dow, hour,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(vc AS HUGEINT)) AS HUGEINT) AS s,
+                   CAST(sum(CAST(vc AS HUGEINT) * CAST(vc AS HUGEINT))
+                     AS HUGEINT) AS q
+            FROM b GROUP BY 1, 2, 3
+          )
+          SELECT b.event_type, b.event_id, b.ts,
+                 b.vc AS value_cents, p.n,
+                 CAST(CAST(p.n AS HUGEINT) * b.vc - p.s AS BIGINT) AS dev_n
+          FROM b JOIN p USING (event_type, dow, hour)
+          WHERE p.n >= 4
+            AND 4 * (CAST(p.n AS HUGEINT) * b.vc - p.s)
+                  * (CAST(p.n AS HUGEINT) * b.vc - p.s)
+                > 25 * (CAST(p.n AS HUGEINT) * p.q - p.s * p.s)
+        """,
+        # CUSUM closed form: S_i = P_i − min(0, running_min(P_i)) over
+        # the n-scaled deviations d = n·v − S − n·slack; flag when
+        # S_i > n·h. Two stacked cumulative windows (SQL cannot nest
+        # window functions either), HUGEINT throughout.
+        "events_cusum_shift": """
+          WITH b AS (
+            SELECT user_id, ts, event_id,
+              CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vc
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          ), t AS (
+            SELECT user_id, ts, event_id, vc,
+              CAST(count(*) OVER (PARTITION BY user_id) AS HUGEINT) AS n,
+              CAST(sum(CAST(vc AS HUGEINT))
+                   OVER (PARTITION BY user_id) AS HUGEINT) AS s
+            FROM b
+          ), d AS (
+            SELECT *, n * vc - s - n * 4000 AS dd FROM t
+          ), pp AS (
+            SELECT *, sum(dd) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS p
+            FROM d
+          ), rr AS (
+            SELECT *, min(p) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS runmin
+            FROM pp
+          )
+          SELECT user_id, ts, event_id, vc AS value_cents,
+                 CAST(p - least(CAST(0 AS HUGEINT), runmin) AS BIGINT)
+                   AS cusum_n
+          FROM rr
+          WHERE p - least(CAST(0 AS HUGEINT), runmin) > n * 8000
         """,
         "rolling_10m": """
           SELECT event_id,

@@ -351,6 +351,33 @@ def main() -> None:
         )
         _force(interval_join(clicks, purchases, width_sec=7200.0, on="user_id"))
 
+    def q_anomaly():
+        # both exact anomaly detectors: seasonal baseline (bounded
+        # groupBy + broadcast-back, raw side never shuffles) and the
+        # windowed-closed-form CUSUM (one exchange, two cumulative
+        # windows, zero UDFs)
+        from smos_spark.operators.anomaly import (
+            cusum_changepoints,
+            seasonal_anomaly,
+        )
+
+        evf = spark.read.parquet(f"{sf_dir}/events.parquet")
+        _force(
+            seasonal_anomaly(
+                evf, "value", ["event_type"], ["event_id"], k_num=5, k_den=2
+            )
+        )
+        _force(
+            cusum_changepoints(
+                evf,
+                "value",
+                ["user_id"],
+                tie_cols=["event_id"],
+                slack_cents=4000,
+                h_cents=8000,
+            )
+        )
+
     def q_ngram_pairs():
         # exact prefix-filtered n-gram Jaccard (PLANS.md §29): df-
         # ordered prefix index -> candidate equi-join -> exact verify.
@@ -384,6 +411,7 @@ def main() -> None:
         "ann_index": q_ann_index,
         "interval_join": q_interval_join,
         "ngram_pairs": q_ngram_pairs,
+        "anomaly": q_anomaly,
     }
 
     n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))

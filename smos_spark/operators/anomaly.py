@@ -1,0 +1,230 @@
+"""Exact-arithmetic anomaly detection over retention-tier inputs.
+
+Two detectors every production time-series engine grows once tiers
+exist — "this point is far from its seasonal baseline" and "this
+series level-shifted" — built with the same discipline as
+operators/stats.py so both ship EXACT DuckDB oracles instead of
+tolerance checks:
+
+* values are integer-quantized up front (floor(v*cents));
+* every comparison is a cross-multiplied INTEGER inequality — no
+  sqrt, no division, no float sigma anywhere;
+* sums that could exceed int64 at 10^12-row scale are aggregated in
+  decimal(38,0) (Spark) / HUGEINT (DuckDB), both exact.
+
+`seasonal_anomaly` is the classic hour-of-week baseline test: one
+bounded groupBy (output ≤ groups·168 rows) broadcast-joined back onto
+the stream — the raw side is scanned, never shuffled on rows.
+
+`cusum_changepoints` is a one-sided CUSUM level-shift detector. The
+textbook recurrence S_i = max(0, S_{i-1} + (v_i − μ − slack)) is a
+sequential fold, but it has a closed windowed form: with
+d_i = v_i − μ − slack and prefix sums P_i = Σ_{j≤i} d_j,
+
+    S_i = P_i − min(0, min_{j≤i} P_j)
+
+so the whole detector is two cumulative window functions (sum + min)
+over the per-key time order — pure JVM window exchange, no UDF, no
+iteration, and expressible verbatim in ANSI SQL for the oracle. To
+keep μ = Σv/n exact we multiply the recurrence through by the per-key
+count n: d'_i = n·v_i − Σv − n·slack (all integers), flagging when
+S'_i > n·h. Every quantity is n× the textbook one, so the flag set is
+identical and the arithmetic stays in ℤ.
+
+Reference analog: the reference ships per-variable validity masks and
+fixed-decimal image statistics (/root/reference/src/smos/smos_ic/
+interface.py:63-93, tests/test_ICreshuffle.py:52); at tier scale the
+same per-variable scrutiny becomes baseline/shift tests over the
+rolled-up series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["seasonal_anomaly", "cusum_changepoints"]
+
+_DEC = "decimal(38,0)"
+
+
+def _dow_hour(ts_col: str):
+    """(dow 0=Sunday, hour-of-day) from pure integer epoch-µs
+    arithmetic — identical buckets in Spark and DuckDB regardless of
+    either engine's dayofweek() numbering convention (same derivation
+    as stats.hourly_profile)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    day_us, hour_us = 86_400_000_000, 3_600_000_000
+    days = ((us - F.pmod(us, F.lit(day_us))) / F.lit(day_us)).cast("long")
+    hours = ((us - F.pmod(us, F.lit(hour_us))) / F.lit(hour_us)).cast("long")
+    dow = F.pmod(days + 4, F.lit(7)).cast("int")
+    hour = F.pmod(hours, F.lit(24)).cast("int")
+    return dow, hour
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    id_cols: list[str],
+    ts_col: str = "ts",
+    k_num: int = 2,
+    k_den: int = 1,
+    min_count: int = 4,
+    cents: int = 100,
+) -> DataFrame:
+    """Rows whose value deviates more than (k_num/k_den)·σ from their
+    (group, day-of-week, hour-of-day) seasonal baseline.
+
+    The baseline includes the point itself (population moments over
+    the full bucket), so a constant bucket can never self-flag: zero
+    variance forces zero deviation. The flag test is the exact
+    integer inequality
+
+        k_den² · (n·x − S)²  >  k_num² · (n·Q − S²),   n ≥ min_count
+
+    with x = floor(v·cents), S = Σx, Q = Σx² — both sides are
+    decimal(38,0) products of int64 sums, exact for |x| < ~2^31 and
+    buckets up to ~10^10 rows (10^30 ≪ 10^38), where a double σ would
+    round and an int64 product would overflow.
+
+    Plan: one map-side-combined aggregation to ≤ groups·168 profile
+    rows, broadcast-joined back onto the stream — the raw side is
+    never shuffled, so the operator costs two scans and zero
+    row-shuffles at any scale. Output: group cols, id cols, ts,
+    value_cents, bucket n, dev_n = n·x − S (the n-scaled deviation,
+    sign-preserving) — bounded by the true anomaly rate.
+    """
+    if k_num <= 0 or k_den <= 0:
+        raise ValueError("k_num and k_den must be positive")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    dow, hour = _dow_hour(ts_col)
+    vc = F.floor(F.col(value_col).cast("double") * cents).cast("long")
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *group_cols,
+        *id_cols,
+        F.col(ts_col).cast("timestamp").alias(ts_col),
+        dow.alias("_dow"),
+        hour.alias("_hour"),
+        vc.alias("value_cents"),
+    )
+    prof = base.groupBy(*group_cols, "_dow", "_hour").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value_cents").cast(_DEC)).alias("_s"),
+        F.sum(
+            (F.col("value_cents").cast(_DEC) * F.col("value_cents").cast(_DEC))
+        ).alias("_q"),
+    )
+    joined = base.join(
+        F.broadcast(prof), on=[*group_cols, "_dow", "_hour"], how="inner"
+    )
+    n_dec = F.col("n").cast(_DEC)
+    dev = n_dec * F.col("value_cents").cast(_DEC) - F.col("_s")
+    var_n3 = n_dec * F.col("_q") - F.col("_s") * F.col("_s")
+    flag = (F.lit(k_den * k_den).cast(_DEC) * dev * dev) > (
+        F.lit(k_num * k_num).cast(_DEC) * var_n3
+    )
+    return (
+        joined.where((F.col("n") >= min_count) & flag)
+        .select(
+            *group_cols,
+            *id_cols,
+            F.col(ts_col),
+            F.col("value_cents"),
+            F.col("n"),
+            dev.cast("long").alias("dev_n"),
+        )
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    tie_cols: list[str] | None = None,
+    slack_cents: int = 0,
+    h_cents: int = 100,
+    cents: int = 100,
+) -> DataFrame:
+    """One-sided (upward) CUSUM level-shift detector per key, exact.
+
+    Per key with n samples and integer-cent sum S, each time-ordered
+    sample contributes d'_i = n·x_i − S − n·slack_cents (the textbook
+    deviation-minus-allowance, multiplied through by n so the per-key
+    mean μ = S/n never becomes a fraction). With prefix sums
+    P_i = Σ_{j≤i} d'_j, the CUSUM statistic is
+
+        S'_i = P_i − min(0, min_{j≤i} P_j)
+
+    — algebraically identical to the max(0, ·) fold, but computable
+    with two cumulative window functions instead of a sequential
+    recurrence. A row is flagged when S'_i > n·h_cents, i.e. the
+    unscaled CUSUM exceeded h_cents cents. Flagged rows are emitted
+    with cusum_n = S'_i (the n-scaled statistic), so consecutive rows
+    of one sustained excursion all appear — callers wanting only
+    onset points keep the first per burst.
+
+    All arithmetic is decimal(38,0): |P_i| ≤ n·max|d'| ≈ n²·|x|,
+    exact to n ≈ 10^16 per key — far beyond any bounded conversation.
+
+    Plan: ONE hash exchange on the key (both the per-key totals and
+    the ordered cumulative sum/min reuse the same Window partition),
+    one sort, zero joins, zero UDFs. Sequential per key by nature —
+    same keyed-window class as EWMA (operators/smooth.py); route
+    pathologically hot keys through a bucket twin first (PLANS.md
+    §27) if a single key ever exceeds a partition.
+    """
+    if h_cents <= 0:
+        raise ValueError("h_cents must be positive")
+    if slack_cents < 0:
+        raise ValueError("slack_cents must be >= 0")
+    ties = list(tie_cols or [])
+    vc = F.floor(F.col(value_col).cast("double") * cents).cast("long")
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *key_cols,
+        F.col(ts_col).cast("timestamp").alias(ts_col),
+        *[F.col(t) for t in ties],
+        vc.alias("value_cents"),
+    )
+    w_all = Window.partitionBy(*key_cols)
+    w_ord = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col), *[F.col(t) for t in ties])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w_all)
+    s = F.sum(F.col("value_cents").cast(_DEC)).over(w_all)
+    d = (
+        n.cast(_DEC) * F.col("value_cents").cast(_DEC)
+        - s
+        - n.cast(_DEC) * F.lit(slack_cents).cast(_DEC)
+    )
+    with_d = base.withColumn("_n", n).withColumn("_d", d)
+    # two projections: Spark cannot nest window expressions, but both
+    # specs share one (partition, sort), so the plan carries a single
+    # exchange + sort feeding consecutive Window operators.
+    with_p = with_d.withColumn("_p", F.sum("_d").over(w_ord))
+    runmin = F.min("_p").over(w_ord)
+    cusum = F.col("_p") - F.least(F.lit(0).cast(_DEC), runmin)
+    out = (
+        with_p.withColumn("_cusum", cusum)
+        .where(
+            F.col("_cusum")
+            > F.col("_n").cast(_DEC) * F.lit(h_cents).cast(_DEC)
+        )
+        .select(
+            *key_cols,
+            F.col(ts_col),
+            *[F.col(t) for t in ties],
+            F.col("value_cents"),
+            F.col("_cusum").cast("long").alias("cusum_n"),
+        )
+    )
+    return out

@@ -1,0 +1,186 @@
+"""Seasonal-baseline and CUSUM anomaly detectors (operators/anomaly.py).
+
+The CUSUM tests pin the load-bearing identity: the windowed closed
+form S_i = P_i − min(0, min_prefix(P_i)) must equal the textbook
+sequential fold S_i = max(0, S_{i-1} + d_i) row for row — verified
+against a pure-Python integer fold on seeded random data, plus a
+hand-built level-shift series where the flag onset is known.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from smos_spark.operators.anomaly import cusum_changepoints, seasonal_anomaly
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [Row(event_id=i, key=k, ts=ts, value=v) for i, (k, ts, v) in enumerate(rows)]
+    )
+
+
+class TestSeasonalAnomaly:
+    def test_flags_exact_hand_computed_bucket(self, spark):
+        # one (key, dow, hour) bucket: values 1.00 ×8 and one 9.00.
+        # cents x: 100×8, 900; n=9, S=1700, Q=80000+810000=890000.
+        # dev(900) = 9·900−1700 = 6400; var_n3 = 9·890000−1700² = 5120000.
+        # k=2/1: dev² = 40.96e6 > 4·var_n3 = 20.48e6 → flag. For
+        # x=100: dev = −800, 0.64e6 ≤ 20.48e6 → no flag.
+        rows = [("a", T0 + dt.timedelta(minutes=m), 1.0) for m in range(8)]
+        rows.append(("a", T0 + dt.timedelta(minutes=8), 9.0))
+        out = seasonal_anomaly(
+            _ev(spark, rows), "value", ["key"], ["event_id"], k_num=2, k_den=1
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.value_cents, r.n, r.dev_n) == (900, 9, 6400)
+
+    def test_constant_bucket_never_flags(self, spark):
+        rows = [("a", T0 + dt.timedelta(minutes=m), 5.0) for m in range(10)]
+        out = seasonal_anomaly(
+            _ev(spark, rows), "value", ["key"], ["event_id"], k_num=1, k_den=100
+        )
+        assert out.count() == 0
+
+    def test_min_count_gate(self, spark):
+        # 3-row bucket with an extreme outlier: suppressed by min_count=4
+        rows = [
+            ("a", T0, 1.0),
+            ("a", T0 + dt.timedelta(minutes=1), 1.0),
+            ("a", T0 + dt.timedelta(minutes=2), 99.0),
+        ]
+        df = _ev(spark, rows)
+        assert (
+            seasonal_anomaly(
+                df, "value", ["key"], ["event_id"], k_num=1, k_den=1, min_count=4
+            ).count()
+            == 0
+        )
+        assert (
+            seasonal_anomaly(
+                df, "value", ["key"], ["event_id"], k_num=1, k_den=1, min_count=2
+            ).count()
+            > 0
+        )
+
+    def test_buckets_split_by_hour_and_group(self, spark):
+        # same value pattern in two hours: each hour is its own
+        # baseline, so the cross-hour "outlier" does not flag
+        rows = [("a", T0 + dt.timedelta(minutes=m), 1.0) for m in range(5)]
+        rows += [("a", T0 + dt.timedelta(hours=1, minutes=m), 9.0) for m in range(5)]
+        out = seasonal_anomaly(
+            _ev(spark, rows), "value", ["key"], ["event_id"], k_num=1, k_den=1
+        )
+        assert out.count() == 0
+
+    def test_rejects_bad_params(self, spark):
+        df = _ev(spark, [("a", T0, 1.0)])
+        with pytest.raises(ValueError):
+            seasonal_anomaly(df, "value", ["key"], ["event_id"], k_num=0)
+        with pytest.raises(ValueError):
+            seasonal_anomaly(df, "value", ["key"], ["event_id"], min_count=0)
+
+
+def _fold_reference(values_cents, slack_cents, h_cents):
+    """Textbook integer CUSUM fold, n-scaled like the operator."""
+    n, s = len(values_cents), sum(values_cents)
+    out, cur = [], 0
+    for x in values_cents:
+        cur = max(0, cur + (n * x - s - n * slack_cents))
+        out.append(cur)
+    return [
+        (i, c) for i, c in enumerate(out) if c > n * h_cents
+    ]
+
+
+class TestCusumChangepoints:
+    def test_level_shift_flags_after_onset(self, spark):
+        # 20 samples at 10.0 then 20 at 30.0: mean 20, so the shifted
+        # half accumulates; with slack 5.00 the statistic exceeds
+        # h=10.00 only inside the shifted segment
+        vals = [10.0] * 20 + [30.0] * 20
+        rows = [("a", T0 + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)]
+        out = cusum_changepoints(
+            _ev(spark, rows),
+            "value",
+            ["key"],
+            tie_cols=["event_id"],
+            slack_cents=500,
+            h_cents=1000,
+        ).collect()
+        got = sorted(r.event_id for r in out)
+        expect = [i for i, _ in _fold_reference(
+            [1000] * 20 + [3000] * 20, 500, 1000)]
+        assert got == expect
+        assert got and min(got) >= 20  # flags only after the shift
+
+    def test_closed_form_equals_sequential_fold(self, spark):
+        # seeded random integers: windowed closed form == textbook fold.
+        # reference cents go through the SAME double round-trip as the
+        # operator (floor((v/100)·100) can drop a cent: 12.34·100 =
+        # 1233.99…), so both sides quantize identically.
+        import math
+        import random
+
+        rng = random.Random(7)
+        for key_count in (1, 3):
+            rows, expect = [], {}
+            for k in range(key_count):
+                vals = [rng.randint(0, 4000) for _ in range(200)]
+                cents = [math.floor((v / 100.0) * 100) for v in vals]
+                expect[f"k{k}"] = _fold_reference(cents, 300, 2000)
+                rows += [
+                    (f"k{k}", T0 + dt.timedelta(seconds=i), v / 100.0)
+                    for i, v in enumerate(vals)
+                ]
+            out = cusum_changepoints(
+                _ev(spark, rows),
+                "value",
+                ["key"],
+                tie_cols=["event_id"],
+                slack_cents=300,
+                h_cents=2000,
+            ).collect()
+            got = {}
+            base = {f"k{k}": 200 * k for k in range(key_count)}
+            for r in out:
+                got.setdefault(r.key, []).append(
+                    (r.event_id - base[r.key], r.cusum_n)
+                )
+            for k, exp in expect.items():
+                assert sorted(got.get(k, [])) == exp, k
+
+    def test_no_flags_on_stationary_series_with_slack(self, spark):
+        vals = [10.0, 10.5] * 50
+        rows = [("a", T0 + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)]
+        out = cusum_changepoints(
+            _ev(spark, rows),
+            "value",
+            ["key"],
+            tie_cols=["event_id"],
+            slack_cents=100,
+            h_cents=500,
+        )
+        assert out.count() == 0
+
+    def test_single_exchange_plan(self, spark):
+        rows = [("a", T0 + dt.timedelta(minutes=i), float(i)) for i in range(5)]
+        out = cusum_changepoints(
+            _ev(spark, rows), "value", ["key"], tie_cols=["event_id"]
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_rejects_bad_params(self, spark):
+        df = _ev(spark, [("a", T0, 1.0)])
+        with pytest.raises(ValueError):
+            cusum_changepoints(df, "value", ["key"], h_cents=0)
+        with pytest.raises(ValueError):
+            cusum_changepoints(df, "value", ["key"], slack_cents=-1)
