@@ -800,6 +800,25 @@ def _q_events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_cusum_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-target one-sided CUSUM per user (textbook form, the
+    streamable variant): deviations against a KNOWN target mean,
+    closed windowed form, two cumulative windows over one exchange.
+    Batch twin of anomaly.cusum_stream (stream==batch pinned in
+    test_cusum_stream_matches_batch)."""
+    from smos_spark.operators.anomaly import cusum_fixed
+
+    return cusum_fixed(
+        _read_events(spark, sf_dir),
+        "value",
+        ["user_id"],
+        target_cents=5000,
+        tie_cols=["event_id"],
+        slack_cents=1000,
+        h_cents=50000,
+    )
+
+
 def _q_m4_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 presentation downsample: per (user, hour pixel) keep only
     the rows realizing first/last/min/max — error-free line-chart
@@ -1634,13 +1653,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      (green there, unchanged since, re-verified locally — the
     #      round-5 window re-certifies them so every row has a green
     #      driver record within the last two rounds),
-    #   2. the 6 new round-5 queries (slots 43-48: multimodal_decode,
+    #   2. the 7 new round-5 queries (slots 43-49: multimodal_decode,
     #      events_quantile_weekly, turn_len_quantiles_1d, doc_bm25_topk,
-    #      events_seasonal_anomaly, events_cusum_shift),
+    #      events_seasonal_anomaly, events_cusum_shift,
+    #      events_cusum_fixed),
     #   3. the rows freshly checked green in CORRECTNESS_r04, oldest
-    #      evidence first — slots 49-50 (rolling_10m, burst_events)
-    #      land INSIDE the round-5 window and get re-certified; the
-    #      rest fill the tail with one-round-old driver evidence.
+    #      evidence first — slot 50 (rolling_10m) lands INSIDE the
+    #      round-5 window and gets re-certified; the rest fill the
+    #      tail with one-round-old driver evidence.
     # All 96 were additionally cross-checked green against DuckDB at
     # BOTH sf0.01 and sf0.1 this round (scripts/check_contract.py).
     return {
@@ -1694,6 +1714,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_topk": _q_doc_bm25_topk,
         "events_seasonal_anomaly": _q_events_seasonal_anomaly,
         "events_cusum_shift": _q_events_cusum_shift,
+        "events_cusum_fixed": _q_events_cusum_fixed,
         # -- freshly checked green in CORRECTNESS_r04 (tail) ----------------
         "rolling_10m": _q_rolling_10m,
         "burst_events": _q_burst_events,
@@ -2677,6 +2698,31 @@ def oracle_sql() -> dict[str, str]:
                    AS cusum_n
           FROM rr
           WHERE p - least(CAST(0 AS HUGEINT), runmin) > n * 8000
+        """,
+        # fixed-target CUSUM (the streamable textbook form): same
+        # closed form over d = vc − target − slack with constant
+        # target, flag when the statistic exceeds h directly (no
+        # n-scaling — the target is known, not estimated)
+        "events_cusum_fixed": """
+          WITH b AS (
+            SELECT user_id, ts, event_id,
+              CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vc
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          ), pp AS (
+            SELECT *, sum(CAST(vc AS HUGEINT) - 6000) OVER (
+              PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS p
+            FROM b
+          ), rr AS (
+            SELECT *, min(p) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS runmin
+            FROM pp
+          )
+          SELECT user_id, ts, event_id, vc AS value_cents,
+                 CAST(p - least(CAST(0 AS HUGEINT), runmin) AS BIGINT)
+                   AS cusum_cents
+          FROM rr
+          WHERE p - least(CAST(0 AS HUGEINT), runmin) > 50000
         """,
         "rolling_10m": """
           SELECT event_id,

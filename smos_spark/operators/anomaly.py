@@ -31,6 +31,16 @@ count n: d'_i = n·v_i − Σv − n·slack (all integers), flagging when
 S'_i > n·h. Every quantity is n× the textbook one, so the flag set is
 identical and the arithmetic stays in ℤ.
 
+`cusum_fixed` / `cusum_stream` are the fixed-target form (the textbook
+CUSUM: deviations measured against a KNOWN target mean rather than the
+per-key sample mean — the only form a stream can compute, since the
+sample mean needs the whole series). The batch variant is the same
+closed windowed form minus the per-key aggregates; the streaming twin
+carries O(1) state per key — (last statistic, last event-time) — via
+applyInPandasWithState and is row-for-row equal to the batch operator
+(pinned in test_cusum_stream_matches_batch), the same §2.8
+incremental-path contract as smooth.ewma_stream.
+
 Reference analog: the reference ships per-variable validity masks and
 fixed-decimal image statistics (/root/reference/src/smos/smos_ic/
 interface.py:63-93, tests/test_ICreshuffle.py:52); at tier scale the
@@ -40,11 +50,18 @@ rolled-up series.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["seasonal_anomaly", "cusum_changepoints"]
+__all__ = [
+    "seasonal_anomaly",
+    "cusum_changepoints",
+    "cusum_fixed",
+    "cusum_stream",
+]
 
 _DEC = "decimal(38,0)"
 
@@ -228,3 +245,175 @@ def cusum_changepoints(
         )
     )
     return out
+
+
+def cusum_fixed(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    target_cents: int,
+    ts_col: str = "ts",
+    tie_cols: list[str] | None = None,
+    slack_cents: int = 0,
+    h_cents: int = 100,
+    cents: int = 100,
+) -> DataFrame:
+    """Fixed-target one-sided CUSUM per key (textbook form): deviations
+    d_i = x_i − target − slack in integer cents against a KNOWN target
+    mean, folded by S_i = max(0, S_{i-1} + d_i) and flagged when
+    S_i > h_cents.
+
+    Computed exactly via the same closed windowed form as
+    `cusum_changepoints` — S_i = P_i − min(0, min_prefix(P_i)) over
+    prefix sums P of d — but with NO per-key aggregates (the target is
+    a constant), so the plan is two cumulative window functions over
+    one hash exchange and nothing else. This is the batch twin of
+    `cusum_stream`: identical flag set, identical cusum_cents values.
+
+    Output: key cols, ts, tie cols, value_cents, cusum_cents (long).
+    Arithmetic in decimal(38,0): |P| ≤ n·max|d|, exact to ~10^28
+    row-cents per key.
+    """
+    if h_cents <= 0:
+        raise ValueError("h_cents must be positive")
+    if slack_cents < 0:
+        raise ValueError("slack_cents must be >= 0")
+    ties = list(tie_cols or [])
+    vc = F.floor(F.col(value_col).cast("double") * cents).cast("long")
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *key_cols,
+        F.col(ts_col).cast("timestamp").alias(ts_col),
+        *[F.col(t) for t in ties],
+        vc.alias("value_cents"),
+    )
+    w_ord = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col), *[F.col(t) for t in ties])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (
+        F.col("value_cents").cast(_DEC)
+        - F.lit(int(target_cents) + int(slack_cents)).cast(_DEC)
+    )
+    with_p = base.withColumn("_p", F.sum(d).over(w_ord))
+    runmin = F.min("_p").over(w_ord)
+    cusum = F.col("_p") - F.least(F.lit(0).cast(_DEC), runmin)
+    return (
+        with_p.withColumn("_cusum", cusum)
+        .where(F.col("_cusum") > F.lit(int(h_cents)).cast(_DEC))
+        .select(
+            *key_cols,
+            F.col(ts_col),
+            *[F.col(t) for t in ties],
+            F.col("value_cents"),
+            F.col("_cusum").cast("long").alias("cusum_cents"),
+        )
+    )
+
+
+def cusum_stream(
+    stream: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str],
+    target_cents: int,
+    ts_col: str = "ts",
+    tie_cols: Sequence[str] = (),
+    slack_cents: int = 0,
+    h_cents: int = 100,
+    cents: int = 100,
+    watermark: str = "1 hour",
+):
+    """Structured Streaming twin of `cusum_fixed` (§2.8 parity, the
+    same incremental-path contract as smooth.ewma_stream).
+
+    State per key is exactly the batch fold's carry — (current CUSUM
+    statistic in cents, last event-time micros), 16 bytes — maintained
+    across micro-batches via applyInPandasWithState, so the streaming
+    flag set and cusum_cents values are row-for-row IDENTICAL to
+    running `cusum_fixed` over the same rows in batch (pinned in
+    test_cusum_stream_matches_batch). Within each micro-batch the
+    kernel evaluates the fold with the SAME vectorized closed form
+    (cumsum + running-min over the state-seeded deviation array — no
+    per-row Python), emitting only flagged rows (append mode).
+
+    Ordering contract (mirrors ewma_stream): rows within a micro-batch
+    are sorted by (ts, *ties); a row arriving in a later micro-batch
+    with ts earlier than the key's last processed ts cannot re-enter
+    the fold and is DROPPED — bound disorder with the source
+    watermark. State is kept for the key's lifetime (eviction would
+    silently reset the statistic). Rows with NULL ts or NULL value are
+    excluded, as in batch.
+    """
+    if h_cents <= 0:
+        raise ValueError("h_cents must be positive")
+    if slack_cents < 0:
+        raise ValueError("slack_cents must be >= 0")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keys = list(key_cols)
+    ties = list(tie_cols)
+    shift = int(target_cents) + int(slack_cents)
+    h = int(h_cents)
+    src = stream.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(ts_col).cast("timestamp").alias(ts_col),
+        *[F.col(t) for t in ties],
+        F.floor(F.col(value_col).cast("double") * cents)
+        .cast("long")
+        .alias("value_cents"),
+    )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+    ) + ", cusum_cents long"
+    state_schema = "s long, last_us long"
+
+    def _fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return iter([])
+        s0, last_us = state.get if state.exists else (0, None)
+        # concat + sort once: chunks arrive in arbitrary row order
+        # (see ewma_stream's note) — bounded by this key's rows in
+        # THIS micro-batch, state stays O(1)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return iter([])
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(["_ts_us", *ties], kind="mergesort")
+        if last_us is not None:
+            pdf = pdf[pdf["_ts_us"] >= last_us]
+        if not len(pdf):
+            return iter([])
+        d = pdf["value_cents"].to_numpy(dtype=np.int64) - shift
+        # seeded closed form: fold from state s0 == closed form over
+        # the array with s0 prepended as a virtual first deviation
+        # (max(0, 0 + s0) = s0 since s0 >= 0), then drop the seed row
+        p = np.cumsum(np.concatenate(([np.int64(s0)], d)))
+        runmin = np.minimum.accumulate(np.minimum(p, 0))
+        s_all = (p - runmin)[1:]
+        mask = s_all > h
+        state.update((int(s_all[-1]), int(pdf["_ts_us"].iloc[-1])))
+        if not mask.any():
+            return iter([])
+        out = pdf.loc[mask].drop(columns=["_ts_us"]).copy()
+        out["cusum_cents"] = s_all[mask]
+        return iter([out])
+
+    return (
+        src.withWatermark(ts_col, watermark)
+        .withColumn("_ts_us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -15,7 +15,12 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from smos_spark.operators.anomaly import cusum_changepoints, seasonal_anomaly
+from smos_spark.operators.anomaly import (
+    cusum_changepoints,
+    cusum_fixed,
+    cusum_stream,
+    seasonal_anomaly,
+)
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
 
@@ -184,3 +189,142 @@ class TestCusumChangepoints:
             cusum_changepoints(df, "value", ["key"], h_cents=0)
         with pytest.raises(ValueError):
             cusum_changepoints(df, "value", ["key"], slack_cents=-1)
+
+
+def _fixed_fold_reference(values_cents, target_cents, slack_cents, h_cents, s0=0):
+    """Textbook fixed-target integer CUSUM fold."""
+    out, cur = [], s0
+    for i, x in enumerate(values_cents):
+        cur = max(0, cur + (x - target_cents - slack_cents))
+        if cur > h_cents:
+            out.append((i, cur))
+    return out
+
+
+class TestCusumFixed:
+    def test_matches_sequential_fold(self, spark):
+        import math
+        import random
+
+        rng = random.Random(11)
+        rows, expect = [], {}
+        for k in range(3):
+            vals = [rng.randint(0, 4000) for _ in range(200)]
+            cents = [math.floor((v / 100.0) * 100) for v in vals]
+            expect[f"k{k}"] = _fixed_fold_reference(cents, 1800, 300, 5000)
+            rows += [
+                (f"k{k}", T0 + dt.timedelta(seconds=i), v / 100.0)
+                for i, v in enumerate(vals)
+            ]
+        out = cusum_fixed(
+            _ev(spark, rows),
+            "value",
+            ["key"],
+            target_cents=1800,
+            tie_cols=["event_id"],
+            slack_cents=300,
+            h_cents=5000,
+        ).collect()
+        got, base = {}, {f"k{k}": 200 * k for k in range(3)}
+        for r in out:
+            got.setdefault(r.key, []).append(
+                (r.event_id - base[r.key], r.cusum_cents)
+            )
+        for k, exp in expect.items():
+            assert sorted(got.get(k, [])) == exp, k
+
+    def test_single_exchange_plan(self, spark):
+        rows = [("a", T0 + dt.timedelta(minutes=i), float(i)) for i in range(5)]
+        out = cusum_fixed(
+            _ev(spark, rows), "value", ["key"], target_cents=100,
+            tie_cols=["event_id"],
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_rejects_bad_params(self, spark):
+        df = _ev(spark, [("a", T0, 1.0)])
+        with pytest.raises(ValueError):
+            cusum_fixed(df, "value", ["key"], target_cents=100, h_cents=0)
+        with pytest.raises(ValueError):
+            cusum_fixed(
+                df, "value", ["key"], target_cents=100, slack_cents=-1
+            )
+
+
+class TestCusumStream:
+    def test_cusum_stream_matches_batch(self, spark, tmp_path):
+        """Streaming fixed-target CUSUM across multiple micro-batches
+        (maxFilesPerTrigger=1 over time-sliced files) must equal the
+        batch operator row-for-row: the 16-byte state per key is
+        exactly the batch fold's carry."""
+        import pandas as pd
+
+        from smos_spark.synth import synth_transcripts
+
+        turns = (
+            synth_transcripts(spark, n_conv=30, seed=17)
+            .where(F.col("ts").isNotNull())
+            .select(
+                "conv_id", "ts", "turn_idx",
+                F.length("text").cast("double").alias("value"),
+            )
+            .where(F.col("value").isNotNull())
+            .cache()
+        )
+        params = dict(
+            target_cents=50000, slack_cents=10000, h_cents=200000
+        )
+        c1, c2 = turns.selectExpr(
+            "percentile_approx(ts, 0.33) as a",
+            "percentile_approx(ts, 0.66) as b",
+        ).collect()[0]
+        src = str(tmp_path / "src")
+        turns.where(F.col("ts") <= F.lit(c1)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        turns.where(
+            (F.col("ts") > F.lit(c1)) & (F.col("ts") <= F.lit(c2))
+        ).coalesce(1).write.mode("append").parquet(src)
+        turns.where(F.col("ts") > F.lit(c2)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        stream = (
+            spark.readStream.schema(turns.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            cusum_stream(
+                stream, "value", ["conv_id"], tie_cols=["turn_idx"],
+                watermark="0 seconds", **params,
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("cusum_stream_t")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = (
+            spark.table("cusum_stream_t")
+            .toPandas()
+            .sort_values(["conv_id", "ts", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            cusum_fixed(
+                turns, "value", ["conv_id"], tie_cols=["turn_idx"], **params
+            )
+            .toPandas()
+            .sort_values(["conv_id", "ts", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp) and len(got) > 0
+        pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+    def test_rejects_bad_params(self, spark):
+        df = _ev(spark, [("a", T0, 1.0)])
+        with pytest.raises(ValueError):
+            cusum_stream(df, "value", ["key"], target_cents=100, h_cents=0)
