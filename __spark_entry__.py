@@ -1669,6 +1669,100 @@ def _q_emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_outliers(_embs(spark, sf_dir), threshold_ppm=0)
 
 
+def _q_events_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candlesticks per user: open/high/low/close in exact
+    integer cents via min_by/max_by on the (ts, event_id) struct — a
+    PURE hash aggregate (map-side partial combine, no window sort),
+    the same shuffle shape as the 1m tier rollup."""
+    from smos_spark.operators.timeagg import ohlc
+
+    return ohlc(_read_events(spark, sf_dir), width_sec=3600.0)
+
+
+def _q_events_twa_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted daily mean per user (TimescaleDB
+    time_weight analog): exact integer numerator (cents·µs,
+    decimal(38,0)) and denominator (µs) — the division is the
+    caller's, so no decimal→double rounding can split engines."""
+    from smos_spark.operators.timeagg import time_weighted_avg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # contract-level int64 cast: the operator's decimal(38,0) numerator
+    # is the scale-safe form; at contract SF it fits int64 exactly and
+    # BIGINT is the one integer type both engines hash identically
+    return time_weighted_avg(ev).withColumn(
+        "twa_num", F.col("twa_num").cast("long")
+    )
+
+
+def _q_conv_role_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time each conversation spends in each role (state_agg analog):
+    every turn holds its role until the next turn; the final open turn
+    is excluded. One lag Exchange per conv + a map-side-combined
+    groupBy on (conv, role)."""
+    from smos_spark.operators.timeagg import state_durations
+
+    return state_durations(
+        _transcripts(spark, sf_dir).where(F.col("ts").isNotNull())
+    )
+
+
+def _q_events_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat liveness per user (heartbeat_agg analog): measure of
+    the union of [ts, ts+5min) beat intervals, computed gap-wise in
+    exact int64 µs — no interval-merge pass needed on ordered beats."""
+    from smos_spark.operators.timeagg import uptime
+
+    return uptime(_read_events(spark, sf_dir), liveness_sec=300.0)
+
+
+def _q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outliers (Hampel rule, |v−med| > 5·MAD): both
+    medians are exact interpolated percentiles of integer cents, and
+    the comparison is doubled into pure-integer doubles — immune to
+    the heavy tail that inflates σ-based thresholds."""
+    from smos_spark.operators.anomaly import mad_outliers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    return mad_outliers(
+        ev, "value", ["event_type"], ["event_id"], k_num=5, k_den=1
+    )
+
+
+def _q_des_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown double-exponential smoothing: final level / trend /
+    one-step forecast per user over integer-cent values. Two chained
+    C-kernel EWMAs inside one mapInPandas with an O(1) (s1, s2) carry;
+    the DuckDB twin runs the identical recursion in a recursive CTE —
+    bit-equal doubles end to end."""
+    from pyspark.sql.window import Window as W
+
+    from smos_spark.operators.smooth import des
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").cast("double").alias("vc"),
+    )
+    d = des(
+        ev, alpha=0.3, value_col="vc", key_cols=("conv_id",),
+        ts_col="ts", tie_cols=("event_id",),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("conv_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    )
+    return (
+        d.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("conv_id", "des_level", "des_trend", "des_forecast")
+    )
+
+
 def _with_dist(fn: Callable) -> Callable:
     def _wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_dist(spark)
@@ -1811,6 +1905,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_1h": _q_salted_1h,
         "derived_1h": _q_derived_1h,
         "gap_fill_1h": _q_gap_fill_1h,
+        # -- new this session (first driver check next window; all six
+        # cross-checked green vs DuckDB at sf0.01 AND sf0.1 locally) --
+        "events_ohlc_1h": _q_events_ohlc_1h,
+        "events_twa_daily": _q_events_twa_daily,
+        "conv_role_durations": _q_conv_role_durations,
+        "events_uptime": _q_events_uptime,
+        "events_mad_outliers": _q_events_mad_outliers,
+        "des_final": _q_des_final,
     }
 
 
@@ -3626,6 +3728,105 @@ def oracle_sql() -> dict[str, str]:
                * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))),
             6) DESC, e.vec_id ASC
           LIMIT 10
+        """,
+        "events_ohlc_1h": """
+          SELECT user_id,
+            make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000)
+              AS bucket_start,
+            first(CAST(floor(value*100) AS BIGINT) ORDER BY ts, event_id)
+              AS open_cents,
+            max(CAST(floor(value*100) AS BIGINT)) AS high_cents,
+            min(CAST(floor(value*100) AS BIGINT)) AS low_cents,
+            last(CAST(floor(value*100) AS BIGINT) ORDER BY ts, event_id)
+              AS close_cents,
+            CAST(count(*) AS BIGINT) AS n_samples,
+            CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT)
+              AS vsum_cents
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          GROUP BY 1, 2
+        """,
+        "events_twa_daily": """
+          WITH o AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+              CAST(floor(value*100) AS BIGINT) AS c,
+              epoch_us(ts) AS us,
+              epoch_us(date_trunc('day', ts)) + 86400000000 AS day_end,
+              lead(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+          SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+            CAST(sum(CAST(c AS HUGEINT)
+                 * (least(coalesce(next_us, day_end), day_end) - us))
+              AS BIGINT) AS twa_num,
+            CAST(sum(least(coalesce(next_us, day_end), day_end) - us)
+              AS BIGINT) AS twa_den
+          FROM o GROUP BY 1, 2
+        """,
+        "conv_role_durations": _T_CTE
+        + """
+          , o AS (
+            SELECT conv_id, role,
+              lead(epoch_us(ts)) OVER
+                (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                - epoch_us(ts) AS dur
+            FROM t WHERE ts IS NOT NULL AND role IS NOT NULL)
+          SELECT conv_id, role, CAST(sum(dur) AS BIGINT) AS total_us,
+            CAST(count(*) AS BIGINT) AS n_intervals
+          FROM o WHERE dur IS NOT NULL GROUP BY 1, 2
+        """,
+        "events_uptime": """
+          WITH o AS (
+            SELECT user_id, epoch_us(ts) AS us,
+              lead(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+            FROM events WHERE ts IS NOT NULL)
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_beats,
+            max(us) - min(us) AS span_us,
+            CAST(sum(coalesce(least(next_us - us, 300000000), 300000000))
+              AS BIGINT) AS up_us
+          FROM o GROUP BY 1
+        """,
+        "events_mad_outliers": """
+          WITH b AS (
+            SELECT event_id, event_type,
+              CAST(floor(value*100) AS BIGINT) AS value_cents
+            FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+          m AS (SELECT event_type, 2*quantile_cont(value_cents, 0.5) AS med2
+                FROM b GROUP BY 1),
+          d AS (SELECT b.*, m.med2,
+                  abs(2*b.value_cents - m.med2) AS dev2
+                FROM b JOIN m USING (event_type)),
+          md AS (SELECT event_type, quantile_cont(dev2, 0.5) AS mad2
+                 FROM d GROUP BY 1)
+          SELECT d.event_id, d.event_type, d.value_cents, d.dev2, d.med2,
+                 md.mad2
+          FROM d JOIN md USING (event_type) WHERE d.dev2 * 1 > 5 * md.mad2
+        """,
+        "des_final": """
+          WITH RECURSIVE o AS (
+            SELECT CAST(user_id AS VARCHAR) AS conv_id, ts, event_id,
+              CAST(floor(value*100) AS BIGINT)::DOUBLE AS vc
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+          g AS (SELECT conv_id, list(vc ORDER BY ts, event_id) AS vs
+                FROM o GROUP BY 1),
+          r AS (
+            SELECT conv_id, 1 AS i, vs[1] AS s1, vs[1] AS s2 FROM g
+            UNION ALL
+            SELECT r.conv_id, r.i+1,
+              r.s1*0.7::DOUBLE + g.vs[r.i+1]*0.3::DOUBLE,
+              r.s2*0.7::DOUBLE
+                + (r.s1*0.7::DOUBLE + g.vs[r.i+1]*0.3::DOUBLE)*0.3::DOUBLE
+            FROM r JOIN g USING (conv_id) WHERE r.i < len(g.vs)),
+          f AS (SELECT conv_id, s1, s2,
+                  row_number() OVER (PARTITION BY conv_id ORDER BY i DESC)
+                    AS rn
+                FROM r)
+          SELECT conv_id, 2.0*s1 - s2 AS des_level,
+            (0.3::DOUBLE/(1.0::DOUBLE - 0.3::DOUBLE))*(s1 - s2) AS des_trend,
+            (2.0*s1 - s2)
+              + (0.3::DOUBLE/(1.0::DOUBLE - 0.3::DOUBLE))*(s1 - s2)
+              AS des_forecast
+          FROM f WHERE rn = 1
         """,
     }
     # the *_auto dispatcher rows are DEFINED to be row-identical to

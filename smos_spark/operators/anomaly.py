@@ -64,6 +64,7 @@ __all__ = [
     "cusum_fixed",
     "cusum_stream",
     "trend_slope",
+    "mad_outliers",
 ]
 
 _DEC = "decimal(38,0)"
@@ -614,4 +615,62 @@ def trend_slope(
         .cast("long")
         .alias("slope_den"),
         *moments,
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    id_cols: list[str],
+    k_num: int = 5,
+    k_den: int = 1,
+    cents: int = 100,
+) -> DataFrame:
+    """Robust per-group outliers by median absolute deviation: flag
+    rows with |v − median(v)| > (k_num/k_den) · MAD, the
+    Hampel-identifier rule (public; Leys et al. 2013).  Unlike the
+    σ-based `seasonal_anomaly`, a few extreme rows cannot inflate the
+    threshold — median and MAD have a 50% breakdown point.
+
+    Exactness: v is floored to integer cents; the two medians are
+    exact interpolated percentiles of integers, so every intermediate
+    is an integer or half-integer — doubling both sides of the
+    comparison (`dev2 = |2v − 2·med|`, `mad2 = median(dev2)`, flag iff
+    dev2·k_den > k_num·mad2) keeps every compared quantity an
+    integer-valued double < 2^53, bit-identical across engines.
+    Output: id cols + group cols + ``value_cents``, ``dev2``
+    (= 2|v − med|), ``med2`` (= 2·median), ``mad2`` (= median of the
+    group's dev2, i.e. 2·MAD) for the flagged rows only.
+
+    Plan: two bounded groupBys (one per median — exact percentiles
+    need the group's values, but group count is bounded by the
+    grouping key's cardinality) joined back to the raw side; with few
+    groups both joins broadcast, so raw rows are shuffled at most
+    once (the percentile aggregation itself).
+    """
+    if k_den <= 0 or k_num <= 0:
+        raise ValueError("k_num and k_den must be positive integers")
+    v = F.floor(F.col(value_col) * cents).cast("long")
+    src = df.where(F.col(value_col).isNotNull())
+    for g in group_cols:
+        src = src.where(F.col(g).isNotNull())
+    base = src.select(*id_cols, *group_cols, v.alias("value_cents"))
+    med = base.groupBy(*group_cols).agg(
+        (F.percentile("value_cents", F.lit(0.5)) * 2).alias("med2")
+    )
+    dev = base.join(F.broadcast(med), group_cols).withColumn(
+        "dev2", F.abs(2 * F.col("value_cents") - F.col("med2"))
+    )
+    mad = dev.groupBy(*group_cols).agg(
+        F.percentile("dev2", F.lit(0.5)).alias("mad2")
+    )
+    return (
+        dev.join(F.broadcast(mad), group_cols)
+        .where(
+            F.col("dev2") * F.lit(k_den) > F.lit(k_num) * F.col("mad2")
+        )
+        .select(
+            *id_cols, *group_cols, "value_cents", "dev2", "med2", "mad2"
+        )
     )

@@ -44,7 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ewma", "ewma_stream"]
+__all__ = ["ewma", "ewma_stream", "des", "des_stream"]
 
 
 def _seeded_ewma(vals: pd.Series, alpha: float, y0: float | None) -> np.ndarray:
@@ -223,6 +223,198 @@ def ewma_stream(
         out = pdf.drop(columns=["_ts_us"]).copy()
         out[out_col] = vals
         state.update((float(vals[-1]), int(pdf["_ts_us"].iloc[-1])))
+        return iter([out])
+
+    return (
+        src.withWatermark(ts_col, watermark)
+        .withColumn("_ts_us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _seeded_des(
+    vals: pd.Series,
+    alpha: float,
+    s1_0: float | None,
+    s2_0: float | None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Brown double smoothing of `vals`: s1 = EWMA(x), s2 = EWMA(s1),
+    both adjust=False, optionally seeded with carried (s1, s2).  The
+    chained seeding is bit-identical to the unsplit series — each
+    recurrence is the proven-seedable single EWMA (`_seeded_ewma`)."""
+    s1 = _seeded_ewma(vals, alpha, s1_0)
+    s2 = _seeded_ewma(pd.Series(s1, dtype="float64"), alpha, s2_0)
+    return s1, s2
+
+
+def _des_outputs(s1: np.ndarray, s2: np.ndarray, alpha: float):
+    """level / trend / one-step forecast from the two smoothed series
+    (Brown 1959, public): level = 2·s1 − s2, trend = α/(1−α)·(s1−s2),
+    forecast₁ = level + trend.  Expression order matches the DuckDB
+    oracle exactly (same doubles in, same doubles out)."""
+    level = 2.0 * s1 - s2
+    trend = (alpha / (1.0 - alpha)) * (s1 - s2)
+    return level, trend, level + trend
+
+
+def des(
+    df: DataFrame,
+    alpha: float,
+    value_col: str = "value",
+    key_cols: Sequence[str] = ("conv_id",),
+    ts_col: str = "ts",
+    tie_cols: Sequence[str] = (),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Brown's double exponential smoothing per key — the engine's
+    trend-aware forecaster (public textbook method; Brown 1959 /
+    Hyndman-Athanasopoulos fpp3 §8.2).  Two chained adjust=False
+    EWMAs: ``s1_t = (1-α)s1_{t-1} + αx_t``, ``s2_t = (1-α)s2_{t-1} +
+    αs1_t`` (both seeded with x₁), from which per row:
+
+    * ``des_level``    = 2·s1 − s2          (current smoothed level)
+    * ``des_trend``    = α/(1−α)·(s1 − s2)  (per-step slope estimate)
+    * ``des_forecast`` = level + trend      (one-step-ahead forecast)
+
+    Same transport and carry discipline as `ewma`: one mapInPandas
+    over key-partitioned, (key, ts, ties)-sorted Arrow batches; the
+    inter-batch carry is (key, s1, s2) — O(1) state, every batch
+    emitted immediately, seeded continuation bit-identical to the
+    unsplit series (pinned in test_des_carry_across_arrow_batches).
+    Both recurrences run in pandas' C ewm kernel — no per-row Python.
+
+    Rows with NULL ts or value are excluded, as in `ewma`.
+    """
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    keys = list(key_cols)
+    ties = list(tie_cols)
+    cols = [*keys, ts_col, *ties, value_col]
+    src = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(*cols)
+    n_parts = (
+        num_partitions
+        or df.sparkSession.sparkContext.defaultParallelism * 2
+    )
+    arranged = src.repartition(n_parts, *keys).sortWithinPartitions(
+        *keys, ts_col, *ties
+    )
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+    ) + ", des_level double, des_trend double, des_forecast double"
+
+    def _stream(batches):
+        carry_key: tuple | None = None
+        carry: tuple[float, float] | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # group runs within the sorted batch
+            change = None
+            for k in keys:
+                col = pdf[k]
+                neq = (col != col.shift()) & ~(col.isna() & col.shift().isna())
+                change = neq if change is None else (change | neq)
+            starts = np.flatnonzero(change.to_numpy())
+            # row 0 always opens a run (its shift-compare is NULL-keyed)
+            bounds = [0, *[s for s in starts.tolist() if s > 0], len(pdf)]
+            s1_all = np.empty(len(pdf))
+            s2_all = np.empty(len(pdf))
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                seed1 = seed2 = None
+                if (
+                    lo == 0
+                    and carry_key is not None
+                    and _same_key(
+                        tuple(pdf.iloc[0][k] for k in keys), carry_key
+                    )
+                ):
+                    seed1, seed2 = carry
+                s1_all[lo:hi], s2_all[lo:hi] = _seeded_des(
+                    pdf[value_col].iloc[lo:hi], alpha, seed1, seed2
+                )
+            out = pdf.copy()
+            level, trend, fc = _des_outputs(s1_all, s2_all, alpha)
+            out["des_level"] = level
+            out["des_trend"] = trend
+            out["des_forecast"] = fc
+            carry_key = tuple(pdf.iloc[-1][k] for k in keys)
+            carry = (float(s1_all[-1]), float(s2_all[-1]))
+            yield out
+
+    return arranged.mapInPandas(_stream, schema=schema)
+
+
+def des_stream(
+    stream: DataFrame,
+    alpha: float,
+    value_col: str = "value",
+    key_cols: Sequence[str] = ("conv_id",),
+    ts_col: str = "ts",
+    tie_cols: Sequence[str] = (),
+    watermark: str = "1 hour",
+):
+    """Structured Streaming twin of `des` (§2.8 parity, the same
+    incremental-path contract as `ewma_stream`): per-key (s1, s2,
+    last event-time µs) state — 24 bytes — carried across
+    micro-batches via applyInPandasWithState, so the streaming output
+    equals the batch operator row-for-row (pinned in
+    test_des_stream_matches_batch).  Ordering contract identical to
+    `ewma_stream`: in-batch sort by (ts, *ties); rows older than the
+    key's last processed ts are DROPPED (their smoothed successors
+    are already emitted); disorder is bounded by the source watermark.
+    """
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keys = list(key_cols)
+    ties = list(tie_cols)
+    src = stream.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(*keys, ts_col, *ties, value_col)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+    ) + ", des_level double, des_trend double, des_forecast double"
+    state_schema = "s1 double, s2 double, last_us long"
+
+    def _fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return iter([])
+        s1_0, s2_0, last_us = (
+            state.get if state.exists else (None, None, None)
+        )
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return iter([])
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        pdf = pdf.sort_values(["_ts_us", *ties], kind="mergesort")
+        if last_us is not None:
+            pdf = pdf[pdf["_ts_us"] >= last_us]
+        if not len(pdf):
+            return iter([])
+        s1, s2 = _seeded_des(pdf[value_col], alpha, s1_0, s2_0)
+        out = pdf.drop(columns=["_ts_us"]).copy()
+        level, trend, fc = _des_outputs(s1, s2, alpha)
+        out["des_level"] = level
+        out["des_trend"] = trend
+        out["des_forecast"] = fc
+        state.update(
+            (float(s1[-1]), float(s2[-1]), int(pdf["_ts_us"].iloc[-1]))
+        )
         return iter([out])
 
     return (

@@ -1,0 +1,224 @@
+"""Duration-weighted and representative-value time aggregates.
+
+The tier rollups (``rollup.py``) aggregate *sample-weighted* moments;
+the operators here aggregate by *time*, the other half of a metrics
+store's read path (public analogs: TimescaleDB's ``time_weight`` /
+``state_agg`` / ``heartbeat_agg`` toolkit aggregates, and the OHLC
+candlestick every market-data store ships):
+
+* ``ohlc`` — per (key, width bucket): open / high / low / close in
+  exact integer cents plus count and sum.  Reference parity: the
+  bulk-read + per-cell summary path (/root/reference/src/smos/
+  interface.py:164-220 reads a dense series then summarizes
+  client-side); at 10^12 turns the summary must be the query.
+* ``time_weighted_avg`` — per (key, day): the LOCF (last observation
+  carried forward) time-weighted mean.  Each sample's value covers
+  [ts, next_ts) clipped to the day end; the day's final sample covers
+  through the day end (no carry into later, sample-free days — the
+  in-bucket LOCF contract, documented rather than hidden).  Output is
+  the EXACT integer numerator (cents·µs, decimal(38,0)) and
+  denominator (µs) — callers divide; the contract never emits a float
+  whose decimal→double rounding could differ between engines.
+* ``state_durations`` — per (key, state): total µs spent in the state
+  (each row holds its state until the key's next row; the final open
+  row is excluded) plus the number of closed intervals.
+* ``uptime`` — heartbeat liveness: per key, the total µs covered by
+  the union of [ts, ts+liveness) intervals, computed gap-wise as
+  Σ least(liveness, next_ts−ts) + liveness for the final beat.
+
+Scale shape: ``ohlc`` is a PURE hash aggregate — min_by/max_by over a
+(ts, tie) struct gives deterministic open/close with map-side partial
+aggregation and NO window sort; the other three need one lag/lead
+window per key (one Exchange) followed by a partial-aggregating
+groupBy on the same key (no second shuffle).  All arithmetic is
+integer (cents, µs), so the DuckDB oracles match exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from smos_spark.operators.rollup import _width_bucket
+
+__all__ = ["ohlc", "time_weighted_avg", "state_durations", "uptime"]
+
+
+def _cents(col: F.Column) -> F.Column:
+    """Exact integer centi-units: floor(value·100) — floor (not
+    round) so no half-way rounding-mode delta can exist between
+    engines."""
+    return F.floor(col * 100).cast("long")
+
+
+def _us(col: F.Column) -> F.Column:
+    # cast("timestamp"): parquet NTZ timestamps are not valid
+    # unix_micros input; no-op under the session's pinned UTC tz
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def ohlc(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width_sec: float = 3600.0,
+    origin: str | None = None,
+    tie_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Candlestick summary per (key, bucket): open (first value in
+    (ts, *ties) order), high, low, close (last), n_samples, and the
+    exact cents sum.
+
+    Pure hash aggregate: open/close via ``min_by``/``max_by`` on a
+    (ts, *ties) struct — deterministic because the tie columns make
+    the struct unique — so the plan is a partial + final HashAggregate
+    with map-side combine and no window sort.  At 10^12 rows this is
+    the same shuffle shape as the 1m tier rollup (rollup.py:89): the
+    bucket key bounds skew by time, not by key popularity.
+    """
+    keys = [F.col(k) for k in key_cols]
+    order = F.struct(F.col(ts_col), *[F.col(t) for t in tie_cols])
+    v = _cents(F.col(value_col))
+    return (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            _width_bucket(F.col(ts_col), width_sec, origin).alias(
+                "bucket_start"
+            ),
+        )
+        .agg(
+            F.min_by(v, order).alias("open_cents"),
+            F.max(v).alias("high_cents"),
+            F.min(v).alias("low_cents"),
+            F.max_by(v, order).alias("close_cents"),
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(v).alias("vsum_cents"),
+        )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """LOCF time-weighted mean per (key, calendar day), exact.
+
+    Sample i covers [ts_i, min(next_ts_i, day_end)) at value_i, where
+    next_ts is the key's next sample GLOBALLY (so a mid-day gap inside
+    the day is covered by carry-forward) and day_end clips coverage at
+    midnight (no cross-day carry).  Output per (key, day):
+
+    * ``twa_num`` — Σ cents_i · weight_us_i  (decimal(38,0), exact)
+    * ``twa_den`` — Σ weight_us_i            (bigint, exact)
+
+    ``twa_num / twa_den`` is the TWA in cents; the division is left to
+    the caller because cents·µs sums exceed 2^53 and a decimal→double
+    cast is the one step whose rounding an engine pair can disagree
+    on.  Keys observed once still emit a row (their sample covers
+    through its day end).
+    """
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col), *[F.col(t) for t in tie_cols]
+    )
+    ts_us = _us(F.col(ts_col))
+    day = F.date_trunc("day", F.col(ts_col))
+    day_end_us = _us(day) + F.lit(86_400_000_000)
+    next_us = F.lead(ts_us).over(w)
+    weight = F.least(F.coalesce(next_us, day_end_us), day_end_us) - ts_us
+    return (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            *keys,
+            day.alias("day"),
+            _cents(F.col(value_col)).alias("_c"),
+            weight.alias("_w"),
+        )
+        .groupBy(*key_cols, "day")
+        .agg(
+            F.sum(
+                F.col("_c").cast("decimal(38,0)") * F.col("_w")
+            ).cast("decimal(38,0)").alias("twa_num"),
+            F.sum("_w").alias("twa_den"),
+        )
+    )
+
+
+def state_durations(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("conv_id",),
+    ts_col: str = "ts",
+    state_col: str = "role",
+    tie_cols: Sequence[str] = ("turn_idx",),
+) -> DataFrame:
+    """Total time each key spends in each state (TimescaleDB
+    ``state_agg`` analog): each row holds ``state_col`` from its ts
+    until the key's next row; the key's final row opens an interval
+    with no end and is excluded.  Output per (key, state):
+    ``total_us`` and ``n_intervals`` (closed intervals only; a state
+    never followed by another row yields no row).
+
+    One lag/lead Exchange per key, then a partial-aggregating groupBy
+    on (key, state) — the state cardinality (roles) is tiny, so the
+    second aggregate is map-side-combined to near-nothing.
+    """
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col), *[F.col(t) for t in tie_cols]
+    )
+    dur = F.lead(_us(F.col(ts_col))).over(w) - _us(F.col(ts_col))
+    return (
+        df.where(F.col(ts_col).isNotNull() & F.col(state_col).isNotNull())
+        .select(*keys, F.col(state_col), dur.alias("_dur"))
+        .where(F.col("_dur").isNotNull())
+        .groupBy(*key_cols, state_col)
+        .agg(
+            F.sum("_dur").alias("total_us"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )
+
+
+def uptime(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    liveness_sec: float = 300.0,
+    tie_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Heartbeat liveness per key (TimescaleDB ``heartbeat_agg``
+    analog): each beat asserts liveness for ``liveness_sec``; the
+    covered time is the measure of the union of [ts, ts+liveness)
+    intervals.  Because beats are processed in order, the union is
+    exactly Σ least(liveness_us, next_ts−ts) over consecutive pairs
+    plus liveness_us for the final beat — no interval-merge pass.
+
+    Output per key: ``n_beats``, ``span_us`` (last−first beat) and
+    ``up_us`` (covered µs; ≤ span_us + liveness_us).
+    """
+    live_us = int(round(liveness_sec * 1e6))
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col), *[F.col(t) for t in tie_cols]
+    )
+    ts_us = _us(F.col(ts_col))
+    gap = F.lead(ts_us).over(w) - ts_us
+    covered = F.coalesce(F.least(gap, F.lit(live_us)), F.lit(live_us))
+    return (
+        df.where(F.col(ts_col).isNotNull())
+        .select(*keys, ts_us.alias("_us"), covered.alias("_cov"))
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_beats"),
+            (F.max("_us") - F.min("_us")).alias("span_us"),
+            F.sum("_cov").alias("up_us"),
+        )
+    )

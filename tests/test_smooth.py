@@ -240,3 +240,120 @@ def test_ewma_stream_handles_unordered_arrow_chunks(spark, tmp_path):
             assert got[r["turn_idx"]] == r["ewma"], r["turn_idx"]
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_des_known_answers(spark):
+    """Brown double smoothing: hand-checked recursion, alpha=0.5."""
+    from smos_spark.operators.smooth import des
+
+    df = spark.createDataFrame(
+        _rows("a", [10, 20, 30]),
+        "conv_id string, ts timestamp, event_id long, value double",
+    )
+    got = {
+        r["event_id"]: (r["des_level"], r["des_trend"], r["des_forecast"])
+        for r in des(df, 0.5, key_cols=["conv_id"], tie_cols=["event_id"]).collect()
+    }
+    # s1: 10, 15, 22.5 ; s2: 10, 12.5, 17.5
+    assert got[0] == (10.0, 0.0, 10.0)
+    assert got[1] == (2 * 15 - 12.5, 1.0 * (15 - 12.5), 17.5 + 2.5)
+    assert got[2] == (2 * 22.5 - 17.5, 1.0 * (22.5 - 17.5), 27.5 + 5.0)
+    with pytest.raises(ValueError):
+        des(df, 1.0)
+
+
+def test_des_carry_across_arrow_batches(spark):
+    """7-row Arrow batches over 100-row groups: the (s1, s2) carry must
+    reproduce the unsplit chained-EWMA recursion bit-for-bit."""
+    import pandas as pd
+
+    from smos_spark.operators.smooth import des
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        df = spark.createDataFrame(
+            _rows("k1", range(100)) + _rows("k2", range(50, 150)),
+            "conv_id string, ts timestamp, event_id long, value double",
+        ).repartition(1)
+        out = (
+            des(df, 0.3, key_cols=["conv_id"], tie_cols=["event_id"],
+                num_partitions=1)
+            .orderBy("conv_id", "event_id")
+            .toPandas()
+        )
+        pdf = df.orderBy("conv_id", "event_id").toPandas()
+
+        def _chain(s):
+            s1 = s.ewm(alpha=0.3, adjust=False).mean()
+            s2 = s1.ewm(alpha=0.3, adjust=False).mean()
+            return 2.0 * s1 - s2
+
+        exp = (
+            pdf.groupby("conv_id", sort=True)["value"]
+            .apply(_chain)
+            .reset_index(drop=True)
+        )
+        assert (out["des_level"].to_numpy() == exp.to_numpy()).all()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_des_stream_matches_batch(spark, tmp_path):
+    """Streaming DES across three micro-batches equals the batch
+    operator row-for-row — the 24-byte (s1, s2, last_us) state is
+    exactly the batch carry."""
+    import pandas as pd
+
+    from smos_spark.operators.smooth import des, des_stream
+    from smos_spark.synth import synth_transcripts
+
+    turns = (
+        synth_transcripts(spark, n_conv=30, seed=13)
+        .where(F.col("ts").isNotNull())
+        .select(
+            "conv_id", "ts", "turn_idx",
+            F.length("text").cast("double").alias("value"),
+        )
+        .where(F.col("value").isNotNull())
+        .cache()
+    )
+    c1, c2 = turns.selectExpr(
+        "percentile_approx(ts, 0.33) as a", "percentile_approx(ts, 0.66) as b"
+    ).collect()[0]
+    src = str(tmp_path / "src")
+    turns.where(F.col("ts") <= F.lit(c1)).coalesce(1).write.mode("append").parquet(src)
+    turns.where((F.col("ts") > F.lit(c1)) & (F.col("ts") <= F.lit(c2))).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    turns.where(F.col("ts") > F.lit(c2)).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(turns.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        des_stream(stream, 0.3, key_cols=["conv_id"], tie_cols=["turn_idx"],
+                   watermark="0 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("des_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("des_stream_t")
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        des(turns, 0.3, key_cols=["conv_id"], tie_cols=["turn_idx"])
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) and len(got) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp)

@@ -1,0 +1,129 @@
+"""Duration-weighted aggregates: golden values, clipping, determinism."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from smos_spark.operators.timeagg import (
+    ohlc,
+    state_durations,
+    time_weighted_avg,
+    uptime,
+)
+
+_SCHEMA = "user_id string, ts timestamp, event_id long, value double"
+_T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _at(sec: float) -> dt.datetime:
+    return _T0 + dt.timedelta(seconds=sec)
+
+
+def test_ohlc_golden_and_tie_determinism(spark):
+    # two samples share ts=0; event_id breaks the tie for open
+    rows = [
+        ("u", _at(0), 2, 5.00),   # tie, higher event_id
+        ("u", _at(0), 1, 3.00),   # open (same ts, lower event_id)
+        ("u", _at(10), 3, 9.00),  # high
+        ("u", _at(20), 4, 1.00),  # low
+        ("u", _at(30), 5, 4.00),  # close
+        ("u", _at(3700), 6, 7.00),  # next hour bucket
+        ("u", None, 7, 8.0),
+        ("u", _at(40), 8, None),
+    ]
+    out = {
+        r["bucket_start"]: r
+        for r in ohlc(spark.createDataFrame(rows, _SCHEMA)).collect()
+    }
+    b0 = out[_T0]
+    assert (b0["open_cents"], b0["high_cents"], b0["low_cents"],
+            b0["close_cents"]) == (300, 900, 100, 400)
+    assert b0["n_samples"] == 5 and b0["vsum_cents"] == 2200
+    b1 = out[_T0 + dt.timedelta(hours=1)]
+    assert b1["open_cents"] == b1["close_cents"] == 700
+    assert len(out) == 2  # NULL ts / value rows contribute nothing
+
+
+def test_time_weighted_avg_locf_and_day_clip(spark):
+    day0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # u: 2.00 for 100s, then 4.00 until day end (clipped: the next
+        # sample is on day 2)
+        ("u", day0.replace(hour=23, minute=58), 1, 2.00),
+        ("u", day0.replace(hour=23, minute=58, second=100 - 60), 2, 4.00),
+        ("u", day0 + dt.timedelta(days=1, hours=1), 3, 6.00),  # day 2
+        ("v", day0.replace(hour=12), 4, 10.00),  # single sample
+    ]
+    out = {
+        (r["user_id"], r["day"]): (int(r["twa_num"]), r["twa_den"])
+        for r in time_weighted_avg(
+            spark.createDataFrame(rows, _SCHEMA)
+        ).collect()
+    }
+    # u day1: 200c * 40s + 400c * 80s (to midnight) in µs
+    num, den = out[("u", day0)]
+    assert den == 120_000_000
+    assert num == 200 * 40_000_000 + 400 * 80_000_000
+    # u day2: sample covers to end of ITS day (no successor)
+    num2, den2 = out[("u", day0 + dt.timedelta(days=1))]
+    assert den2 == 23 * 3600 * 1_000_000 and num2 == 600 * den2
+    # v: single observation still emits (covers to its day end)
+    numv, denv = out[("v", day0)]
+    assert denv == 12 * 3600 * 1_000_000 and numv == 1000 * denv
+
+
+def test_state_durations_golden(spark):
+    rows = [
+        ("c", _at(0), 0, "user"),
+        ("c", _at(10), 1, "assistant"),
+        ("c", _at(40), 2, "user"),
+        ("c", _at(45), 3, "assistant"),  # final row: open interval
+        ("d", _at(0), 0, "tool"),        # only row: no closed interval
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, turn_idx long, role string"
+    )
+    out = {
+        (r["conv_id"], r["role"]): (r["total_us"], r["n_intervals"])
+        for r in state_durations(df).collect()
+    }
+    assert out[("c", "user")] == ((10 + 5) * 1_000_000, 2)
+    assert out[("c", "assistant")] == (30 * 1_000_000, 1)
+    assert ("d", "tool") not in out
+
+
+def test_uptime_union_semantics(spark):
+    rows = [
+        # beats at 0s, 10s (gap 10 < 60 live), 200s (gap 190 > live)
+        ("u", _at(0), 0, 0.0),
+        ("u", _at(10), 1, 0.0),
+        ("u", _at(200), 2, 0.0),
+    ]
+    r = uptime(
+        spark.createDataFrame(rows, _SCHEMA), liveness_sec=60.0
+    ).collect()[0]
+    assert r["n_beats"] == 3 and r["span_us"] == 200_000_000
+    # 10s (merged overlap) + 60s (beat 2 expires) + 60s (last beat)
+    assert r["up_us"] == (10 + 60 + 60) * 1_000_000
+
+
+def test_mad_outliers_golden_and_guard(spark):
+    from smos_spark.operators.anomaly import mad_outliers
+
+    # group g: values 1..9 plus one wild point; med=5, MAD=2
+    rows = [("g", float(v), i) for i, v in enumerate(range(1, 10))]
+    rows.append(("g", 100.0, 99))
+    df = spark.createDataFrame(rows, "grp string, value double, id long")
+    out = mad_outliers(df, "value", ["grp"], ["id"], k_num=5, k_den=1)
+    flagged = {r["id"]: r for r in out.collect()}
+    # |100-5| = 95 > 5*MAD. MAD of devs {400,300,...,0,...,9500}/2:
+    # dev2 values are 2|v*100 - med2/… — just assert the wild point
+    # and only the wild point is flagged at k=5
+    assert set(flagged) == {99}
+    r = flagged[99]
+    assert r["value_cents"] == 10000 and r["med2"] == 2 * 550.0
+    with pytest.raises(ValueError):
+        mad_outliers(df, "value", ["grp"], ["id"], k_num=0)
