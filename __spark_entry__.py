@@ -1763,6 +1763,23 @@ def _q_des_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_xcorr_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag cross-correlation per user: does daily 'view' volume
+    anticipate the next day's 'click' volume? Bounded (user, day,
+    series) cent-sum aggregation (shuffle O(users·days), never
+    O(input)), shifted self-join, exact decimal-moment Pearson in
+    ppm — the same one-double discipline as stats_pearson."""
+    from smos_spark.operators.stats import lagged_crosscorr
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    return lagged_crosscorr(
+        ev, "event_type", "view", "click",
+        group_cols=["user_id"], width_sec=86400.0, lag_buckets=1,
+    )
+
+
 def _with_dist(fn: Callable) -> Callable:
     def _wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_dist(spark)
@@ -1913,6 +1930,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_uptime": _q_events_uptime,
         "events_mad_outliers": _q_events_mad_outliers,
         "des_final": _q_des_final,
+        "events_xcorr_1d": _q_events_xcorr_1d,
     }
 
 
@@ -3827,6 +3845,36 @@ def oracle_sql() -> dict[str, str]:
               + (0.3::DOUBLE/(1.0::DOUBLE - 0.3::DOUBLE))*(s1 - s2)
               AS des_forecast
           FROM f WHERE rn = 1
+        """,
+        "events_xcorr_1d": """
+          WITH base AS (
+            SELECT user_id, event_type AS s,
+              epoch_us(ts) // 86400000000 AS b,
+              CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS c
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+              AND event_type IN ('view', 'click')
+            GROUP BY 1, 2, 3),
+          xs AS (SELECT user_id, b, c AS x FROM base WHERE s = 'view'),
+          ys AS (SELECT user_id, b - 1 AS b, c AS y
+                 FROM base WHERE s = 'click'),
+          p AS (SELECT user_id, x, y FROM xs JOIN ys USING (user_id, b)),
+          m AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(count(*) AS HUGEINT) AS n,
+              CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+              CAST(sum(x*x) AS HUGEINT) AS sxx,
+              CAST(sum(y*y) AS HUGEINT) AS syy,
+              CAST(sum(x*y) AS HUGEINT) AS sxy
+            FROM p GROUP BY 1)
+          SELECT user_id, n_pairs,
+            CAST(floor(CASE WHEN (n*sxx - sx*sx) > 0
+                             AND (n*syy - sy*sy) > 0 THEN
+              ((n*sxy - sx*sy)::DOUBLE
+               / sqrt((n*sxx - sx*sx)::DOUBLE
+                      * (n*syy - sy*sy)::DOUBLE)) * 1000000.0
+            END) AS BIGINT) AS xcorr_ppm
+          FROM m
         """,
     }
     # the *_auto dispatcher rows are DEFINED to be row-identical to

@@ -29,7 +29,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["autocorrelation", "grouped_pearson", "histogram", "hourly_profile"]
+__all__ = [
+    "autocorrelation",
+    "grouped_pearson",
+    "histogram",
+    "hourly_profile",
+    "lagged_crosscorr",
+]
 
 _DEC = "decimal(38,0)"
 
@@ -198,3 +204,73 @@ def autocorrelation(
         .where(F.col("_x").isNotNull())
     )
     return grouped_pearson(paired, "_x", "_y", keys, out_col=out_col)
+
+
+def lagged_crosscorr(
+    df: DataFrame,
+    series_col: str,
+    x_series: str,
+    y_series: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width_sec: float = 3600.0,
+    lag_buckets: int = 1,
+    group_cols: list[str] | None = None,
+    cents: int = 100,
+    out_col: str = "xcorr_ppm",
+) -> DataFrame:
+    """Lead/lag cross-correlation between two named series: the
+    Pearson correlation of series-x's per-bucket total at time t with
+    series-y's total at t + lag_buckets (does `x_series` activity
+    anticipate `y_series` activity `lag_buckets` buckets later?).
+    `autocorrelation`'s two-stream generalization — lag 0 with
+    x_series == y_series degenerates to a constant 1.
+
+    Per (group, bucket) both series are reduced to exact integer cent
+    sums; x buckets are paired with y buckets shifted back by the lag
+    (INNER join — only co-observed bucket pairs correlate; gap-fill
+    first if silent buckets should count as zero), and the pairs feed
+    the same exact decimal(38,0) moment formula as `grouped_pearson`,
+    emitted as floor(corr·1e6) ppm with the identical one-double
+    expression. Per-bucket sums must stay < ~2^31 for the int64
+    pre-aggregation products (quantize coarser or shorten buckets
+    otherwise).
+
+    Plan: one map-side-combined aggregation over (group, bucket,
+    series) — shuffle carries O(groups·buckets) rows, never O(input) —
+    then a self-equi-join of that bounded table on (group, shifted
+    bucket) and one more bounded Pearson aggregation. The raw side is
+    scanned once and never window-sorted.
+    """
+    if lag_buckets < 0:
+        raise ValueError("lag_buckets must be >= 0 (swap the series)")
+    width_us = int(round(width_sec * 1_000_000))
+    if width_us <= 0:
+        raise ValueError(f"width_sec must be positive, got {width_sec}")
+    groups = list(group_cols or [])
+    v = F.floor(F.col(value_col) * cents).cast("long")
+    # integer `div`, never a double division: a quotient one ulp above
+    # an integer boundary would bucket-split the engines (post-epoch
+    # timestamps are positive, so truncating div == floor on both)
+    bucket = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {width_us}L"
+    )
+    base = (
+        df.where(
+            F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+            & F.col(series_col).isin(x_series, y_series)
+        )
+        .groupBy(*groups, F.col(series_col).alias("_s"), bucket.alias("_b"))
+        .agg(F.sum(v).alias("_c"))
+    )
+    xs = base.where(F.col("_s") == x_series).select(
+        *groups, F.col("_b"), F.col("_c").alias("_x")
+    )
+    ys = base.where(F.col("_s") == y_series).select(
+        *groups,
+        (F.col("_b") - F.lit(lag_buckets)).alias("_b"),
+        F.col("_c").alias("_y"),
+    )
+    pairs = xs.join(ys, [*groups, "_b"])
+    return grouped_pearson(pairs, "_x", "_y", groups, out_col=out_col)

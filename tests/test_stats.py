@@ -159,3 +159,41 @@ def test_autocorrelation_lag_k(spark):
 
     with _pt.raises(ValueError):
         autocorrelation(df, "vc", lag=0)
+
+
+def test_lagged_crosscorr_known_answers(spark):
+    """x anticipating y by one bucket exactly (y_{t+1} = 10·x_t) gives
+    ppm 10^6; anti-correlation gives -10^6; unmatched buckets drop."""
+    import datetime as dt
+
+    from smos_spark.operators.stats import lagged_crosscorr
+
+    day = 86400
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for d, v in enumerate([1.0, 2.0, 3.0, 4.0]):
+        rows.append(("u", "a", t0 + dt.timedelta(seconds=d * day), v))
+    for d, v in zip(range(1, 5), [10.0, 20.0, 30.0, 40.0]):
+        rows.append(("u", "b", t0 + dt.timedelta(seconds=d * day), v))
+    # an extra x bucket with no matching y (day 10): must be dropped
+    rows.append(("u", "a", t0 + dt.timedelta(seconds=10 * day), 7.0))
+    # a second user with anti-correlated series
+    for d, (xv, yv) in enumerate(zip([1.0, 2.0, 3.0], [30.0, 20.0, 10.0])):
+        rows.append(("w", "a", t0 + dt.timedelta(seconds=d * day), xv))
+        rows.append(("w", "b", t0 + dt.timedelta(seconds=(d + 1) * day), yv))
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp, value double"
+    )
+    out = {
+        r["user_id"]: (r["n_pairs"], r["xcorr_ppm"])
+        for r in lagged_crosscorr(
+            df, "event_type", "a", "b",
+            group_cols=["user_id"], width_sec=86400.0, lag_buckets=1,
+        ).collect()
+    }
+    assert out["u"] == (4, 1_000_000)
+    assert out["w"] == (3, -1_000_000)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lagged_crosscorr(df, "event_type", "a", "b", lag_buckets=-1)
