@@ -1672,8 +1672,8 @@ def _q_emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_events_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC candlesticks per user: open/high/low/close in exact
     integer cents via min_by/max_by on the (ts, event_id) struct — a
-    PURE hash aggregate (map-side partial combine, no window sort),
-    the same shuffle shape as the 1m tier rollup."""
+    single-Exchange map-side-combined aggregate with no per-key
+    Window, the same shuffle shape as the 1m tier rollup."""
     from smos_spark.operators.timeagg import ohlc
 
     return ohlc(_read_events(spark, sf_dir), width_sec=3600.0)

@@ -386,6 +386,31 @@ def main() -> None:
 
         _force(ngram_jaccard_pairs(docs, threshold=0.8, block_col="lang"))
 
+    def q_timeagg():
+        # the duration-weighted family over events: OHLC (single-
+        # exchange aggregate), LOCF daily time-weighted mean + uptime
+        # (one lag/lead exchange each), and Brown double-exponential
+        # smoothing (one mapInPandas, O(1) carry)
+        from smos_spark.operators.smooth import des
+        from smos_spark.operators.timeagg import (
+            ohlc,
+            time_weighted_avg,
+            uptime,
+        )
+
+        evf = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        _force(ohlc(evf, width_sec=3600.0))
+        _force(time_weighted_avg(evf))
+        _force(uptime(evf, liveness_sec=300.0))
+        _force(
+            des(
+                evf, alpha=0.3, value_col="value", key_cols=("user_id",),
+                ts_col="ts", tie_cols=("event_id",),
+            )
+        )
+
     queries = {
         "sessionize": q_sessionize,
         "rollup_cascade": q_rollup_cascade,
@@ -412,6 +437,7 @@ def main() -> None:
         "interval_join": q_interval_join,
         "ngram_pairs": q_ngram_pairs,
         "anomaly": q_anomaly,
+        "timeagg": q_timeagg,
     }
 
     n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))

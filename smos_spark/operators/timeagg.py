@@ -26,11 +26,14 @@ candlestick every market-data store ships):
   the union of [ts, ts+liveness) intervals, computed gap-wise as
   Σ least(liveness, next_ts−ts) + liveness for the final beat.
 
-Scale shape: ``ohlc`` is a PURE hash aggregate — min_by/max_by over a
-(ts, tie) struct gives deterministic open/close with map-side partial
-aggregation and NO window sort; the other three need one lag/lead
+Scale shape: ``ohlc`` is a single-Exchange aggregate — min_by/max_by
+over a (ts, tie) struct gives deterministic open/close with map-side
+partial combine and NO per-key Window (the struct-ordered buffers
+compile to SortAggregate, whose in-partition sort is by the GROUP
+key, never a per-key time sort); the other three need one lag/lead
 window per key (one Exchange) followed by a partial-aggregating
-groupBy on the same key (no second shuffle).  All arithmetic is
+groupBy whose clustering contains the window key, so the exchange is
+reused (plan-pinned: one Exchange total).  All arithmetic is
 integer (cents, µs), so the DuckDB oracles match exactly.
 """
 
@@ -73,12 +76,14 @@ def ohlc(
     (ts, *ties) order), high, low, close (last), n_samples, and the
     exact cents sum.
 
-    Pure hash aggregate: open/close via ``min_by``/``max_by`` on a
-    (ts, *ties) struct — deterministic because the tie columns make
-    the struct unique — so the plan is a partial + final HashAggregate
-    with map-side combine and no window sort.  At 10^12 rows this is
-    the same shuffle shape as the 1m tier rollup (rollup.py:89): the
-    bucket key bounds skew by time, not by key popularity.
+    Single-Exchange aggregate: open/close via ``min_by``/``max_by``
+    on a (ts, *ties) struct — deterministic because the tie columns
+    make the struct unique.  The struct-typed buffers compile to
+    partial + final SortAggregate (struct buffers are not
+    hash-mutable), still map-side-combined across ONE exchange with
+    no per-key Window — at 10^12 rows the same shuffle shape as the
+    1m tier rollup (rollup.py:89): the bucket key bounds skew by
+    time, not by key popularity.
     """
     keys = [F.col(k) for k in key_cols]
     order = F.struct(F.col(ts_col), *[F.col(t) for t in tie_cols])

@@ -127,3 +127,34 @@ def test_mad_outliers_golden_and_guard(spark):
     assert r["value_cents"] == 10000 and r["med2"] == 2 * 550.0
     with pytest.raises(ValueError):
         mad_outliers(df, "value", ["grp"], ["id"], k_num=0)
+
+
+def test_timeagg_plan_shapes(spark):
+    """ohlc: ONE exchange, map-side-combined, NO per-key Window.
+    twa / uptime / state_durations: ONE exchange total — the groupBy's
+    clustering contains the window's partition key, so Spark reuses
+    the window exchange instead of reshuffling."""
+    rows = [("u", _at(i), i, float(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, _SCHEMA)
+
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    p = plan(ohlc(df))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Window" not in p
+
+    for d in (
+        time_weighted_avg(df),
+        uptime(df),
+        state_durations(
+            df.withColumnRenamed("value", "x").withColumn(
+                "role", F.lit("r")
+            ),
+            key_cols=("user_id",),
+            tie_cols=("event_id",),
+        ),
+    ):
+        p = plan(d)
+        assert p.count("Exchange hashpartitioning") == 1, p
+        assert p.count("Window") == 1, p
