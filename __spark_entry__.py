@@ -1763,6 +1763,22 @@ def _q_des_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_twa_6h_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed LOCF time-weighted mean WITH cross-bucket carry: each
+    coverage interval [ts, next_ts) is split across the 6h buckets it
+    overlaps (sequence fan-out bounded by a distributed raise_error
+    guard), so sample-free buckets inside a gap still emit carried
+    rows — the hypertable-rollup primitive for irregular series."""
+    from smos_spark.operators.timeagg import time_weighted_buckets
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return time_weighted_buckets(
+        ev, width_sec=21600.0, max_span_buckets=4096
+    ).withColumn("twa_num", F.col("twa_num").cast("long"))
+
+
 def _q_events_xcorr_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lead/lag cross-correlation per user: does daily 'view' volume
     anticipate the next day's 'click' volume? Bounded (user, day,
@@ -1931,6 +1947,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mad_outliers": _q_events_mad_outliers,
         "des_final": _q_des_final,
         "events_xcorr_1d": _q_events_xcorr_1d,
+        "events_twa_6h_carry": _q_events_twa_6h_carry,
     }
 
 
@@ -3875,6 +3892,27 @@ def oracle_sql() -> dict[str, str]:
                       * (n*syy - sy*sy)::DOUBLE)) * 1000000.0
             END) AS BIGINT) AS xcorr_ppm
           FROM m
+        """,
+        "events_twa_6h_carry": """
+          WITH o AS (
+            SELECT user_id, epoch_us(ts) AS us,
+              lead(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) AS e,
+              CAST(floor(value*100) AS BIGINT) AS c
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+          x AS (
+            SELECT user_id, us, e, c,
+              unnest(generate_series(us // 21600000000,
+                                     (e - 1) // 21600000000)) AS b
+            FROM o WHERE e IS NOT NULL AND e > us)
+          SELECT user_id,
+            make_timestamp(b * 21600000000) AS bucket_start,
+            CAST(sum(CAST(c AS HUGEINT) *
+                 (least(e, (b+1)*21600000000)
+                  - greatest(us, b*21600000000))) AS BIGINT) AS twa_num,
+            CAST(sum(least(e, (b+1)*21600000000)
+                     - greatest(us, b*21600000000)) AS BIGINT) AS twa_den
+          FROM x GROUP BY 1, 2
         """,
     }
     # the *_auto dispatcher rows are DEFINED to be row-identical to

@@ -47,7 +47,13 @@ from pyspark.sql.window import Window
 
 from smos_spark.operators.rollup import _width_bucket
 
-__all__ = ["ohlc", "time_weighted_avg", "state_durations", "uptime"]
+__all__ = [
+    "ohlc",
+    "time_weighted_avg",
+    "time_weighted_buckets",
+    "state_durations",
+    "uptime",
+]
 
 
 def _cents(col: F.Column) -> F.Column:
@@ -225,5 +231,106 @@ def uptime(
             F.count(F.lit(1)).alias("n_beats"),
             (F.max("_us") - F.min("_us")).alias("span_us"),
             F.sum("_cov").alias("up_us"),
+        )
+    )
+
+
+def time_weighted_buckets(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width_sec: float = 3600.0,
+    max_span_buckets: int = 1024,
+    tie_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Bucketed LOCF time-weighted mean WITH cross-bucket carry — the
+    hypertable rollup primitive for irregular series (TimescaleDB
+    ``time_bucket_gapfill`` + ``locf`` + ``average(time_weight(…))``
+    composed, public semantics).  Unlike `time_weighted_avg` (which
+    clips at day ends), each sample's coverage interval [ts, next_ts)
+    is SPLIT across every width bucket it overlaps, so a bucket with
+    no samples still emits a row when a carried observation covers it.
+    A key's final sample opens an unbounded interval and contributes
+    nothing (coverage ends at the last observation).
+
+    Output per (key, bucket_start): ``twa_num`` (Σ cents·overlap_µs,
+    decimal(38,0), exact), ``twa_den`` (Σ overlap_µs ≤ bucket width).
+    ``twa_den < width·10⁶`` marks partially-covered buckets.
+
+    Scale shape: one lag/lead Exchange per key, then a per-row
+    ``sequence`` fan-out bounded by ``max_span_buckets`` (a coverage
+    interval spanning more buckets raises distributedly via
+    `raise_error` — the same guard discipline as interval_join: widen
+    the bucket or cap the series rather than silently exploding), and
+    a map-side-combined groupBy on (key, bucket) — fan-out rows
+    combine before the second exchange, which carries O(keys·buckets).
+    """
+    width_us = int(round(width_sec * 1_000_000))
+    if width_us <= 0:
+        raise ValueError(f"width_sec must be positive, got {width_sec}")
+    if max_span_buckets <= 0:
+        raise ValueError("max_span_buckets must be positive")
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col), *[F.col(t) for t in tie_cols]
+    )
+    us = _us(F.col(ts_col))
+    src = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            *keys,
+            us.alias("_us"),
+            F.lead(us).over(w).alias("_end"),
+            _cents(F.col(value_col)).alias("_c"),
+        )
+        .where(F.col("_end").isNotNull() & (F.col("_end") > F.col("_us")))
+    )
+    # integer div: post-epoch µs are positive, truncation == floor
+    b0 = F.expr(f"_us div {width_us}L")
+    b1 = F.expr(f"(_end - 1L) div {width_us}L")  # _end is exclusive
+    span = b1 - b0 + 1
+    span = F.when(
+        span > max_span_buckets,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"time_weighted_buckets: coverage interval spans more "
+                    f"than {max_span_buckets} buckets of {width_sec}s — "
+                    f"widen width_sec or raise max_span_buckets (key="
+                ),
+                F.concat_ws(
+                    ",", *[F.col(k).cast("string") for k in key_cols]
+                ),
+                F.lit(")"),
+            )
+        ).cast("long"),
+    ).otherwise(span)
+    exploded = src.select(
+        *key_cols,
+        "_us",
+        "_end",
+        "_c",
+        F.explode(
+            F.sequence(b0, b0 + span - 1)
+        ).alias("_b"),
+    )
+    b_start = F.col("_b") * F.lit(width_us)
+    overlap = F.least(F.col("_end"), b_start + F.lit(width_us)) - F.greatest(
+        F.col("_us"), b_start
+    )
+    return (
+        exploded.select(
+            *key_cols,
+            F.timestamp_micros(b_start).alias("bucket_start"),
+            F.col("_c"),
+            overlap.alias("_w"),
+        )
+        .groupBy(*key_cols, "bucket_start")
+        .agg(
+            F.sum(F.col("_c").cast("decimal(38,0)") * F.col("_w"))
+            .cast("decimal(38,0)")
+            .alias("twa_num"),
+            F.sum("_w").alias("twa_den"),
         )
     )

@@ -158,3 +158,44 @@ def test_timeagg_plan_shapes(spark):
         p = plan(d)
         assert p.count("Exchange hashpartitioning") == 1, p
         assert p.count("Window") == 1, p
+
+
+def test_time_weighted_buckets_carry_and_guard(spark):
+    from smos_spark.operators.timeagg import time_weighted_buckets
+
+    h = 3600
+    rows = [
+        # u: value 2.00 at 00:30, next at 03:15 -> covers buckets
+        # 0 (30min), 1 (full, NO sample inside — the carry), 2 (full),
+        # 3 (15min); then 4.00 at 03:15 is the final sample (no end,
+        # contributes nothing)
+        ("u", _T0.replace(hour=0, minute=30), 1, 2.00),
+        ("u", _T0.replace(hour=3, minute=15), 2, 4.00),
+    ]
+    out = {
+        r["bucket_start"].hour: (int(r["twa_num"]), r["twa_den"])
+        for r in time_weighted_buckets(
+            spark.createDataFrame(rows, _SCHEMA), width_sec=3600.0
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0] == (200 * 1800 * 10**6, 1800 * 10**6)
+    assert out[1] == (200 * h * 10**6, h * 10**6)   # carried, sample-free
+    assert out[2] == (200 * h * 10**6, h * 10**6)
+    assert out[3] == (200 * 900 * 10**6, 900 * 10**6)
+
+    # the distributed span guard fails the job rather than fanning out
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    wide = spark.createDataFrame(
+        [("u", _T0, 1, 1.0), ("u", _T0 + dt.timedelta(days=30), 2, 2.0)],
+        _SCHEMA,
+    )
+    with _pytest.raises((Py4JJavaError, PySparkException, Exception)):
+        time_weighted_buckets(
+            wide, width_sec=3600.0, max_span_buckets=10
+        ).collect()
+    with _pytest.raises(ValueError):
+        time_weighted_buckets(wide, width_sec=0.0)
