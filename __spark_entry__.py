@@ -1779,6 +1779,23 @@ def _q_events_twa_6h_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("twa_num", F.col("twa_num").cast("long"))
 
 
+def _q_events_uptime_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT daily→weekly uptime merge: the Spark side builds daily
+    interval-union partials and stitches them with the seam
+    correction; the oracle computes the week DIRECTLY from raw beats
+    — proving the partial-reaggregation contract (the KMV/CMS merge
+    discipline applied to interval-union state)."""
+    from smos_spark.operators.timeagg import uptime_merge, uptime_partials
+
+    ev = _read_events(spark, sf_dir)
+    parts = uptime_partials(ev, liveness_sec=300.0, unit="day")
+    return uptime_merge(
+        parts.withColumn("week", F.date_trunc("week", "chunk")),
+        group_cols=("week",),
+        liveness_sec=300.0,
+    )
+
+
 def _q_events_xcorr_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lead/lag cross-correlation per user: does daily 'view' volume
     anticipate the next day's 'click' volume? Bounded (user, day,
@@ -1948,6 +1965,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "des_final": _q_des_final,
         "events_xcorr_1d": _q_events_xcorr_1d,
         "events_twa_6h_carry": _q_events_twa_6h_carry,
+        "events_uptime_weekly": _q_events_uptime_weekly,
     }
 
 
@@ -3913,6 +3931,21 @@ def oracle_sql() -> dict[str, str]:
             CAST(sum(least(e, (b+1)*21600000000)
                      - greatest(us, b*21600000000)) AS BIGINT) AS twa_den
           FROM x GROUP BY 1, 2
+        """,
+        "events_uptime_weekly": """
+          WITH o AS (
+            SELECT user_id,
+              CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+              epoch_us(ts) AS us,
+              lead(epoch_us(ts)) OVER
+                (PARTITION BY user_id, date_trunc('week', ts)
+                 ORDER BY ts, event_id) AS next_us
+            FROM events WHERE ts IS NOT NULL)
+          SELECT user_id, week, CAST(count(*) AS BIGINT) AS n_beats,
+            max(us) - min(us) AS span_us,
+            CAST(sum(coalesce(least(next_us - us, 300000000), 300000000))
+              AS BIGINT) AS up_us
+          FROM o GROUP BY 1, 2
         """,
     }
     # the *_auto dispatcher rows are DEFINED to be row-identical to

@@ -53,6 +53,8 @@ __all__ = [
     "time_weighted_buckets",
     "state_durations",
     "uptime",
+    "uptime_partials",
+    "uptime_merge",
 ]
 
 
@@ -332,5 +334,92 @@ def time_weighted_buckets(
             .cast("decimal(38,0)")
             .alias("twa_num"),
             F.sum("_w").alias("twa_den"),
+        )
+    )
+
+
+def uptime_partials(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    liveness_sec: float = 300.0,
+    unit: str = "day",
+    tie_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Per-(key, calendar chunk) uptime partials that MERGE EXACTLY
+    into coarser ranges — the tier-cascade partial-reaggregation
+    contract (rollup.py / sketch.kmv discipline) applied to
+    interval-union state.  Each partial carries ``n_beats``,
+    ``first_us``/``last_us`` (the chunk's beat extremes) and ``up_us``
+    (the chunk-local union measure, last beat's liveness tail
+    included).  `uptime_merge` stitches time-disjoint partials by
+    correcting each seam: the earlier chunk counted a full liveness
+    tail, the truth is least(liveness, next.first − cur.last), so the
+    merged measure equals the direct-from-raw computation EXACTLY
+    (pinned in test + the weekly contract row).
+    """
+    live_us = int(round(liveness_sec * 1e6))
+    keys = [F.col(k) for k in key_cols]
+    chunk = F.date_trunc(unit, F.col(ts_col))
+    w = Window.partitionBy(*keys, chunk).orderBy(
+        F.col(ts_col), *[F.col(t) for t in tie_cols]
+    )
+    ts_us = _us(F.col(ts_col))
+    gap = F.lead(ts_us).over(w) - ts_us
+    covered = F.coalesce(F.least(gap, F.lit(live_us)), F.lit(live_us))
+    return (
+        df.where(F.col(ts_col).isNotNull())
+        .select(
+            *key_cols,
+            chunk.alias("chunk"),
+            ts_us.alias("_us"),
+            covered.alias("_cov"),
+        )
+        .groupBy(*key_cols, "chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_beats"),
+            F.min("_us").alias("first_us"),
+            F.max("_us").alias("last_us"),
+            F.sum("_cov").alias("up_us"),
+        )
+    )
+
+
+def uptime_merge(
+    partials: DataFrame,
+    key_cols: Sequence[str] = ("user_id",),
+    group_cols: Sequence[str] = ("week",),
+    liveness_sec: float = 300.0,
+) -> DataFrame:
+    """EXACT merge of time-disjoint `uptime_partials` chunks into one
+    row per (key, *group_cols) — bit-equal to computing `uptime` on
+    the group's raw beats directly.
+
+    Seam correction: chunk i's partial already counted a full
+    liveness tail for its final beat; the union across the seam is
+    least(liveness, first_{i+1} − last_i), so each seam contributes
+    that minus liveness (≤ 0).  One lag over (key, group) ordered by
+    chunk — partials are O(keys·chunks) rows, so the window is over
+    the already-aggregated table, never the raw beats — then a
+    groupBy on the same clustering (exchange reused).
+    """
+    live_us = int(round(liveness_sec * 1e6))
+    keys = [F.col(k) for k in key_cols]
+    groups = [F.col(g) for g in group_cols]
+    w = Window.partitionBy(*keys, *groups).orderBy("chunk")
+    seam = (
+        F.least(
+            F.lit(live_us),
+            F.col("first_us") - F.lag(F.col("last_us")).over(w),
+        )
+        - F.lit(live_us)
+    )
+    return (
+        partials.withColumn("_seam", F.coalesce(seam, F.lit(0)))
+        .groupBy(*key_cols, *group_cols)
+        .agg(
+            F.sum("n_beats").alias("n_beats"),
+            (F.max("last_us") - F.min("first_us")).alias("span_us"),
+            F.sum(F.col("up_us") + F.col("_seam")).alias("up_us"),
         )
     )

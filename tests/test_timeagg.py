@@ -199,3 +199,61 @@ def test_time_weighted_buckets_carry_and_guard(spark):
         ).collect()
     with _pytest.raises(ValueError):
         time_weighted_buckets(wide, width_sec=0.0)
+
+
+def test_uptime_partials_merge_equals_direct(spark):
+    """Daily partials stitched with the seam correction must equal the
+    direct computation over the group's raw beats EXACTLY — including
+    a beat whose liveness tail crosses midnight into the next day."""
+    from smos_spark.operators.timeagg import (
+        uptime,
+        uptime_merge,
+        uptime_partials,
+    )
+
+    day0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # day 1 tail crosses midnight: beat at 23:59, live 300s
+        ("u", day0.replace(hour=23, minute=50), 1, 0.0),
+        ("u", day0.replace(hour=23, minute=59), 2, 0.0),
+        # day 2 beat 60s after midnight: seam overlap with the tail
+        ("u", day0 + dt.timedelta(days=1, minutes=1), 3, 0.0),
+        ("u", day0 + dt.timedelta(days=1, hours=5), 4, 0.0),
+        # a second key entirely inside one day
+        ("v", day0.replace(hour=2), 5, 0.0),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    parts = uptime_partials(df, liveness_sec=300.0, unit="day")
+    merged = (
+        uptime_merge(
+            parts.withColumn("week", F.date_trunc("week", "chunk")),
+            group_cols=("week",),
+            liveness_sec=300.0,
+        )
+        .toPandas()
+        .sort_values(["user_id", "week"])
+        .reset_index(drop=True)
+    )
+    direct = (
+        uptime(
+            df.withColumn("week", F.date_trunc("week", "ts")),
+            key_cols=("user_id", "week"),
+            liveness_sec=300.0,
+        )
+        .toPandas()
+        .sort_values(["user_id", "week"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        merged[sorted(merged.columns)], direct[sorted(direct.columns)]
+    )
+    # the seam must actually have fired: day-1's tail overlaps day-2's
+    # first beat (gap 120s < 300s liveness), so the merged union is
+    # strictly below the no-overlap sum
+    # hand value: beat gaps are 540s (> liveness → 300s), 120s (seam,
+    # < liveness → 120s), 4h59m (> liveness → 300s), final tail 300s
+    # → 300 + 120 + 300 + 300 = 1020s
+    u = merged[merged.user_id == "u"].iloc[0]
+    assert u["n_beats"] == 4 and u["up_us"] == 1_020_000_000
