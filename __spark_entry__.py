@@ -1796,6 +1796,24 @@ def _q_events_uptime_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_conv_role_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT daily→weekly merge of per-conversation role durations:
+    chunk-local closed intervals plus one seam row per chunk pair
+    ((next.first − cur.last) µs to cur.last_state — the interval the
+    chunk computation had to leave open). The oracle computes the
+    week DIRECT from raw turns, proving the merge like
+    events_uptime_weekly."""
+    from smos_spark.operators.timeagg import (
+        state_duration_merge,
+        state_duration_partials,
+    )
+
+    t = _transcripts(spark, sf_dir).where(F.col("ts").isNotNull())
+    states, boundary = state_duration_partials(t, unit="day")
+    wk = lambda d: d.withColumn("week", F.date_trunc("week", "chunk"))
+    return state_duration_merge(wk(states), wk(boundary))
+
+
 def _q_events_xcorr_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lead/lag cross-correlation per user: does daily 'view' volume
     anticipate the next day's 'click' volume? Bounded (user, day,
@@ -1966,6 +1984,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_xcorr_1d": _q_events_xcorr_1d,
         "events_twa_6h_carry": _q_events_twa_6h_carry,
         "events_uptime_weekly": _q_events_uptime_weekly,
+        "conv_role_weekly": _q_conv_role_weekly,
     }
 
 
@@ -3946,6 +3965,21 @@ def oracle_sql() -> dict[str, str]:
             CAST(sum(coalesce(least(next_us - us, 300000000), 300000000))
               AS BIGINT) AS up_us
           FROM o GROUP BY 1, 2
+        """,
+        "conv_role_weekly": _T_CTE
+        + """
+          , o AS (
+            SELECT conv_id,
+              CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+              role AS state,
+              lead(epoch_us(ts)) OVER
+                (PARTITION BY conv_id, date_trunc('week', ts)
+                 ORDER BY ts, turn_idx) - epoch_us(ts) AS dur
+            FROM t WHERE ts IS NOT NULL AND role IS NOT NULL)
+          SELECT conv_id, week, state,
+            CAST(sum(dur) AS BIGINT) AS total_us,
+            CAST(count(*) AS BIGINT) AS n_intervals
+          FROM o WHERE dur IS NOT NULL GROUP BY 1, 2, 3
         """,
     }
     # the *_auto dispatcher rows are DEFINED to be row-identical to

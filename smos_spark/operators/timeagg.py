@@ -55,6 +55,8 @@ __all__ = [
     "uptime",
     "uptime_partials",
     "uptime_merge",
+    "state_duration_partials",
+    "state_duration_merge",
 ]
 
 
@@ -421,5 +423,110 @@ def uptime_merge(
             F.sum("n_beats").alias("n_beats"),
             (F.max("last_us") - F.min("first_us")).alias("span_us"),
             F.sum(F.col("up_us") + F.col("_seam")).alias("up_us"),
+        )
+    )
+
+
+def state_duration_partials(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("conv_id",),
+    ts_col: str = "ts",
+    state_col: str = "role",
+    unit: str = "day",
+    tie_cols: Sequence[str] = ("turn_idx",),
+) -> tuple[DataFrame, DataFrame]:
+    """Per-(key, calendar chunk) state-duration partials that merge
+    EXACTLY into coarser ranges (`state_duration_merge`) — the
+    companion to `uptime_partials` for `state_durations`.
+
+    Returns TWO bounded tables:
+
+    * states:   (key, chunk, state, total_us, n_intervals) — closed
+      intervals within the chunk, exactly `state_durations` applied
+      chunk-locally;
+    * boundary: (key, chunk, first_us, last_us, last_state) — what the
+      merge needs to attribute each seam: the interval from chunk i's
+      final row to chunk i+1's first row belongs to chunk i's last
+      state (that row holds its state until the NEXT observation,
+      wherever it lands).
+
+    Both are O(keys·chunks·states) — partial-aggregated long before
+    any cross-chunk work.
+    """
+    keys = [F.col(k) for k in key_cols]
+    chunk = F.date_trunc(unit, F.col(ts_col))
+    src = df.where(
+        F.col(ts_col).isNotNull() & F.col(state_col).isNotNull()
+    ).select(
+        *key_cols,
+        chunk.alias("chunk"),
+        F.col(state_col).alias("state"),
+        _us(F.col(ts_col)).alias("_us"),
+        *[F.col(t) for t in tie_cols],
+    )
+    w = Window.partitionBy(*keys, "chunk").orderBy(
+        "_us", *[F.col(t) for t in tie_cols]
+    )
+    dur = F.lead("_us").over(w) - F.col("_us")
+    states = (
+        src.withColumn("_dur", dur)
+        .where(F.col("_dur").isNotNull())
+        .groupBy(*key_cols, "chunk", "state")
+        .agg(
+            F.sum("_dur").alias("total_us"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )
+    order = F.struct(F.col("_us"), *[F.col(t) for t in tie_cols])
+    boundary = src.groupBy(*key_cols, "chunk").agg(
+        F.min("_us").alias("first_us"),
+        F.max("_us").alias("last_us"),
+        F.max_by(F.col("state"), order).alias("last_state"),
+    )
+    return states, boundary
+
+
+def state_duration_merge(
+    states: DataFrame,
+    boundary: DataFrame,
+    key_cols: Sequence[str] = ("conv_id",),
+    group_cols: Sequence[str] = ("week",),
+) -> DataFrame:
+    """EXACT merge of `state_duration_partials` chunks into one row
+    per (key, *group_cols, state) — bit-equal to `state_durations`
+    over the group's raw rows.
+
+    Each seam between consecutive chunks of a group contributes
+    (next.first_us − cur.last_us) µs and one closed interval to
+    cur.last_state — exactly the interval the chunk-local computation
+    had to leave open.  Seams are one lag over the O(keys·chunks)
+    boundary table; the final group-by unions them with the
+    chunk-local totals.  `group_cols` must already be columns of BOTH
+    inputs (derive them from `chunk` before calling).
+    """
+    w = Window.partitionBy(
+        *[F.col(k) for k in key_cols], *[F.col(g) for g in group_cols]
+    ).orderBy("chunk")
+    seams = (
+        boundary.select(
+            *key_cols,
+            *group_cols,
+            "chunk",
+            (F.col("first_us") - F.lag("last_us").over(w)).alias("total_us"),
+            F.lag("last_state").over(w).alias("state"),
+        )
+        .where(F.col("total_us").isNotNull())
+        .withColumn("n_intervals", F.lit(1).cast("long"))
+        .select(*key_cols, *group_cols, "state", "total_us", "n_intervals")
+    )
+    chunked = states.select(
+        *key_cols, *group_cols, "state", "total_us", "n_intervals"
+    )
+    return (
+        chunked.unionByName(seams)
+        .groupBy(*key_cols, *group_cols, "state")
+        .agg(
+            F.sum("total_us").alias("total_us"),
+            F.sum("n_intervals").alias("n_intervals"),
         )
     )

@@ -257,3 +257,53 @@ def test_uptime_partials_merge_equals_direct(spark):
     # → 300 + 120 + 300 + 300 = 1020s
     u = merged[merged.user_id == "u"].iloc[0]
     assert u["n_beats"] == 4 and u["up_us"] == 1_020_000_000
+
+
+def test_state_duration_partials_merge_equals_direct(spark):
+    """Chunk-local role durations + seam rows must equal the direct
+    weekly computation EXACTLY, including the cross-midnight interval
+    attributed to the earlier day's last state."""
+    import pandas as pd
+
+    from smos_spark.operators.timeagg import (
+        state_duration_merge,
+        state_duration_partials,
+        state_durations,
+    )
+
+    day0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c", day0.replace(hour=23, minute=0), 0, "user"),
+        ("c", day0.replace(hour=23, minute=30), 1, "assistant"),
+        # next row is on day 2: the 23:30->01:00 interval (5400s) must
+        # come back as a seam attributed to 'assistant'
+        ("c", day0 + dt.timedelta(days=1, hours=1), 2, "user"),
+        ("c", day0 + dt.timedelta(days=1, hours=2), 3, "tool"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, turn_idx long, role string"
+    )
+    states, boundary = state_duration_partials(df, unit="day")
+    wk = lambda d: d.withColumn("week", F.date_trunc("week", "chunk"))
+    merged = (
+        state_duration_merge(wk(states), wk(boundary))
+        .toPandas()
+        .sort_values(["conv_id", "week", "state"])
+        .reset_index(drop=True)
+    )
+    direct = (
+        state_durations(
+            df.withColumn("week", F.date_trunc("week", "ts")),
+            key_cols=("conv_id", "week"),
+        )
+        .withColumnRenamed("role", "state")
+        .toPandas()
+        .sort_values(["conv_id", "week", "state"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        merged[sorted(merged.columns)], direct[sorted(direct.columns)]
+    )
+    got = {r["state"]: r["total_us"] for _, r in merged.iterrows()}
+    assert got["user"] == (1800 + 3600) * 1_000_000
+    assert got["assistant"] == 5400 * 1_000_000  # the seam interval
