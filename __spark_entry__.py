@@ -1814,6 +1814,18 @@ def _q_conv_role_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state_duration_merge(wk(states), wk(boundary))
 
 
+def _q_events_ohlc_1d_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 1h→1d candlestick reaggregation: daily OHLC assembled
+    from hourly partials (open = earliest hour's open via min_by on
+    bucket_start, close = latest's close, max/min/sum folds) — the
+    tier cascade applied to candlesticks. The oracle computes the
+    day DIRECT from raw samples, proving the merge."""
+    from smos_spark.operators.timeagg import ohlc, ohlc_merge
+
+    hourly = ohlc(_read_events(spark, sf_dir), width_sec=3600.0)
+    return ohlc_merge(hourly, width_sec=86400.0)
+
+
 def _q_events_xcorr_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lead/lag cross-correlation per user: does daily 'view' volume
     anticipate the next day's 'click' volume? Bounded (user, day,
@@ -1985,6 +1997,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_twa_6h_carry": _q_events_twa_6h_carry,
         "events_uptime_weekly": _q_events_uptime_weekly,
         "conv_role_weekly": _q_conv_role_weekly,
+        "events_ohlc_1d_merged": _q_events_ohlc_1d_merged,
     }
 
 
@@ -3980,6 +3993,22 @@ def oracle_sql() -> dict[str, str]:
             CAST(sum(dur) AS BIGINT) AS total_us,
             CAST(count(*) AS BIGINT) AS n_intervals
           FROM o WHERE dur IS NOT NULL GROUP BY 1, 2, 3
+        """,
+        "events_ohlc_1d_merged": """
+          SELECT user_id,
+            make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000)
+              AS bucket_start,
+            first(CAST(floor(value*100) AS BIGINT) ORDER BY ts, event_id)
+              AS open_cents,
+            max(CAST(floor(value*100) AS BIGINT)) AS high_cents,
+            min(CAST(floor(value*100) AS BIGINT)) AS low_cents,
+            last(CAST(floor(value*100) AS BIGINT) ORDER BY ts, event_id)
+              AS close_cents,
+            CAST(count(*) AS BIGINT) AS n_samples,
+            CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT)
+              AS vsum_cents
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          GROUP BY 1, 2
         """,
     }
     # the *_auto dispatcher rows are DEFINED to be row-identical to

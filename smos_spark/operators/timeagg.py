@@ -49,6 +49,7 @@ from smos_spark.operators.rollup import _width_bucket
 
 __all__ = [
     "ohlc",
+    "ohlc_merge",
     "time_weighted_avg",
     "time_weighted_buckets",
     "state_durations",
@@ -528,5 +529,44 @@ def state_duration_merge(
         .agg(
             F.sum("total_us").alias("total_us"),
             F.sum("n_intervals").alias("n_intervals"),
+        )
+    )
+
+
+def ohlc_merge(
+    partials: DataFrame,
+    width_sec: float,
+    key_cols: Sequence[str] = ("user_id",),
+    origin: str | None = None,
+) -> DataFrame:
+    """EXACT reaggregation of `ohlc` buckets into coarser ones (the
+    tier-cascade contract for candlesticks, e.g. 1h→1d): open is the
+    earliest fine bucket's open (min_by on bucket_start — fine buckets
+    are disjoint, so bucket order IS sample order), close the latest's
+    close, high/low/volume fold as max/min/sum.  Merged output is
+    bit-equal to running `ohlc` on the raw rows at the coarse width
+    (fine bucket boundaries never split an open/close: the earliest
+    sample of the coarse bucket is the earliest sample of its earliest
+    non-empty fine bucket).  One map-side-combined aggregation over
+    the O(keys·buckets) partials — no raw re-scan.
+    """
+    return (
+        partials.groupBy(
+            *[F.col(k) for k in key_cols],
+            _width_bucket(F.col("bucket_start"), width_sec, origin).alias(
+                "bucket_start"
+            ),
+        )
+        .agg(
+            F.min_by(F.col("open_cents"), F.col("bucket_start")).alias(
+                "open_cents"
+            ),
+            F.max("high_cents").alias("high_cents"),
+            F.min("low_cents").alias("low_cents"),
+            F.max_by(F.col("close_cents"), F.col("bucket_start")).alias(
+                "close_cents"
+            ),
+            F.sum("n_samples").alias("n_samples"),
+            F.sum("vsum_cents").alias("vsum_cents"),
         )
     )

@@ -307,3 +307,37 @@ def test_state_duration_partials_merge_equals_direct(spark):
     got = {r["state"]: r["total_us"] for _, r in merged.iterrows()}
     assert got["user"] == (1800 + 3600) * 1_000_000
     assert got["assistant"] == 5400 * 1_000_000  # the seam interval
+
+
+def test_ohlc_merge_equals_direct(spark):
+    """Hourly→daily candlestick reaggregation must equal running ohlc
+    at the daily width directly — including a day whose open/close
+    live in different hours."""
+    import pandas as pd
+
+    from smos_spark.operators.timeagg import ohlc, ohlc_merge
+
+    rows = [
+        ("u", _T0.replace(hour=1, minute=5), 1, 5.00),   # day open
+        ("u", _T0.replace(hour=1, minute=30), 2, 9.00),  # day high
+        ("u", _T0.replace(hour=13, minute=0), 3, 1.00),  # day low
+        ("u", _T0.replace(hour=22, minute=59), 4, 4.00), # day close
+        ("u", _T0 + dt.timedelta(days=1), 5, 7.00),      # next day
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    merged = (
+        ohlc_merge(ohlc(df, width_sec=3600.0), width_sec=86400.0)
+        .toPandas()
+        .sort_values(["user_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    direct = (
+        ohlc(df, width_sec=86400.0)
+        .toPandas()
+        .sort_values(["user_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(merged[direct.columns], direct)
+    d1 = merged.iloc[0]
+    assert (d1["open_cents"], d1["high_cents"], d1["low_cents"],
+            d1["close_cents"]) == (500, 900, 100, 400)
