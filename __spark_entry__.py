@@ -1877,8 +1877,15 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      and it is pinned locally + by pytest stream==batch),
     #   3. the rows freshly checked green in CORRECTNESS_r04, oldest
     #      evidence first, filling the tail with one-round-old driver
-    #      evidence.
-    # All 101 were additionally cross-checked green against DuckDB at
+    #      evidence,
+    #   4. the 11 late-round-5 additions (events_ohlc_1h,
+    #      events_twa_daily, conv_role_durations, events_uptime,
+    #      events_mad_outliers, des_final, events_xcorr_1d,
+    #      events_twa_6h_carry, events_uptime_weekly, conv_role_weekly,
+    #      events_ohlc_1d_merged) at the very end: they have no driver
+    #      row yet and rely on the local cross-check + pytest until a
+    #      future window reaches them.
+    # All 112 were additionally cross-checked green against DuckDB at
     # BOTH sf0.01 and sf0.1 this round (scripts/check_contract.py).
     return {
         # -- r3-green rows rotated into the round-5 window (slots 1-42) ----

@@ -643,11 +643,13 @@ def mad_outliers(
     (= 2|v − med|), ``med2`` (= 2·median), ``mad2`` (= median of the
     group's dev2, i.e. 2·MAD) for the flagged rows only.
 
-    Plan: two bounded groupBys (one per median — exact percentiles
-    need the group's values, but group count is bounded by the
-    grouping key's cardinality) joined back to the raw side; with few
-    groups both joins broadcast, so raw rows are shuffled at most
-    once (the percentile aggregation itself).
+    Plan: two percentile groupBys joined back by broadcast.  Exact
+    medians are value-buffering aggregates, so EACH of the two
+    aggregations carries the groups' value buffers across its
+    exchange — O(rows) bytes in O(groups) rows, twice.  That is the
+    price of the exactness contract; callers who can trade exactness
+    for one pass should pre-bin with `sketch.hist_build` and take
+    `sketch.hist_quantiles` instead.
     """
     if k_den <= 0 or k_num <= 0:
         raise ValueError("k_num and k_den must be positive integers")
