@@ -1843,6 +1843,36 @@ def _q_events_xcorr_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) Theil–Sen robust trend slope: the lower median
+    of all pairwise (Δcents/Δminute-bucket) slopes, emitted as the
+    chosen pair's exact integer rational. Calendar-day grouping bounds
+    the O(n²) pair join (the documented bounded-group contract)."""
+    from smos_spark.operators.anomaly import theil_sen_slope
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "value")
+        .withColumn("day", F.date_trunc("day", F.col("ts")))
+    )
+    return theil_sen_slope(
+        ev, "value", ["user_id", "day"], epoch="2024-01-01", x_unit_s=60
+    )
+
+
+def _q_events_wmedian_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted LOCF median per (user, day): the cents level
+    where cumulative covered time first reaches half the day's total —
+    time_weighted_avg's robust sibling, pure integer crossing test,
+    no averaging, no float."""
+    from smos_spark.operators.timeagg import weighted_median
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return weighted_median(ev)
+
+
 def _with_dist(fn: Callable) -> Callable:
     def _wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_dist(spark)
@@ -1882,7 +1912,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      events_twa_daily, conv_role_durations, events_uptime,
     #      events_mad_outliers, des_final, events_xcorr_1d,
     #      events_twa_6h_carry, events_uptime_weekly, conv_role_weekly,
-    #      events_ohlc_1d_merged) at the very end: they have no driver
+    #      events_ohlc_1d_merged, and later events_theil_sen +
+    #      events_wmedian_daily) at the very end: they have no driver
     #      row yet and rely on the local cross-check + pytest until a
     #      future window reaches them.
     # All 112 were additionally cross-checked green against DuckDB at
@@ -2005,6 +2036,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_uptime_weekly": _q_events_uptime_weekly,
         "conv_role_weekly": _q_conv_role_weekly,
         "events_ohlc_1d_merged": _q_events_ohlc_1d_merged,
+        "events_theil_sen": _q_events_theil_sen,
+        "events_wmedian_daily": _q_events_wmedian_daily,
     }
 
 
@@ -4016,6 +4049,63 @@ def oracle_sql() -> dict[str, str]:
               AS vsum_cents
           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
           GROUP BY 1, 2
+        """,
+        # Theil–Sen: lower median of pairwise slopes under the
+        # deterministic (double slope, num, den) ordering; post-epoch
+        # timestamps make // identical to Spark's pmod floor-to-unit
+        "events_theil_sen": """
+          WITH b AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+              (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                // 60000000 AS x,
+              CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS y
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          ), p AS (
+            SELECT a.user_id, a.day,
+              CAST(c.y - a.y AS BIGINT) AS num,
+              CAST(c.x - a.x AS BIGINT) AS den
+            FROM b a JOIN b c
+              ON a.user_id = c.user_id AND a.day = c.day AND a.x < c.x
+          ), r AS (
+            SELECT user_id, day, num, den,
+              row_number() OVER (PARTITION BY user_id, day
+                ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
+                         num, den) AS rn,
+              CAST(count(*) OVER (PARTITION BY user_id, day) AS BIGINT)
+                AS n_pairs
+            FROM p)
+          SELECT user_id, day, n_pairs,
+                 num AS slope_num, den AS slope_den
+          FROM r WHERE rn = (n_pairs + 1) // 2
+        """,
+        # duration-weighted LOCF median: integer crossing test
+        # 2·(cumw−w) < total ≤ 2·cumw on per-cents collapsed weights
+        "events_wmedian_daily": """
+          WITH o AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+              CAST(floor(value*100) AS BIGINT) AS cents,
+              least(coalesce(lead(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id),
+                epoch_us(date_trunc('day', ts)) + 86400000000),
+                epoch_us(date_trunc('day', ts)) + 86400000000)
+                - epoch_us(ts) AS w
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          ), l AS (
+            SELECT user_id, day, cents,
+              sum(w) AS lw, count(*) AS ln
+            FROM o GROUP BY 1, 2, 3
+          ), r AS (
+            SELECT user_id, day, cents, lw,
+              sum(lw) OVER (PARTITION BY user_id, day ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+              sum(lw) OVER (PARTITION BY user_id, day) AS total_us,
+              sum(ln) OVER (PARTITION BY user_id, day) AS n_samples
+            FROM l)
+          SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+                 cents AS wmedian_cents,
+                 CAST(total_us AS BIGINT) AS total_us,
+                 CAST(n_samples AS BIGINT) AS n_samples
+          FROM r WHERE 2*(cumw - lw) < total_us AND 2*cumw >= total_us
         """,
     }
     # the *_auto dispatcher rows are DEFINED to be row-identical to

@@ -64,6 +64,7 @@ __all__ = [
     "cusum_fixed",
     "cusum_stream",
     "trend_slope",
+    "theil_sen_slope",
     "mad_outliers",
 ]
 
@@ -675,4 +676,84 @@ def mad_outliers(
         .select(
             *id_cols, *group_cols, "value_cents", "dev2", "med2", "mad2"
         )
+    )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    cents: int = 100,
+    epoch: str = "2020-01-01",
+    x_unit_s: int = 3600,
+) -> DataFrame:
+    """Per-group Theil–Sen trend slope: the median of the pairwise
+    slopes (y_j − y_i)/(x_j − x_i) over all sample pairs with distinct
+    x buckets — the standard robust alternative to `trend_slope`'s
+    OLS fit (up to ~29% outliers cannot move it; public estimator,
+    Sen 1968).  x and y are the same integer quantizations as
+    `trend_slope` (x = floor-to-unit epoch bucket, y = floor(v·cents)).
+
+    The selected slope is emitted as the EXACT integer rational
+    (slope_num = y_j − y_i, slope_den = x_j − x_i > 0) of the chosen
+    pair.  Selection rule, identical in both engines: order the
+    pairwise slopes by (num/den as double, num, den) and take the
+    element at position (n_pairs+1) div 2 — the lower median, always
+    an element of the set, never an average.  The double sort key is
+    ONE division of two exactly-representable int64s, bit-identical
+    across engines; the (num, den) tiebreak pins the permutation when
+    two rationals collide in double space.  Groups whose samples all
+    share one x bucket have no pairs and are dropped.
+
+    Scale shape: the pair generation is a per-group self-join —
+    O(n²) pairs per group, the same documented bounded-group contract
+    as flow.training_pairs: group by (key, calendar unit) so n is the
+    per-unit sample count, not the key's lifetime.  The join is an
+    equi-join on the group columns (one Exchange reused by the
+    row_number window on the same keys); the non-equi x < x' predicate
+    is a post-join filter, never a nested-loop over the raw table.
+    """
+    if cents <= 0:
+        raise ValueError("cents must be positive")
+    if x_unit_s <= 0:
+        raise ValueError("x_unit_s must be positive")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
+        F.lit(epoch).cast("timestamp")
+    )
+    unit_us = int(x_unit_s) * 1_000_000
+    xs = ((us - F.pmod(us, F.lit(unit_us))) / F.lit(unit_us)).cast("long")
+    y = F.floor(F.col(value_col).cast("double") * cents).cast("long")
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(*group_cols, xs.alias("_x"), y.alias("_y"))
+    a = base
+    b = base
+    for c in ["_x", "_y"]:
+        b = b.withColumnRenamed(c, c + "2")
+    pairs = a.join(b, group_cols).where(F.col("_x") < F.col("_x2"))
+    num = (F.col("_y2") - F.col("_y")).alias("_num")
+    den = (F.col("_x2") - F.col("_x")).alias("_den")
+    sl = pairs.select(*group_cols, num, den).withColumn(
+        "_s", F.col("_num").cast("double") / F.col("_den").cast("double")
+    )
+    w = Window.partitionBy(*group_cols)
+    ordered = w.orderBy("_s", "_num", "_den")
+    ranked = sl.select(
+        *group_cols,
+        F.col("_num"),
+        F.col("_den"),
+        F.row_number().over(ordered).alias("_rn"),
+        F.count(F.lit(1)).over(w).alias("n_pairs"),
+    )
+    # lower-median position (n+1) div 2 in pure integer arithmetic:
+    # (n+1) − ((n+1) mod 2) is an exact multiple of 2, so the double
+    # division below is the true integer (same guard as hourly_profile)
+    np1 = F.col("n_pairs") + F.lit(1)
+    lower_med = ((np1 - F.pmod(np1, F.lit(2))) / F.lit(2)).cast("long")
+    return ranked.where(F.col("_rn") == lower_med).select(
+        *group_cols,
+        F.col("n_pairs"),
+        F.col("_num").alias("slope_num"),
+        F.col("_den").alias("slope_den"),
     )

@@ -52,6 +52,7 @@ __all__ = [
     "ohlc_merge",
     "time_weighted_avg",
     "time_weighted_buckets",
+    "weighted_median",
     "state_durations",
     "uptime",
     "uptime_partials",
@@ -569,4 +570,80 @@ def ohlc_merge(
             F.sum("n_samples").alias("n_samples"),
             F.sum("vsum_cents").alias("vsum_cents"),
         )
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Duration-weighted (LOCF) median per (key, calendar day): the
+    value the series spends at least half of its covered time at or
+    below — `time_weighted_avg`'s robust sibling, with the identical
+    coverage contract (sample i holds [ts_i, min(next_ts_i, day_end)),
+    the day's final sample holds through the day end, no cross-day
+    carry).
+
+    Exactness: values are integer cents, weights integer µs; the
+    lower weighted median is the unique cents level where the
+    cumulative weight first reaches half the total, found by the pure
+    integer crossing test 2·(cumw − w) < total ≤ 2·cumw — no
+    averaging, no float, so the DuckDB twin matches bit-for-bit.
+
+    Output per (key, day): ``wmedian_cents`` (the crossing level),
+    ``total_us`` (the day's covered µs — always the full distance
+    from the first sample to midnight), ``n_samples``.
+
+    Plan: the `time_weighted_avg` lead window (one Exchange on key),
+    then a groupBy on (key, day, cents) that collapses the weight
+    mass to distinct levels — the cumulative window that follows
+    runs over (key, day) partitions of at most |distinct levels|
+    rows, never the raw samples, so the ordered pass is bounded by
+    value cardinality while the heavy reduction is map-side combined.
+    """
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col), *[F.col(t) for t in tie_cols]
+    )
+    ts_us = _us(F.col(ts_col))
+    day = F.date_trunc("day", F.col(ts_col))
+    day_end_us = _us(day) + F.lit(86_400_000_000)
+    next_us = F.lead(ts_us).over(w)
+    weight = F.least(F.coalesce(next_us, day_end_us), day_end_us) - ts_us
+    levels = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            *keys,
+            day.alias("day"),
+            _cents(F.col(value_col)).alias("cents"),
+            weight.alias("_w"),
+        )
+        .groupBy(*key_cols, "day", "cents")
+        .agg(F.sum("_w").alias("_lw"), F.count(F.lit(1)).alias("_ln"))
+    )
+    part = Window.partitionBy(*key_cols, "day")
+    cum = part.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = levels.select(
+        *key_cols,
+        F.col("day"),
+        F.col("cents"),
+        F.sum("_lw").over(cum).alias("_cumw"),
+        F.col("_lw").alias("_w"),
+        F.sum("_lw").over(part).alias("total_us"),
+        F.sum("_ln").over(part).alias("n_samples"),
+    )
+    return ranked.where(
+        (2 * (F.col("_cumw") - F.col("_w")) < F.col("total_us"))
+        & (2 * F.col("_cumw") >= F.col("total_us"))
+    ).select(
+        *key_cols,
+        F.col("day"),
+        F.col("cents").alias("wmedian_cents"),
+        F.col("total_us"),
+        F.col("n_samples"),
     )

@@ -540,3 +540,74 @@ class TestTrendSlope:
             trend_slope(df, "value", ["key"], x_unit_s=0)
         with pytest.raises(ValueError):
             trend_slope(df, "value", ["key"], cents=0)
+
+
+class TestTheilSen:
+    _SCHEMA = "user_id string, ts timestamp, value double"
+    _T0 = dt.datetime(2024, 1, 1)
+
+    def _m(self, minute: int) -> dt.datetime:
+        return self._T0 + dt.timedelta(minutes=minute)
+
+    def test_outlier_robust_golden(self, spark):
+        from smos_spark.operators.anomaly import theil_sen_slope, trend_slope
+
+        # clean 100 cents/min trend + one wild outlier at minute 10
+        rows = [
+            ("u", self._m(0), 1.00),
+            ("u", self._m(1), 2.00),
+            ("u", self._m(2), 3.00),
+            ("u", self._m(10), 50.00),
+        ]
+        df = spark.createDataFrame(rows, self._SCHEMA)
+        [r] = theil_sen_slope(
+            df, "value", ["user_id"], epoch="2024-01-01", x_unit_s=60
+        ).collect()
+        # 6 pairwise slopes sorted: 100,100,100,490,533.3,587.5 —
+        # lower median (position 3) is the (200, 2) pair under the
+        # (slope, num, den) tiebreak
+        assert r["n_pairs"] == 6
+        assert r["slope_num"] * 1 == 200 and r["slope_den"] == 2
+        assert r["slope_num"] / r["slope_den"] == 100.0
+        # the OLS fit is dragged far above the robust one by the outlier
+        [o] = trend_slope(
+            df, "value", ["user_id"], epoch="2024-01-01", x_unit_s=60
+        ).collect()
+        assert o["slope_num"] / o["slope_den"] > 300
+
+    def test_same_bucket_pairs_dropped(self, spark):
+        from smos_spark.operators.anomaly import theil_sen_slope
+
+        rows = [  # both samples in minute 0: no pair with distinct x
+            ("u", self._T0, 1.00),
+            ("u", self._T0 + dt.timedelta(seconds=30), 9.00),
+        ]
+        out = theil_sen_slope(
+            spark.createDataFrame(rows, self._SCHEMA),
+            "value", ["user_id"], epoch="2024-01-01", x_unit_s=60,
+        ).collect()
+        assert out == []
+
+    def test_odd_pair_count_is_exact_element(self, spark):
+        from smos_spark.operators.anomaly import theil_sen_slope
+
+        rows = [  # 3 points -> 3 pairs; median slope is an element
+            ("u", self._m(0), 0.00),
+            ("u", self._m(1), 1.00),   # slope 100
+            ("u", self._m(3), 9.00),   # slopes: (0,3)=300, (1,3)=400
+        ]
+        [r] = theil_sen_slope(
+            spark.createDataFrame(rows, self._SCHEMA),
+            "value", ["user_id"], epoch="2024-01-01", x_unit_s=60,
+        ).collect()
+        assert r["n_pairs"] == 3
+        assert (r["slope_num"], r["slope_den"]) == (900, 3)
+
+    def test_rejects_bad_params(self, spark):
+        from smos_spark.operators.anomaly import theil_sen_slope
+
+        df = spark.createDataFrame([], self._SCHEMA)
+        with pytest.raises(ValueError):
+            theil_sen_slope(df, "value", ["user_id"], cents=0)
+        with pytest.raises(ValueError):
+            theil_sen_slope(df, "value", ["user_id"], x_unit_s=0)

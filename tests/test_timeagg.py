@@ -341,3 +341,69 @@ def test_ohlc_merge_equals_direct(spark):
     d1 = merged.iloc[0]
     assert (d1["open_cents"], d1["high_cents"], d1["low_cents"],
             d1["close_cents"]) == (500, 900, 100, 400)
+
+
+class TestWeightedMedian:
+    def test_golden_day_clip_and_crossing(self, spark):
+        from smos_spark.operators.timeagg import weighted_median
+
+        day0 = dt.datetime(2024, 1, 1)
+        rows = [
+            # u: 1.00 for 6h, 3.00 for 6h, 2.00 for 12h (to day end)
+            ("u", day0, 1, 1.00),
+            ("u", day0 + dt.timedelta(hours=6), 2, 3.00),
+            ("u", day0 + dt.timedelta(hours=12), 3, 2.00),
+            # v: single sample covers 12:00 -> midnight
+            ("v", day0 + dt.timedelta(hours=12), 4, 10.00),
+            ("v", None, 5, 1.0),
+            ("v", day0 + dt.timedelta(hours=13), 6, None),
+        ]
+        out = {
+            r["user_id"]: r
+            for r in weighted_median(
+                spark.createDataFrame(rows, _SCHEMA)
+            ).collect()
+        }
+        u = out["u"]
+        # cumulative by cents: 100->6h, 200->18h (crossing: 2*6<24<=2*18)
+        assert u["wmedian_cents"] == 200
+        assert u["total_us"] == 86_400_000_000
+        assert u["n_samples"] == 3
+        v = out["v"]
+        assert v["wmedian_cents"] == 1000
+        assert v["total_us"] == 12 * 3_600_000_000
+        assert v["n_samples"] == 1
+
+    def test_even_split_takes_lower_level(self, spark):
+        from smos_spark.operators.timeagg import weighted_median
+
+        day0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("u", day0, 1, 1.00),
+            ("u", day0 + dt.timedelta(hours=12), 2, 2.00),
+        ]
+        [r] = weighted_median(spark.createDataFrame(rows, _SCHEMA)).collect()
+        # exactly half the mass at 100: 2*cumw == total -> lower median
+        assert r["wmedian_cents"] == 100
+
+    def test_no_cross_day_carry(self, spark):
+        from smos_spark.operators.timeagg import weighted_median
+
+        day0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("u", day0.replace(hour=23), 1, 5.00),
+            ("u", day0 + dt.timedelta(days=1, hours=1), 2, 7.00),
+        ]
+        out = {
+            r["day"]: r
+            for r in weighted_median(
+                spark.createDataFrame(rows, _SCHEMA)
+            ).collect()
+        }
+        # day 1: the 23:00 sample covers only to ITS day end (1h)
+        assert out[day0]["wmedian_cents"] == 500
+        assert out[day0]["total_us"] == 3_600_000_000
+        # day 2: the 01:00 sample covers to day-2 end (23h)
+        d2 = out[day0 + dt.timedelta(days=1)]
+        assert d2["wmedian_cents"] == 700
+        assert d2["total_us"] == 23 * 3_600_000_000
