@@ -1873,6 +1873,29 @@ def _q_events_wmedian_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_median(ev)
 
 
+def _q_tiered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-aware tiered range read: [Jan 3, Jan 29) served as
+    1d buckets up to the day-snapped 1h cut (Jan 17), 1h buckets up
+    to the hour-snapped 1m cut (Jan 26 01:00), 1m buckets after —
+    three pushed-down range scans unioned, zero shuffles. The oracle
+    recomputes every segment DIRECT from raw at the same cuts."""
+    from smos_spark.operators.retention import tiered_read
+    from smos_spark.operators.rollup import reaggregate
+
+    t1m = _tier_1m(spark, sf_dir)
+    t1h = reaggregate(t1m, "1h")
+    t1d = reaggregate(t1h, "1d")
+    return tiered_read(
+        {"1m": t1m, "1h": t1h, "1d": t1d},
+        t0="2024-01-03",
+        t1="2024-01-29",
+        now="2024-01-31 06:30:00",
+        # 5.25 d → cut 2024-01-26 00:30 snapped UP to 01:00 (hour);
+        # 15.2 d → cut 2024-01-16 01:42 snapped UP to Jan 17 (day)
+        keep_s={"1m": 453_600, "1h": 1_313_280, "1d": None},
+    )
+
+
 def _with_dist(fn: Callable) -> Callable:
     def _wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_dist(spark)
@@ -1912,8 +1935,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      events_twa_daily, conv_role_durations, events_uptime,
     #      events_mad_outliers, des_final, events_xcorr_1d,
     #      events_twa_6h_carry, events_uptime_weekly, conv_role_weekly,
-    #      events_ohlc_1d_merged, and later events_theil_sen +
-    #      events_wmedian_daily) at the very end: they have no driver
+    #      events_ohlc_1d_merged, and later events_theil_sen,
+    #      events_wmedian_daily + tiered_read) at the very end: they
+    #      have no driver
     #      row yet and rely on the local cross-check + pytest until a
     #      future window reaches them.
     # All 112 were additionally cross-checked green against DuckDB at
@@ -2038,6 +2062,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ohlc_1d_merged": _q_events_ohlc_1d_merged,
         "events_theil_sen": _q_events_theil_sen,
         "events_wmedian_daily": _q_events_wmedian_daily,
+        "tiered_read": _q_tiered_read,
     }
 
 
@@ -4106,6 +4131,27 @@ def oracle_sql() -> dict[str, str]:
                  CAST(total_us AS BIGINT) AS total_us,
                  CAST(n_samples AS BIGINT) AS n_samples
           FROM r WHERE 2*(cumw - lw) < total_us AND 2*cumw >= total_us
+        """,
+        # tiered retention read: every segment recomputed DIRECT from
+        # raw at the same bucket-aligned cuts the planner chose (all
+        # cut timestamps are aligned to their segment's unit, so plain
+        # ts predicates equal bucket-membership predicates)
+        "tiered_read": _T_CTE
+        + f"""
+          , s1d AS (SELECT * FROM t
+              WHERE ts >= TIMESTAMP '2024-01-03'
+                AND ts < TIMESTAMP '2024-01-17')
+          , s1h AS (SELECT * FROM t
+              WHERE ts >= TIMESTAMP '2024-01-17'
+                AND ts < TIMESTAMP '2024-01-26 01:00:00')
+          , s1m AS (SELECT * FROM t
+              WHERE ts >= TIMESTAMP '2024-01-26 01:00:00'
+                AND ts < TIMESTAMP '2024-01-29')
+          SELECT '1d' AS tier, x.* FROM ({_tier_sql("day", "s1d")}) x
+          UNION ALL
+          SELECT '1h' AS tier, x.* FROM ({_tier_sql("hour", "s1h")}) x
+          UNION ALL
+          SELECT '1m' AS tier, x.* FROM ({_tier_sql("minute", "s1m")}) x
         """,
     }
     # the *_auto dispatcher rows are DEFINED to be row-identical to

@@ -27,7 +27,7 @@ from pyspark.sql import SparkSession
 
 from smos_spark.sources.store import TranscriptStore
 
-__all__ = ["DEFAULT_RETENTION", "apply_retention"]
+__all__ = ["DEFAULT_RETENTION", "apply_retention", "tiered_read"]
 
 # horizon (days of bucket_date kept), per tier; None = keep forever
 DEFAULT_RETENTION = {"1m": 7, "1h": 90, "1d": None}
@@ -140,3 +140,122 @@ def _apply_retention_locked(
         ov.extra["retention_floor"] = floors
         store.save_overview(ov)
     return dropped
+
+
+def _ceil_to_unit(t: dt.datetime, seconds: int) -> dt.datetime:
+    """Smallest unit-aligned timestamp >= t (pure integer µs math)."""
+    us = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    unit_us = seconds * 1_000_000
+    snapped = -(-us // unit_us) * unit_us
+    return dt.datetime.fromtimestamp(snapped / 1_000_000, dt.timezone.utc).replace(
+        tzinfo=None
+    )
+
+
+def tiered_read(
+    tiers,
+    t0: dt.datetime | str,
+    t1: dt.datetime | str,
+    now: dt.datetime | str,
+    keep_s=None,
+):
+    """Retention-aware tiered range read — the continuous-aggregate
+    read path (TimescaleDB real-time-aggregate / Prometheus
+    downsampled-read analog): serve [t0, t1) at the finest resolution
+    each sub-range still retains, stitching tiers at deterministic
+    bucket-aligned cuts.
+
+    `tiers` maps tier name → its partials DataFrame (conv_id,
+    bucket_start, …) as produced by ``rollup.rollup_from_raw`` /
+    ``reaggregate``; `keep_s` maps tier → retention seconds (None =
+    keep forever; defaults to DEFAULT_RETENTION days).  For each tier,
+    data is available from `now − keep`; the cut between tier i and
+    the next coarser tier is that availability start snapped UP to the
+    COARSER tier's bucket boundary, so the coarser segment always ends
+    on one of its own whole buckets (the finer tier's buckets align to
+    every coarser boundary, so the finer segment starts clean too).
+    Cuts are clamped monotone (a coarser tier can never cut after a
+    finer one), which also makes inverted retention policies safe.
+
+    Output: the UNION of the per-tier segment reads, each row tagged
+    with its ``tier``; a bucket is served iff its bucket_start lies in
+    the tier's segment — whole stored buckets, never partially
+    re-aggregated ones, so every value is exactly a stored tier row.
+
+    Scale shape: each segment is a pure range predicate on
+    bucket_start pushed into that tier's scan (partition/row-group
+    pruning on the store's bucket_date layout; no shuffle, no join —
+    the union is read-only plan glue).  The driver-side boundary math
+    is O(#tiers) plain datetimes.
+    """
+    from pyspark.sql import functions as F
+
+    from smos_spark.schema import TIERS
+
+    def _ts(x):
+        if isinstance(x, str):
+            return dt.datetime.fromisoformat(x)
+        return x
+
+    t0, t1, now = _ts(t0), _ts(t1), _ts(now)
+    if t0 >= t1:
+        raise ValueError("t0 must be < t1")
+    for name in tiers:
+        if name not in TIERS:
+            raise ValueError(f"unknown tier {name!r}")
+    if keep_s is None:
+        keep_s = {
+            k: (None if v is None else v * 86400)
+            for k, v in DEFAULT_RETENTION.items()
+        }
+    order = [name for name in TIERS if name in tiers]  # finest→coarsest
+    if not order:
+        raise ValueError("tiers must not be empty")
+
+    # cut[i]: boundary between order[i] (serves newer) and order[i+1]
+    cuts: list[dt.datetime] = []
+    for i in range(len(order) - 1):
+        keep = keep_s.get(order[i])
+        coarser_sec = TIERS[order[i + 1]]["seconds"]
+        if keep is None:  # finer tier keeps forever: it serves everything
+            cut = t0
+        else:
+            cut = _ceil_to_unit(now - dt.timedelta(seconds=keep), coarser_sec)
+        if cuts:
+            cut = min(cut, cuts[-1])  # monotone: older cuts never newer
+        cuts.append(cut)
+
+    segments = []  # (tier, lo, hi)
+    hi = t1
+    for i, name in enumerate(order):
+        if i < len(cuts):
+            lo = max(t0, cuts[i])
+        else:  # coarsest tier
+            keep = keep_s.get(name)
+            lo = t0
+            if keep is not None:  # finite tail: older buckets are EXPIRED
+                lo = max(
+                    t0,
+                    _ceil_to_unit(
+                        now - dt.timedelta(seconds=keep),
+                        TIERS[name]["seconds"],
+                    ),
+                )
+        if lo < hi:
+            segments.append((name, lo, hi))
+        hi = min(hi, lo)
+
+    out = None
+    for name, lo, hi_ in segments:
+        part = tiers[name].where(
+            (F.col("bucket_start") >= F.lit(lo))
+            & (F.col("bucket_start") < F.lit(hi_))
+        )
+        part = part.select(F.lit(name).alias("tier"), *tiers[name].columns)
+        out = part if out is None else out.unionByName(part)
+    if out is None:  # whole range expired: empty frame, finest schema
+        base = tiers[order[0]]
+        return base.where(F.lit(False)).select(
+            F.lit(order[0]).alias("tier"), *base.columns
+        )
+    return out
