@@ -27,7 +27,13 @@ from pyspark.sql import SparkSession
 
 from smos_spark.sources.store import TranscriptStore
 
-__all__ = ["DEFAULT_RETENTION", "apply_retention", "tiered_read"]
+__all__ = [
+    "DEFAULT_RETENTION",
+    "apply_retention",
+    "plan_tier_segments",
+    "tiered_read",
+    "tiered_read_store",
+]
 
 # horizon (days of bucket_date kept), per tier; None = keep forever
 DEFAULT_RETENTION = {"1m": 7, "1h": 90, "1d": None}
@@ -152,6 +158,75 @@ def _ceil_to_unit(t: dt.datetime, seconds: int) -> dt.datetime:
     )
 
 
+def plan_tier_segments(
+    tier_names,
+    t0: dt.datetime | str,
+    t1: dt.datetime | str,
+    now: dt.datetime | str,
+    keep_s=None,
+):
+    """Driver-side segment planner shared by `tiered_read` (in-memory
+    frames) and `tiered_read_store` (partition-pruned store scans):
+    returns (order, [(tier, lo, hi), …]) with lo/hi the bucket-aligned
+    cut semantics documented on `tiered_read`.  Pure datetime math,
+    O(#tiers)."""
+    from smos_spark.schema import TIERS
+
+    def _ts(x):
+        if isinstance(x, str):
+            return dt.datetime.fromisoformat(x)
+        return x
+
+    t0, t1, now = _ts(t0), _ts(t1), _ts(now)
+    if t0 >= t1:
+        raise ValueError("t0 must be < t1")
+    for name in tier_names:
+        if name not in TIERS:
+            raise ValueError(f"unknown tier {name!r}")
+    if keep_s is None:
+        keep_s = {
+            k: (None if v is None else v * 86400)
+            for k, v in DEFAULT_RETENTION.items()
+        }
+    order = [name for name in TIERS if name in tier_names]  # fine→coarse
+    if not order:
+        raise ValueError("tiers must not be empty")
+
+    # cut[i]: boundary between order[i] (serves newer) and order[i+1]
+    cuts: list[dt.datetime] = []
+    for i in range(len(order) - 1):
+        keep = keep_s.get(order[i])
+        coarser_sec = TIERS[order[i + 1]]["seconds"]
+        if keep is None:  # finer tier keeps forever: it serves everything
+            cut = t0
+        else:
+            cut = _ceil_to_unit(now - dt.timedelta(seconds=keep), coarser_sec)
+        if cuts:
+            cut = min(cut, cuts[-1])  # monotone: older cuts never newer
+        cuts.append(cut)
+
+    segments = []  # (tier, lo, hi)
+    hi = t1
+    for i, name in enumerate(order):
+        if i < len(cuts):
+            lo = max(t0, cuts[i])
+        else:  # coarsest tier
+            keep = keep_s.get(name)
+            lo = t0
+            if keep is not None:  # finite tail: older buckets are EXPIRED
+                lo = max(
+                    t0,
+                    _ceil_to_unit(
+                        now - dt.timedelta(seconds=keep),
+                        TIERS[name]["seconds"],
+                    ),
+                )
+        if lo < hi:
+            segments.append((name, lo, hi))
+        hi = min(hi, lo)
+    return order, segments
+
+
 def tiered_read(
     tiers,
     t0: dt.datetime | str,
@@ -190,61 +265,7 @@ def tiered_read(
     """
     from pyspark.sql import functions as F
 
-    from smos_spark.schema import TIERS
-
-    def _ts(x):
-        if isinstance(x, str):
-            return dt.datetime.fromisoformat(x)
-        return x
-
-    t0, t1, now = _ts(t0), _ts(t1), _ts(now)
-    if t0 >= t1:
-        raise ValueError("t0 must be < t1")
-    for name in tiers:
-        if name not in TIERS:
-            raise ValueError(f"unknown tier {name!r}")
-    if keep_s is None:
-        keep_s = {
-            k: (None if v is None else v * 86400)
-            for k, v in DEFAULT_RETENTION.items()
-        }
-    order = [name for name in TIERS if name in tiers]  # finest→coarsest
-    if not order:
-        raise ValueError("tiers must not be empty")
-
-    # cut[i]: boundary between order[i] (serves newer) and order[i+1]
-    cuts: list[dt.datetime] = []
-    for i in range(len(order) - 1):
-        keep = keep_s.get(order[i])
-        coarser_sec = TIERS[order[i + 1]]["seconds"]
-        if keep is None:  # finer tier keeps forever: it serves everything
-            cut = t0
-        else:
-            cut = _ceil_to_unit(now - dt.timedelta(seconds=keep), coarser_sec)
-        if cuts:
-            cut = min(cut, cuts[-1])  # monotone: older cuts never newer
-        cuts.append(cut)
-
-    segments = []  # (tier, lo, hi)
-    hi = t1
-    for i, name in enumerate(order):
-        if i < len(cuts):
-            lo = max(t0, cuts[i])
-        else:  # coarsest tier
-            keep = keep_s.get(name)
-            lo = t0
-            if keep is not None:  # finite tail: older buckets are EXPIRED
-                lo = max(
-                    t0,
-                    _ceil_to_unit(
-                        now - dt.timedelta(seconds=keep),
-                        TIERS[name]["seconds"],
-                    ),
-                )
-        if lo < hi:
-            segments.append((name, lo, hi))
-        hi = min(hi, lo)
-
+    order, segments = plan_tier_segments(list(tiers), t0, t1, now, keep_s)
     out = None
     for name, lo, hi_ in segments:
         part = tiers[name].where(
@@ -255,6 +276,54 @@ def tiered_read(
         out = part if out is None else out.unionByName(part)
     if out is None:  # whole range expired: empty frame, finest schema
         base = tiers[order[0]]
+        return base.where(F.lit(False)).select(
+            F.lit(order[0]).alias("tier"), *base.columns
+        )
+    return out
+
+
+def tiered_read_store(
+    spark: SparkSession,
+    store: TranscriptStore,
+    t0: dt.datetime | str,
+    t1: dt.datetime | str,
+    now: dt.datetime | str,
+    keep_s=None,
+    tier_names=("1m", "1h", "1d"),
+):
+    """`tiered_read` against a TranscriptStore's persisted tier
+    layout, with the segment range ALSO applied to the bucket_date
+    PARTITION column so each segment's scan prunes to its own day
+    directories (bucket_start alone is a data column — it row-group
+    prunes via min/max stats but cannot drop partitions).  The
+    bucket_date predicate is the enclosing-day widening of
+    [lo, hi): date(lo) .. date(hi − 1µs), exact because a bucket's
+    date is derived from its bucket_start."""
+    from pyspark.sql import functions as F
+
+    order, segments = plan_tier_segments(list(tier_names), t0, t1, now, keep_s)
+    out = None
+    cols = None
+    for name, lo, hi in segments:
+        df = spark.read.parquet(store.tier_path(name))
+        if cols is None:
+            cols = [c for c in df.columns if c not in ("bucket_id", "bucket_date")]
+        part = (
+            df.where(
+                (F.col("bucket_date") >= F.lit(lo.date()))
+                & (
+                    F.col("bucket_date")
+                    <= F.lit((hi - dt.timedelta(microseconds=1)).date())
+                )
+                & (F.col("bucket_start") >= F.lit(lo))
+                & (F.col("bucket_start") < F.lit(hi))
+            )
+            .drop("bucket_id", "bucket_date")
+            .select(F.lit(name).alias("tier"), *cols)
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        base = store.read_tier(spark, order[0])
         return base.where(F.lit(False)).select(
             F.lit(order[0]).alias("tier"), *base.columns
         )

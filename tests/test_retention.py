@@ -217,3 +217,51 @@ class TestTieredRead:
             tiered_read({"9x": tiers["1m"]}, t0, t0 + dt.timedelta(1), t0)
         with pytest.raises(ValueError):
             tiered_read({}, t0, t0 + dt.timedelta(1), t0)
+
+
+def test_tiered_read_store_prunes_and_matches(spark, tmp_path):
+    """Store-backed tiered read: equals the in-memory planner row for
+    row, AND each segment's scan carries a bucket_date PARTITION
+    filter (pruning reaches the physical plan — bucket_start alone
+    could only row-group-prune)."""
+    import datetime as dt
+
+    from smos_spark.operators.retention import tiered_read, tiered_read_store
+
+    t = synth_transcripts(spark, n_conv=20, seed=44, span_days=20)
+    m1 = rollup_from_raw(t, "1m")
+    h1 = reaggregate(m1, "1h")
+    d1 = reaggregate(h1, "1d")
+    store = TranscriptStore(tmp_path / "ts", n_buckets=4)
+    store.write_tier(m1, "1m")
+    store.write_tier(h1, "1h")
+    store.write_tier(d1, "1d")
+
+    lo = t.agg(F.min("ts")).collect()[0][0]
+    t0 = lo.replace(hour=0, minute=0, second=0, microsecond=0)
+    t1 = t0 + dt.timedelta(days=18)
+    now = t1 + dt.timedelta(hours=6)
+    keep = {"1m": 2 * 86_400, "1h": 9 * 86_400, "1d": None}
+
+    got = tiered_read_store(spark, store, t0, t1, now, keep_s=keep)
+    want = tiered_read({"1m": m1, "1h": h1, "1d": d1}, t0, t1, now, keep_s=keep)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # every segment scan must prune on the partition column
+    assert plan.count("PartitionFilters: [") >= 3
+    assert "bucket_date" in plan.split("PartitionFilters: [", 1)[1]
+    # provenance: each row really came from a directory inside its
+    # segment's day range (whole-path check via input_file_name)
+    files = (
+        got.withColumn("f", F.input_file_name())
+        .where(F.col("tier") == "1m")
+        .select("f")
+        .distinct()
+        .collect()
+    )
+    m_lo = (now - dt.timedelta(seconds=keep["1m"])).date()
+    for (f,) in files:
+        d = dt.date.fromisoformat(f.split("bucket_date=")[1].split("/")[0])
+        assert m_lo <= d <= t1.date()
