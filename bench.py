@@ -386,6 +386,22 @@ def main() -> None:
 
         _force(ngram_jaccard_pairs(docs, threshold=0.8, block_col="lang"))
 
+    def q_tiered_read():
+        # retention-aware tiered range read over the persisted store:
+        # three partition-pruned segment scans (1d/1h/1m) stitched at
+        # bucket-aligned cuts — zero shuffles; times the READ path
+        # (the store is written once, in the untimed setup below)
+        from smos_spark.operators.retention import tiered_read_store
+
+        _force(
+            tiered_read_store(
+                spark, tiered_store,
+                t0="2024-01-03", t1="2024-01-29",
+                now="2024-01-31 06:30:00",
+                keep_s={"1m": 453_600, "1h": 1_313_280, "1d": None},
+            )
+        )
+
     def q_timeagg():
         # the duration-weighted family over events: OHLC (single-
         # exchange aggregate), LOCF daily time-weighted mean + uptime
@@ -438,7 +454,25 @@ def main() -> None:
         "ngram_pairs": q_ngram_pairs,
         "anomaly": q_anomaly,
         "timeagg": q_timeagg,
+        "tiered_read": q_tiered_read,
     }
+
+    # one-time setup for the tiered-read entry: persist the tier
+    # cascade to a store so the entry times ONLY the stitched
+    # partition-pruned read, not the rollup build (which
+    # rollup_cascade already measures)
+    import tempfile
+
+    from smos_spark.operators.rollup import reaggregate as _reagg
+    from smos_spark.sources.store import TranscriptStore
+
+    _tiered_dir = tempfile.mkdtemp(prefix="bench_tiers_")
+    tiered_store = TranscriptStore(_tiered_dir, n_buckets=8)
+    _m1 = rollup_from_raw(t, "1m")
+    tiered_store.write_tier(_m1, "1m")
+    _h1 = _reagg(_m1, "1h")
+    tiered_store.write_tier(_h1, "1h")
+    tiered_store.write_tier(_reagg(_h1, "1d"), "1d")
 
     n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
     # UNTIMED warm-up pass: first-trial samples previously carried up
