@@ -131,6 +131,24 @@ def main() -> None:
                     help="defaults to the codec recorded at write time")
     ra.add_argument("--limit", type=int, default=20)
 
+    tr = sub.add_parser(
+        "tiered-read",
+        help="retention-aware range read: serve [t0, t1) at the "
+        "finest tier each sub-range still retains, stitched at "
+        "bucket-aligned cuts (partition-pruned per segment)",
+    )
+    tr.add_argument("--store", required=True)
+    tr.add_argument("--t0", required=True, help="'YYYY-MM-DD[ HH:MM:SS]'")
+    tr.add_argument("--t1", required=True)
+    tr.add_argument("--now", required=True,
+                    help="policy evaluation instant (explicit for "
+                    "reproducibility; typically wall-clock)")
+    tr.add_argument("--keep", default=None,
+                    help="comma list tier=seconds|inf, e.g. "
+                    "'1m=604800,1h=7776000,1d=inf' (default: "
+                    "DEFAULT_RETENTION days)")
+    tr.add_argument("--limit", type=int, default=20)
+
     args = ap.parse_args()
 
     from smos_spark.session import get_spark
@@ -268,6 +286,28 @@ def main() -> None:
                 {"cmd": "range-agg", "tier": args.tier, "rows": rows}
             )
         )
+
+    elif args.cmd == "tiered-read":
+        from pyspark.sql import functions as F
+
+        from smos_spark.operators.retention import tiered_read_store
+
+        store = TranscriptStore(args.store)
+        keep_s = None
+        if args.keep:
+            keep_s = {}
+            for part in args.keep.split(","):
+                tier_name, _, val = part.partition("=")
+                keep_s[tier_name.strip()] = (
+                    None if val.strip() in ("inf", "none", "") else float(val)
+                )
+        df = tiered_read_store(
+            spark, store, t0=args.t0, t1=args.t1, now=args.now, keep_s=keep_s
+        )
+        df.orderBy("bucket_start", "conv_id").show(args.limit, truncate=False)
+        per_tier = {r["tier"]: r["n"] for r in
+                    df.groupBy("tier").agg(F.count(F.lit(1)).alias("n")).collect()}
+        print(json.dumps({"cmd": "tiered-read", "rows_per_tier": per_tier}))
 
     elif args.cmd == "compact":
         store = TranscriptStore(args.store)

@@ -191,3 +191,43 @@ def test_store_tool_blocks_and_range_agg(spark, transcripts, tmp_path):
     plan = shown._jdf.queryExecution().executedPlan().toString()
     assert "GlobalLimit" in plan or "CollectLimit" in plan, plan
     assert len(shown.collect()) == min(3, exp)
+
+
+def test_store_tool_tiered_read(spark, transcripts, tmp_path):
+    """tiered-read subcommand: stitched retention read over a real
+    store; all three tiers appear, counts equal the library call."""
+    import datetime as dt
+
+    from smos_spark.operators.retention import tiered_read_store
+    from smos_spark.operators.rollup import reaggregate, rollup_from_raw
+    from smos_spark.sources.store import TranscriptStore
+
+    store_root = str(tmp_path / "store")
+    store = TranscriptStore(store_root, n_buckets=4)
+    m1 = rollup_from_raw(transcripts, "1m")
+    store.write_tier(m1, "1m")
+    h1 = reaggregate(m1, "1h")
+    store.write_tier(h1, "1h")
+    store.write_tier(reaggregate(h1, "1d"), "1d")
+
+    lo, hi = transcripts.agg(F.min("ts"), F.max("ts")).collect()[0]
+    t0 = lo.replace(hour=0, minute=0, second=0, microsecond=0)
+    t1 = t0 + dt.timedelta(days=(hi - t0).days + 1)
+    now = t1
+    # fixture spans 3 days: 0.5 d of 1m, then 1h to 1.5 d back, then 1d
+    keep = "1m=43200,1h=129600,1d=inf"
+
+    res = _run(
+        ["scripts/store_tool.py", "--master", "local[4]", "tiered-read",
+         "--store", store_root, "--t0", str(t0), "--t1", str(t1),
+         "--now", str(now), "--keep", keep, "--limit", "3"]
+    )
+    per_tier = res["rows_per_tier"]
+    want = tiered_read_store(
+        spark, store, t0, t1, now,
+        keep_s={"1m": 43200, "1h": 129600, "1d": None},
+    )
+    want_counts = {r["tier"]: r["n"] for r in
+                   want.groupBy("tier").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_tier == want_counts
+    assert set(per_tier) == {"1m", "1h", "1d"}
