@@ -1906,6 +1906,52 @@ def _with_dist(fn: Callable) -> Callable:
     return _wrapped
 
 
+def _q_events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE multiwindow burn-rate alerts on the global error ratio:
+    6h short buckets, 24h (4-bucket) long window, 80% SLO
+    (budget 200_000 ppm); fast policy burn > 21/20, slow > 101/100,
+    alert = both. Flags decided by cross-multiplied decimal(38,0)
+    integers; ppm columns are floor of bit-identical doubles."""
+    from smos_spark.operators.slo import slo_burn_rate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", (F.col("event_type") == "error").alias("is_err")
+    )
+    return slo_burn_rate(
+        ev,
+        "is_err",
+        ts_col="ts",
+        key_cols=(),
+        short_sec=21600,
+        long_buckets=4,
+        budget_ppm=200_000,
+        fast_num=21,
+        fast_den=20,
+        slow_num=101,
+        slow_den=100,
+    )
+
+
+def _q_events_paa_8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAA: 8 equal daily time slices per user, exact integer segment
+    state (n, sum_cents) plus the equal-width SAX symbol decided by a
+    decimal(38,0) floor-division against the day's cent range."""
+    from smos_spark.operators.symbolic import paa
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return paa(ev, "value", ("user_id",), n_segments=8, alphabet=4)
+
+
+def _q_events_sax_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX words: one symbol string per (user, day) assembled from the
+    PAA symbols in segment order (non-empty segments only) — bit-equal
+    strings across engines because every symbol is an exact integer."""
+    from smos_spark.operators.symbolic import sax_words
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sax_words(ev, "value", ("user_id",), n_segments=8, alphabet=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _with_dist(fn)
@@ -1936,7 +1982,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      events_mad_outliers, des_final, events_xcorr_1d,
     #      events_twa_6h_carry, events_uptime_weekly, conv_role_weekly,
     #      events_ohlc_1d_merged, and later events_theil_sen,
-    #      events_wmedian_daily + tiered_read) at the very end: they
+    #      events_wmedian_daily, tiered_read, events_slo_burn,
+    #      events_paa_8 + events_sax_daily) at the very end: they
     #      have no driver
     #      row yet and rely on the local cross-check + pytest until a
     #      future window reaches them.
@@ -2063,6 +2110,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_theil_sen": _q_events_theil_sen,
         "events_wmedian_daily": _q_events_wmedian_daily,
         "tiered_read": _q_tiered_read,
+        "events_slo_burn": _q_events_slo_burn,
+        "events_paa_8": _q_events_paa_8,
+        "events_sax_daily": _q_events_sax_daily,
     }
 
 
@@ -4152,6 +4202,119 @@ def oracle_sql() -> dict[str, str]:
           SELECT '1h' AS tier, x.* FROM ({_tier_sql("hour", "s1h")}) x
           UNION ALL
           SELECT '1m' AS tier, x.* FROM ({_tier_sql("minute", "s1m")}) x
+        """,
+        # SRE multiwindow burn-rate alerts: 6h buckets, 4-bucket long
+        # window via an integer RANGE frame (gaps shorten the long sum,
+        # matching Spark's rangeBetween); exceeded flags decided by the
+        # cross-multiplied HUGEINT inequality (decimal(38,0) in Spark);
+        # ppm columns are floor of the IDENTICAL double expression
+        "events_slo_burn": """
+          WITH c AS (
+            SELECT epoch_us(ts) // 21600000000 AS bucket,
+              CAST(count(*) AS BIGINT) AS total,
+              CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS errors
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1
+          ), w AS (
+            SELECT bucket, total, errors,
+              CAST(sum(total) OVER (ORDER BY bucket
+                RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS long_total,
+              CAST(sum(errors) OVER (ORDER BY bucket
+                RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS long_errors
+            FROM c)
+          SELECT bucket, make_timestamp(bucket * 21600000000) AS bucket_ts,
+            total, errors, long_total, long_errors,
+            CAST(floor((CAST(errors AS DOUBLE) * 1000000.0
+              / (CAST(total AS DOUBLE) * 200000.0)) * 1000000.0)
+              AS BIGINT) AS burn_fast_ppm,
+            CAST(floor((CAST(long_errors AS DOUBLE) * 1000000.0
+              / (CAST(long_total AS DOUBLE) * 200000.0)) * 1000000.0)
+              AS BIGINT) AS burn_slow_ppm,
+            CAST(CASE WHEN CAST(errors AS HUGEINT) * 1000000 * 20
+                   > CAST(total AS HUGEINT) * 200000 * 21
+                 THEN 1 ELSE 0 END AS BIGINT) AS fast_exceeded,
+            CAST(CASE WHEN CAST(long_errors AS HUGEINT) * 1000000 * 100
+                   > CAST(long_total AS HUGEINT) * 200000 * 101
+                 THEN 1 ELSE 0 END AS BIGINT) AS slow_exceeded,
+            CAST(CASE WHEN (CAST(errors AS HUGEINT) * 1000000 * 20
+                     > CAST(total AS HUGEINT) * 200000 * 21)
+                  AND (CAST(long_errors AS HUGEINT) * 1000000 * 100
+                     > CAST(long_total AS HUGEINT) * 200000 * 101)
+                 THEN 1 ELSE 0 END AS BIGINT) AS alert
+          FROM w
+        """,
+        # PAA segments + equal-width SAX symbol: segment index is an
+        # integral floor-division of the day offset; the symbol is the
+        # HUGEINT floor of (sum−min·n)·a / ((max−min)·n) — both
+        # operands non-negative, so // matches Spark's decimal floor
+        "events_paa_8": """
+          WITH b AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+              (epoch_us(ts) - epoch_us(date_trunc('day', ts))) * 8
+                // 86400000000 AS seg,
+              CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          ), s AS (
+            SELECT user_id, day, seg,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(cents) AS BIGINT) AS sum_cents,
+              min(cents) AS min_cents, max(cents) AS max_cents
+            FROM b GROUP BY 1, 2, 3
+          ), d AS (
+            SELECT *,
+              min(min_cents) OVER (PARTITION BY user_id, day) AS day_min,
+              max(max_cents) OVER (PARTITION BY user_id, day) AS day_max
+            FROM s)
+          SELECT user_id, day, seg, n, sum_cents, min_cents, max_cents,
+            day_min, day_max,
+            CAST(CASE WHEN day_max = day_min THEN 0
+                 ELSE least(
+                   (CAST(sum_cents AS HUGEINT)
+                      - CAST(day_min AS HUGEINT) * n) * 4
+                   // ((CAST(day_max AS HUGEINT)
+                      - CAST(day_min AS HUGEINT)) * n), 3)
+                 END AS BIGINT) AS sym
+          FROM d
+        """,
+        # SAX word: the PAA symbols concatenated in segment order —
+        # exact string equality end-to-end
+        "events_sax_daily": """
+          WITH b AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+              (epoch_us(ts) - epoch_us(date_trunc('day', ts))) * 8
+                // 86400000000 AS seg,
+              CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          ), s AS (
+            SELECT user_id, day, seg,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(cents) AS BIGINT) AS sum_cents,
+              min(cents) AS min_cents, max(cents) AS max_cents
+            FROM b GROUP BY 1, 2, 3
+          ), d AS (
+            SELECT *,
+              min(min_cents) OVER (PARTITION BY user_id, day) AS day_min,
+              max(max_cents) OVER (PARTITION BY user_id, day) AS day_max
+            FROM s
+          ), y AS (
+            SELECT user_id, day, seg, n,
+              CAST(CASE WHEN day_max = day_min THEN 0
+                   ELSE least(
+                     (CAST(sum_cents AS HUGEINT)
+                        - CAST(day_min AS HUGEINT) * n) * 4
+                     // ((CAST(day_max AS HUGEINT)
+                        - CAST(day_min AS HUGEINT)) * n), 3)
+                   END AS BIGINT) AS sym
+            FROM d)
+          SELECT user_id, day,
+            string_agg(chr(97 + CAST(sym AS INTEGER)), '' ORDER BY seg)
+              AS sax_word,
+            CAST(count(*) AS BIGINT) AS n_segments,
+            CAST(sum(n) AS BIGINT) AS n_samples
+          FROM y GROUP BY 1, 2
         """,
     }
     # the *_auto dispatcher rows are DEFINED to be row-identical to

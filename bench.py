@@ -377,6 +377,37 @@ def main() -> None:
                 h_cents=8000,
             )
         )
+    def q_paa_sax():
+        # symbolic downsample: one map-side reduction to (key, day,
+        # seg) counters, window + word groupBy on the counter table
+        # (two Exchanges total, second onward counter-rows only)
+        from smos_spark.operators.symbolic import sax_words
+
+        evf = spark.read.parquet(f"{sf_dir}/events.parquet")
+        _force(sax_words(evf, "value", ("user_id",), n_segments=8, alphabet=4))
+
+    def q_slo_burn():
+        # SRE multiwindow burn-rate alerts: one map-side-combined
+        # reduction to (key, bucket) counters, long window over the
+        # O(keys·buckets) counter table only — the raw stream is
+        # scanned once and never re-shuffled
+        from smos_spark.operators.slo import slo_burn_rate
+
+        evf = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "ts",
+            "user_id",
+            (F.col("event_type") == "error").alias("is_err"),
+        )
+        _force(
+            slo_burn_rate(
+                evf,
+                "is_err",
+                key_cols=("user_id",),
+                short_sec=3600,
+                long_buckets=6,
+                budget_ppm=200_000,
+            )
+        )
 
     def q_ngram_pairs():
         # exact prefix-filtered n-gram Jaccard (PLANS.md §29): df-
@@ -455,6 +486,8 @@ def main() -> None:
         "anomaly": q_anomaly,
         "timeagg": q_timeagg,
         "tiered_read": q_tiered_read,
+        "slo_burn": q_slo_burn,
+        "paa_sax": q_paa_sax,
     }
 
     # one-time setup for the tiered-read entry: persist the tier

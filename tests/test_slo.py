@@ -1,0 +1,114 @@
+"""SLO burn-rate alerts (operators/slo.py).
+
+Pins the multiwindow policy on hand-computed counters: exact flag
+decisions at the threshold boundary (strict > — a burn rate exactly
+equal to the threshold must NOT fire), the floor-ppm display columns,
+and the sparse-series contract that the long window is a RANGE frame
+over the integer bucket index (a traffic gap shortens the long sum —
+a rows-based frame would silently stretch it across the gap).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from smos_spark.operators.slo import slo_burn_rate
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+B0 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp()) // 3600
+
+
+def _ev(spark, rows):
+    """rows: (key, hour_offset, n_ok, n_err) -> one event per unit."""
+    out = []
+    for key, hour, n_ok, n_err in rows:
+        base = T0 + dt.timedelta(hours=hour)
+        for i in range(n_ok):
+            out.append(Row(key=key, ts=base + dt.timedelta(seconds=i), is_err=False))
+        for i in range(n_err):
+            out.append(
+                Row(key=key, ts=base + dt.timedelta(seconds=600 + i), is_err=True)
+            )
+    return spark.createDataFrame(out)
+
+
+class TestBurnRate:
+    def _run(self, spark, rows, **kw):
+        kw.setdefault("short_sec", 3600)
+        kw.setdefault("long_buckets", 3)
+        kw.setdefault("budget_ppm", 500_000)
+        kw.setdefault("fast_num", 1)
+        kw.setdefault("fast_den", 1)
+        kw.setdefault("slow_num", 1)
+        kw.setdefault("slow_den", 1)
+        out = slo_burn_rate(_ev(spark, rows), "is_err", **kw)
+        return {r.bucket - B0: r for r in out.collect()}
+
+    def test_hand_computed_flags_and_ppm(self, spark):
+        # budget 50%: burn = 2·err/tot, threshold 1/1 for both windows.
+        # h0: 1/4 err -> burn 0.5 (no); h1: 3/4 -> 1.5 (fast yes);
+        # h2-h3 silent; h4: 2/2 -> 2.0 (fast yes).
+        by = self._run(
+            spark, [("a", 0, 3, 1), ("a", 1, 1, 3), ("a", 4, 0, 2)]
+        )
+        assert set(by) == {0, 1, 4}
+        r0, r1, r4 = by[0], by[1], by[4]
+        assert (r0.total, r0.errors, r0.fast_exceeded) == (4, 1, 0)
+        assert r0.burn_fast_ppm == 500_000  # floor(0.5e6) exactly
+        assert (r1.fast_exceeded, r1.burn_fast_ppm) == (1, 1_500_000)
+        assert (r4.total, r4.errors, r4.fast_exceeded) == (2, 2, 1)
+
+    def test_boundary_burn_equal_threshold_does_not_fire(self, spark):
+        # long window at h1 spans h0..h1: 4/8 err -> burn exactly 1.0;
+        # strict > means slow_exceeded = 0 and therefore alert = 0
+        # even though fast fired.
+        by = self._run(spark, [("a", 0, 3, 1), ("a", 1, 1, 3)])
+        r1 = by[1]
+        assert (r1.long_total, r1.long_errors) == (8, 4)
+        assert r1.burn_slow_ppm == 1_000_000
+        assert (r1.fast_exceeded, r1.slow_exceeded, r1.alert) == (1, 0, 0)
+
+    def test_gap_shortens_long_window_range_frame(self, spark):
+        # h4 is 3 buckets after h1, so the 3-bucket RANGE frame [2,4]
+        # holds ONLY h4 -> slow fires from h4's own counters. A
+        # rows-between frame would have pulled h0/h1 in and diluted it.
+        by = self._run(
+            spark, [("a", 0, 3, 1), ("a", 1, 1, 3), ("a", 4, 0, 2)]
+        )
+        r4 = by[4]
+        assert (r4.long_total, r4.long_errors) == (2, 2)
+        assert (r4.slow_exceeded, r4.alert) == (1, 1)
+
+    def test_keys_are_independent(self, spark):
+        # b's clean traffic in h1 must not dilute a's long window.
+        out = slo_burn_rate(
+            _ev(spark, [("a", 0, 0, 4), ("b", 0, 4, 0), ("b", 1, 4, 0)]),
+            "is_err",
+            key_cols=("key",),
+            short_sec=3600,
+            long_buckets=3,
+            budget_ppm=500_000,
+            fast_num=1,
+            fast_den=1,
+            slow_num=1,
+            slow_den=1,
+        ).collect()
+        rows = {(r.key, r.bucket - B0): r for r in out}
+        assert len(rows) == 3
+        assert rows[("a", 0)].alert == 1
+        assert rows[("b", 0)].alert == 0 and rows[("b", 1)].alert == 0
+        assert rows[("b", 1)].long_total == 8
+
+    def test_validation(self, spark):
+        df = _ev(spark, [("a", 0, 1, 1)])
+        with pytest.raises(ValueError, match="budget_ppm"):
+            slo_burn_rate(df, "is_err", budget_ppm=0)
+        with pytest.raises(ValueError, match="budget_ppm"):
+            slo_burn_rate(df, "is_err", budget_ppm=2_000_000)
+        with pytest.raises(ValueError, match="long_buckets"):
+            slo_burn_rate(df, "is_err", long_buckets=0)
+        with pytest.raises(ValueError, match="positive"):
+            slo_burn_rate(df, "is_err", fast_num=0)
