@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["slo_burn_rate"]
+__all__ = ["slo_burn_rate", "slo_stream"]
 
 _DEC = "decimal(38,0)"
 
@@ -167,4 +167,207 @@ def slo_burn_rate(
         "fast_exceeded",
         "slow_exceeded",
         "alert",
+    )
+
+
+def slo_stream(
+    stream: DataFrame,
+    is_error_col: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    short_sec: int = 3600,
+    long_buckets: int = 6,
+    budget_ppm: int = 250_000,
+    fast_num: int = 6,
+    fast_den: int = 5,
+    slow_num: int = 21,
+    slow_den: int = 20,
+    watermark: str = "1 hour",
+):
+    """Structured Streaming twin of `slo_burn_rate` (§2.8 parity, the
+    cusum_stream / des_stream incremental-path contract).
+
+    State per key is the trailing `long_buckets` bucket counters —
+    three parallel int64 arrays plus the last emitted bucket index, a
+    fixed few hundred bytes — maintained across micro-batches via
+    applyInPandasWithState.  A bucket's row is emitted exactly once,
+    when a LATER bucket first appears for the key (the bucket is then
+    closed), so the streaming output equals the batch output minus
+    each key's final, still-open bucket — row-for-row IDENTICAL
+    values (pinned in test_slo_stream_matches_batch): the ppm columns
+    evaluate the same IEEE double expression (numpy float64 ==
+    Spark double, operand order preserved) and the exceeded flags use
+    arbitrary-precision Python ints, matching the batch decimal(38,0)
+    cross-multiplication exactly.
+
+    Within a micro-batch, raw rows reduce to per-bucket counters with
+    one vectorized pandas groupby; long-window sums come from
+    cumulative sums + searchsorted over the bounded counter arrays.
+    The only Python-level iteration is the exceeded-flag comprehension
+    over EMITTED COUNTER ROWS (one per closed bucket, never per raw
+    row) — the same counter-table bound as the batch plan.  Rows whose
+    bucket is at or before the key's last emitted bucket arrived too
+    late to amend an already-published alert and are DROPPED — bound
+    disorder with the source watermark, which also bounds how long a
+    bucket can stay open.
+    """
+    if not 0 < budget_ppm <= 1_000_000:
+        raise ValueError(f"budget_ppm must be in (0, 10^6], got {budget_ppm}")
+    if long_buckets < 1:
+        raise ValueError(f"long_buckets must be >= 1, got {long_buckets}")
+    if min(fast_num, fast_den, slow_num, slow_den) <= 0:
+        raise ValueError("burn-rate thresholds must be positive rationals")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keys = list(key_cols)
+    width_us = int(short_sec) * 1_000_000
+    nl = int(long_buckets)
+    budget = int(budget_ppm)
+    fn_, fd_, sn_, sd_ = int(fast_num), int(fast_den), int(slow_num), int(slow_den)
+
+    src = (
+        stream.where(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .select(
+            *keys,
+            F.col(ts_col),
+            F.expr(
+                f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {width_us}L"
+            ).alias("_bucket"),
+            F.when(F.col(is_error_col), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("_err"),
+        )
+    )
+    grp = keys if keys else [F.lit(0).alias("_g")]
+    if not keys:
+        src = src.withColumn("_g", F.lit(0))
+        grp = ["_g"]
+
+    key_fields = [f for f in src.schema.fields if f.name in keys]
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in key_fields)
+        + (", " if key_fields else "")
+        + "bucket long, bucket_ts timestamp, total long, errors long, "
+        "long_total long, long_errors long, burn_fast_ppm long, "
+        "burn_slow_ppm long, fast_exceeded long, slow_exceeded long, "
+        "alert long"
+    )
+    state_schema = (
+        "buckets array<long>, totals array<long>, errs array<long>, "
+        "last_emitted long"
+    )
+    _NONE = -(1 << 62)  # sentinel: nothing emitted yet
+
+    def _fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return iter([])
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return iter([])
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        g = pdf.groupby("_bucket")["_err"].agg(["count", "sum"])
+        nb = g.index.to_numpy(dtype=np.int64)
+        nt = g["count"].to_numpy(dtype=np.int64)
+        ne = g["sum"].to_numpy(dtype=np.int64)
+        if state.exists:
+            sb, st, se, last_em = state.get
+            sb = np.asarray(sb, dtype=np.int64)
+            st = np.asarray(st, dtype=np.int64)
+            se = np.asarray(se, dtype=np.int64)
+        else:
+            sb = st = se = np.empty(0, dtype=np.int64)
+            last_em = _NONE
+        keep = nb > last_em  # late data for a published bucket: dropped
+        nb, nt, ne = nb[keep], nt[keep], ne[keep]
+        if not len(nb):
+            return iter([])
+        # merge state + new counters (both already bucket-sorted)
+        ab = np.concatenate([sb, nb])
+        order = np.argsort(ab, kind="mergesort")
+        ab = ab[order]
+        at = np.concatenate([st, nt])[order]
+        ae = np.concatenate([se, ne])[order]
+        ub, inv = np.unique(ab, return_inverse=True)
+        # exact int64 scatter-add (bincount's float64 weights would
+        # round above 2^53)
+        ut = np.zeros(len(ub), dtype=np.int64)
+        ue = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(ut, inv, at)
+        np.add.at(ue, inv, ae)
+
+        mx = int(ub[-1])
+        emit = (ub < mx) & (ub > last_em)
+        new_last = int(ub[emit][-1]) if emit.any() else last_em
+        if emit.any():
+            ct = np.cumsum(ut)
+            ce = np.cumsum(ue)
+            idx = np.nonzero(emit)[0]
+            lo = np.searchsorted(ub, ub[idx] - (nl - 1), side="left")
+            lt = ct[idx] - np.where(lo > 0, ct[lo - 1], 0)
+            le = ce[idx] - np.where(lo > 0, ce[lo - 1], 0)
+            eb, et, ee = ub[idx], ut[idx], ue[idx]
+            # ppm: IDENTICAL double expression as the batch plan
+            bf = np.floor(
+                ((ee.astype(np.float64) * 1_000_000.0)
+                 / (et.astype(np.float64) * float(budget)))
+                * 1_000_000.0
+            ).astype(np.int64)
+            bs = np.floor(
+                ((le.astype(np.float64) * 1_000_000.0)
+                 / (lt.astype(np.float64) * float(budget)))
+                * 1_000_000.0
+            ).astype(np.int64)
+            # flags: arbitrary-precision ints over counter rows only
+            fx = np.fromiter(
+                (1 if int(e) * 1_000_000 * fd_ > int(t) * budget * fn_ else 0
+                 for e, t in zip(ee.tolist(), et.tolist())),
+                dtype=np.int64, count=len(eb),
+            )
+            sx = np.fromiter(
+                (1 if int(e) * 1_000_000 * sd_ > int(t) * budget * sn_ else 0
+                 for e, t in zip(le.tolist(), lt.tolist())),
+                dtype=np.int64, count=len(eb),
+            )
+            out = pd.DataFrame(
+                {
+                    "bucket": eb,
+                    "bucket_ts": pd.to_datetime(eb * width_us, unit="us"),
+                    "total": et,
+                    "errors": ee,
+                    "long_total": lt.astype(np.int64),
+                    "long_errors": le.astype(np.int64),
+                    "burn_fast_ppm": bf,
+                    "burn_slow_ppm": bs,
+                    "fast_exceeded": fx,
+                    "slow_exceeded": sx,
+                    "alert": fx * sx,
+                }
+            )
+            for i, kcol in enumerate(keys):
+                out.insert(i, kcol, key[i])
+        else:
+            out = None
+        # prune to the trailing window of the (still open) max bucket
+        keep2 = ub > mx - nl
+        state.update(
+            (
+                ub[keep2].tolist(),
+                ut[keep2].tolist(),
+                ue[keep2].tolist(),
+                int(new_last),
+            )
+        )
+        return iter([out]) if out is not None else iter([])
+
+    return src.groupBy(*grp).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

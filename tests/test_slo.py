@@ -112,3 +112,102 @@ class TestBurnRate:
             slo_burn_rate(df, "is_err", long_buckets=0)
         with pytest.raises(ValueError, match="positive"):
             slo_burn_rate(df, "is_err", fast_num=0)
+
+
+KW = dict(
+    short_sec=3600,
+    long_buckets=3,
+    budget_ppm=500_000,
+    fast_num=1,
+    fast_den=1,
+    slow_num=1,
+    slow_den=1,
+)
+
+
+class TestSloStream:
+    def test_stream_matches_batch_minus_open_buckets(self, spark, tmp_path):
+        """Streaming emits a bucket once a later one appears; output ==
+        batch rows minus each key's final (open) bucket, values
+        row-for-row identical."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from smos_spark.operators.slo import slo_stream
+
+        rows = [
+            ("a", 0, 3, 1), ("a", 1, 1, 3), ("a", 4, 0, 2), ("a", 5, 5, 1),
+            ("b", 0, 4, 0), ("b", 2, 1, 7), ("b", 3, 2, 2),
+        ]
+        df = _ev(spark, rows).cache()
+        src = str(tmp_path / "src")
+        # three time-ordered micro-batches split at hour boundaries
+        for lo, hi in ((0, 2), (2, 4), (4, 24)):
+            t_lo = T0 + dt.timedelta(hours=lo)
+            t_hi = T0 + dt.timedelta(hours=hi)
+            chunk = df.where((df.ts >= t_lo) & (df.ts < t_hi))
+            chunk.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            slo_stream(stream, "is_err", key_cols=("key",), watermark="0 seconds", **KW)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("slo_stream_t")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = (
+            spark.table("slo_stream_t")
+            .toPandas()
+            .sort_values(["key", "bucket"])
+            .reset_index(drop=True)
+        )
+        batch = slo_burn_rate(df, "is_err", key_cols=("key",), **KW)
+        w_max = batch.groupBy("key").agg(F.max("bucket").alias("mx"))
+        exp = (
+            batch.join(w_max, "key")
+            .where(F.col("bucket") < F.col("mx"))
+            .drop("mx")
+            .toPandas()
+            .sort_values(["key", "bucket"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp) and len(got) > 0
+        pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+    def test_stream_drops_late_rows_for_published_buckets(self, spark, tmp_path):
+        """A row for an already-emitted bucket arriving in a later
+        micro-batch is dropped, never amending a published alert."""
+        from smos_spark.operators.slo import slo_stream
+
+        early = _ev(spark, [("a", 0, 1, 1), ("a", 1, 1, 0)])
+        late = _ev(spark, [("a", 0, 0, 5), ("a", 2, 1, 0)])
+        src = str(tmp_path / "src")
+        early.coalesce(1).write.mode("append").parquet(src)
+        late.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(early.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            slo_stream(stream, "is_err", key_cols=("key",), watermark="0 seconds", **KW)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("slo_stream_late")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = {r.bucket: r for r in spark.table("slo_stream_late").collect()}
+        # bucket 0 emitted from batch 1 with its original counters
+        assert rows[min(rows)].total == 2 and rows[min(rows)].errors == 1
+        # bucket 1 emitted when bucket 2 arrived; the late bucket-0
+        # rows did not re-enter bucket 1's long window
+        b1 = rows[min(rows) + 1]
+        assert (b1.total, b1.long_total, b1.long_errors) == (1, 3, 1)
