@@ -1952,6 +1952,17 @@ def _q_events_sax_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sax_words(ev, "value", ("user_id",), n_segments=8, alphabet=4)
 
 
+def _q_events_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX motifs: daily words recurring on >= 3 days per user — a
+    groupBy over the O(users·days) word table, never raw samples."""
+    from smos_spark.operators.symbolic import sax_motifs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sax_motifs(
+        ev, "value", ("user_id",), n_segments=8, alphabet=4, min_days=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _with_dist(fn)
@@ -2113,6 +2124,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_slo_burn": _q_events_slo_burn,
         "events_paa_8": _q_events_paa_8,
         "events_sax_daily": _q_events_sax_daily,
+        "events_sax_motifs": _q_events_sax_motifs,
     }
 
 
@@ -2120,6 +2132,48 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # layers one cleaning predicate on the previous survivors; f4 marks the
 # first surviving occurrence per exact content hash (window min over
 # survivors only, matching the Spark row_number ordering).
+# Shared SAX pipeline CTE: PAA segment counters (8 daily slices) →
+# day cent-range → equal-width symbol (HUGEINT floor division, clamp
+# at 3) → one word per (user, day). Consumed by the events_sax_*
+# oracles; `words` is the final CTE.
+_SAX_WORD_CTE = """
+          WITH b AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+              (epoch_us(ts) - epoch_us(date_trunc('day', ts))) * 8
+                // 86400000000 AS seg,
+              CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          ), s AS (
+            SELECT user_id, day, seg,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(cents) AS BIGINT) AS sum_cents,
+              min(cents) AS min_cents, max(cents) AS max_cents
+            FROM b GROUP BY 1, 2, 3
+          ), d AS (
+            SELECT *,
+              min(min_cents) OVER (PARTITION BY user_id, day) AS day_min,
+              max(max_cents) OVER (PARTITION BY user_id, day) AS day_max
+            FROM s
+          ), y AS (
+            SELECT user_id, day, seg, n,
+              CAST(CASE WHEN day_max = day_min THEN 0
+                   ELSE least(
+                     (CAST(sum_cents AS HUGEINT)
+                        - CAST(day_min AS HUGEINT) * n) * 4
+                     // ((CAST(day_max AS HUGEINT)
+                        - CAST(day_min AS HUGEINT)) * n), 3)
+                   END AS BIGINT) AS sym
+            FROM d
+          ), words AS (
+            SELECT user_id, day,
+              string_agg(chr(97 + CAST(sym AS INTEGER)), '' ORDER BY seg)
+                AS sax_word,
+              CAST(count(*) AS BIGINT) AS n_segments,
+              CAST(sum(n) AS BIGINT) AS n_samples
+            FROM y GROUP BY 1, 2)
+"""
+
+
 _FUNNEL_CTE = """
   WITH scored AS (
     SELECT doc_id, text,
@@ -4281,40 +4335,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # SAX word: the PAA symbols concatenated in segment order —
         # exact string equality end-to-end
-        "events_sax_daily": """
-          WITH b AS (
-            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-              (epoch_us(ts) - epoch_us(date_trunc('day', ts))) * 8
-                // 86400000000 AS seg,
-              CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
-            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
-          ), s AS (
-            SELECT user_id, day, seg,
-              CAST(count(*) AS BIGINT) AS n,
-              CAST(sum(cents) AS BIGINT) AS sum_cents,
-              min(cents) AS min_cents, max(cents) AS max_cents
-            FROM b GROUP BY 1, 2, 3
-          ), d AS (
-            SELECT *,
-              min(min_cents) OVER (PARTITION BY user_id, day) AS day_min,
-              max(max_cents) OVER (PARTITION BY user_id, day) AS day_max
-            FROM s
-          ), y AS (
-            SELECT user_id, day, seg, n,
-              CAST(CASE WHEN day_max = day_min THEN 0
-                   ELSE least(
-                     (CAST(sum_cents AS HUGEINT)
-                        - CAST(day_min AS HUGEINT) * n) * 4
-                     // ((CAST(day_max AS HUGEINT)
-                        - CAST(day_min AS HUGEINT)) * n), 3)
-                   END AS BIGINT) AS sym
-            FROM d)
-          SELECT user_id, day,
-            string_agg(chr(97 + CAST(sym AS INTEGER)), '' ORDER BY seg)
-              AS sax_word,
-            CAST(count(*) AS BIGINT) AS n_segments,
-            CAST(sum(n) AS BIGINT) AS n_samples
-          FROM y GROUP BY 1, 2
+        "events_sax_daily": _SAX_WORD_CTE
+        + """
+          SELECT * FROM words
+        """,
+        # SAX motifs: recurring daily words per user — a groupBy over
+        # the word table; HAVING on the exact day count
+        "events_sax_motifs": _SAX_WORD_CTE
+        + """
+          SELECT user_id, sax_word,
+            CAST(count(*) AS BIGINT) AS n_days,
+            min(day) AS first_day, max(day) AS last_day,
+            CAST(sum(n_samples) AS BIGINT) AS n_samples
+          FROM words GROUP BY 1, 2 HAVING count(*) >= 3
         """,
     }
     # the *_auto dispatcher rows are DEFINED to be row-identical to

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["paa", "sax_words"]
+__all__ = ["paa", "sax_words", "sax_motifs"]
 
 _DAY_US = 86_400_000_000
 _DEC = "decimal(38,0)"
@@ -165,4 +165,49 @@ def sax_words(
             F.sum("n").alias("n_samples"),
         )
         .select(*keys, "day", "sax_word", "n_segments", "n_samples")
+    )
+
+
+def sax_motifs(
+    df: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    n_segments: int = 8,
+    alphabet: int = 4,
+    min_days: int = 2,
+) -> DataFrame:
+    """Recurring daily shapes per key: days whose SAX word repeats.
+
+    The point of symbolizing at all — motif discovery becomes a plain
+    groupBy over the O(keys·days) word table (one row per key-day,
+    never raw samples), so "which daily patterns does this key keep
+    producing, and when did each first/last appear" is answerable at
+    10^12-turn scale from a table the size of the calendar.  Words
+    must match exactly (same non-empty segments, same symbols) — the
+    discretized analog of a zero-distance motif.
+    """
+    if min_days < 1:
+        raise ValueError(f"min_days must be >= 1, got {min_days}")
+    keys = list(key_cols)
+    w = sax_words(
+        df,
+        value_col,
+        key_cols=keys,
+        ts_col=ts_col,
+        n_segments=n_segments,
+        alphabet=alphabet,
+    )
+    return (
+        w.groupBy(*keys, "sax_word")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+            F.sum("n_samples").alias("n_samples"),
+        )
+        .where(F.col("n_days") >= F.lit(int(min_days)))
+        .select(
+            *keys, "sax_word", "n_days", "first_day", "last_day", "n_samples"
+        )
     )

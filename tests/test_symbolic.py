@@ -75,6 +75,28 @@ class TestSaxWords:
         r = out[0]
         assert (r.sax_word, r.n_segments, r.n_samples) == ("acd", 3, 4)
 
+    def test_motifs_count_repeating_words(self, spark):
+        # the same daily shape shifted by a constant symbolizes to the
+        # SAME word (equal-width bins are shift-invariant), so days
+        # 0/1/2 are one motif "acd" x3; day 3's single sample ("a")
+        # misses min_days=2
+        from smos_spark.operators.symbolic import sax_motifs
+
+        rows = list(ROWS)
+        for d in (1, 2):
+            rows += [(k, h + 24 * d, v + 10.0) for k, h, v in ROWS]
+        rows.append((1, 24 * 3, 5.0))
+        out = sax_motifs(
+            _ev(spark, rows), "value", ("user_id",),
+            n_segments=4, alphabet=4, min_days=2,
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.sax_word, r.n_days, r.n_samples) == ("acd", 3, 12)
+        assert (r.first_day, r.last_day) == (T0, T0 + dt.timedelta(days=2))
+        with pytest.raises(ValueError, match="min_days"):
+            sax_motifs(_ev(spark, rows), "value", ("user_id",), min_days=0)
+
     def test_days_and_keys_independent(self, spark):
         rows = ROWS + [(1, 24, 1.0), (1, 30, 9.0), (2, 0, 7.0)]
         out = {
