@@ -1952,6 +1952,27 @@ def _q_events_sax_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sax_words(ev, "value", ("user_id",), n_segments=8, alphabet=4)
 
 
+def _q_events_budget_mtd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-to-date error-budget report per synthetic service
+    (pmod(user_id, 4)): 6h buckets, 85% SLO (budget 150_000 ppm);
+    exact decimal margin + flag, ppm burn as floor of bit-identical
+    doubles."""
+    from smos_spark.operators.slo import error_budget
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.pmod(F.col("user_id"), F.lit(4)).alias("svc"),
+        "ts",
+        (F.col("event_type") == "error").alias("is_err"),
+    )
+    return error_budget(
+        ev,
+        "is_err",
+        key_cols=("svc",),
+        short_sec=21600,
+        budget_ppm=150_000,
+    )
+
+
 def _q_events_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAX motifs: daily words recurring on >= 3 days per user — a
     groupBy over the O(users·days) word table, never raw samples."""
@@ -2125,6 +2146,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_paa_8": _q_events_paa_8,
         "events_sax_daily": _q_events_sax_daily,
         "events_sax_motifs": _q_events_sax_motifs,
+        "events_budget_mtd": _q_events_budget_mtd,
     }
 
 
@@ -4348,6 +4370,42 @@ def oracle_sql() -> dict[str, str]:
             min(day) AS first_day, max(day) AS last_day,
             CAST(sum(n_samples) AS BIGINT) AS n_samples
           FROM words GROUP BY 1, 2 HAVING count(*) >= 3
+        """,
+        # MTD error budget: cumulative counters per (svc, month) with
+        # the exact HUGEINT margin cum_total·budget − cum_errors·10⁶
+        # (decimal(38,0) in Spark); burn ppm floor of identical doubles
+        "events_budget_mtd": """
+          WITH c AS (
+            SELECT user_id % 4 AS svc,
+              CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+              epoch_us(ts) // 21600000000 AS bucket,
+              CAST(count(*) AS BIGINT) AS total,
+              CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS errors
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1, 2, 3
+          ), w AS (
+            SELECT *,
+              CAST(sum(total) OVER (PARTITION BY svc, month ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_total,
+              CAST(sum(errors) OVER (PARTITION BY svc, month ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_errors
+            FROM c)
+          SELECT svc, month, bucket,
+            make_timestamp(bucket * 21600000000) AS bucket_ts,
+            total, errors, cum_total, cum_errors,
+            CAST(floor((CAST(cum_errors AS DOUBLE) * 1000000.0
+              / (CAST(cum_total AS DOUBLE) * 150000.0)) * 1000000.0)
+              AS BIGINT) AS burn_mtd_ppm,
+            CAST(CAST(cum_total AS HUGEINT) * 150000
+              - CAST(cum_errors AS HUGEINT) * 1000000
+              AS BIGINT) AS budget_margin,
+            CAST(CASE WHEN CAST(cum_total AS HUGEINT) * 150000
+                   - CAST(cum_errors AS HUGEINT) * 1000000 < 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS exhausted
+          FROM w
         """,
     }
     # the *_auto dispatcher rows are DEFINED to be row-identical to

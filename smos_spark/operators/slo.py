@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["slo_burn_rate", "slo_stream"]
+__all__ = ["slo_burn_rate", "slo_stream", "error_budget"]
 
 _DEC = "decimal(38,0)"
 
@@ -167,6 +167,105 @@ def slo_burn_rate(
         "fast_exceeded",
         "slow_exceeded",
         "alert",
+    )
+
+
+def error_budget(
+    df: DataFrame,
+    is_error_col: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    short_sec: int = 3600,
+    budget_ppm: int = 250_000,
+) -> DataFrame:
+    """Month-to-date error-budget accounting per key — the report
+    companion to `slo_burn_rate`'s paging policy (SRE workbook ch. 2,
+    public): how much of the month's budget is burned at each bucket.
+
+    Per (key, calendar month, bucket): the bucket counters, the
+    month-to-date cumulative counters, the MTD burn in floor-ppm (the
+    identical double expression as slo_burn_rate — bit-equal), the
+    EXACT integer margin
+
+        budget_margin = cum_total · budget_ppm − cum_errors · 10⁶
+
+    (positive = budget left, in "ppm-events"; computed in
+    decimal(38,0) and emitted as int64 — exact while
+    cum_total · budget_ppm < 2⁶³, i.e. up to ~9·10¹² rows per
+    key-month at the default budget), and the integer-exact
+    `exhausted` flag (margin < 0, decided on the decimal, never the
+    double).  The cumulative frame is rowsBetween over the non-empty
+    buckets — gaps contribute nothing to a cumulative sum, so unlike
+    the burn-rate long window no range frame is needed.
+
+    Scale: same shape as slo_burn_rate — one map-side reduction to
+    (key, month, bucket) counters, then a cumulative window over the
+    O(keys·buckets) counter table only.
+    """
+    if not 0 < budget_ppm <= 1_000_000:
+        raise ValueError(f"budget_ppm must be in (0, 10^6], got {budget_ppm}")
+    keys = list(key_cols)
+    width_us = int(short_sec) * 1_000_000
+    bucket = F.expr(
+        f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {width_us}L"
+    )
+    counters = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.date_trunc("month", F.col(ts_col)).alias("month"),
+            bucket.alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(
+                F.when(F.col(is_error_col), F.lit(1)).otherwise(F.lit(0))
+            ).alias("errors"),
+        )
+    )
+    w = (
+        Window.partitionBy(*keys, "month")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    margin = _dec(F.col("cum_total")) * _dec(F.lit(int(budget_ppm))) - _dec(
+        F.col("cum_errors")
+    ) * _dec(F.lit(1_000_000))
+    burn = (
+        F.col("cum_errors").cast("double")
+        * F.lit(1_000_000.0)
+        / (F.col("cum_total").cast("double") * F.lit(float(budget_ppm)))
+    )
+    return (
+        counters.withColumn("cum_total", F.sum("total").over(w))
+        .withColumn("cum_errors", F.sum("errors").over(w))
+        .withColumn(
+            "bucket_ts", F.timestamp_micros(F.col("bucket") * F.lit(width_us))
+        )
+        .withColumn(
+            "burn_mtd_ppm",
+            F.floor(burn * F.lit(1_000_000.0)).cast("long"),
+        )
+        .withColumn("budget_margin", margin.cast("long"))
+        .withColumn(
+            "exhausted",
+            F.when(margin < F.lit(0).cast(_DEC), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .select(
+            *keys,
+            "month",
+            "bucket",
+            "bucket_ts",
+            "total",
+            "errors",
+            "cum_total",
+            "cum_errors",
+            "burn_mtd_ppm",
+            "budget_margin",
+            "exhausted",
+        )
     )
 
 

@@ -114,6 +114,34 @@ class TestBurnRate:
             slo_burn_rate(df, "is_err", fast_num=0)
 
 
+class TestErrorBudget:
+    def test_hand_computed_margin_and_reset(self, spark):
+        from smos_spark.operators.slo import error_budget
+
+        rows = [
+            ("a", 0, 3, 1),   # cum 4/1: margin 4·5e5−1e6 = +1e6
+            ("a", 1, 1, 3),   # cum 8/4: margin exactly 0 -> NOT exhausted
+            ("a", 2, 0, 2),   # cum 10/6: margin −1e6 -> exhausted
+            # next calendar month: cumulative state resets
+            ("a", 31 * 24, 1, 0),
+        ]
+        out = sorted(
+            error_budget(
+                _ev(spark, rows), "is_err", key_cols=("key",),
+                short_sec=3600, budget_ppm=500_000,
+            ).collect(),
+            key=lambda r: r.bucket,
+        )
+        m1, m2 = out[:3], out[3]
+        assert [r.cum_total for r in m1] == [4, 8, 10]
+        assert [r.budget_margin for r in m1] == [1_000_000, 0, -1_000_000]
+        assert [r.exhausted for r in m1] == [0, 0, 1]
+        assert m1[0].burn_mtd_ppm == 500_000 and m1[1].burn_mtd_ppm == 1_000_000
+        assert (m2.cum_total, m2.cum_errors, m2.exhausted) == (1, 0, 0)
+        with pytest.raises(ValueError, match="budget_ppm"):
+            error_budget(_ev(spark, rows), "is_err", budget_ppm=0)
+
+
 KW = dict(
     short_sec=3600,
     long_buckets=3,
