@@ -1952,6 +1952,17 @@ def _q_events_sax_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sax_words(ev, "value", ("user_id",), n_segments=8, alphabet=4)
 
 
+def _q_events_lttb_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB-style triangle downsample per (user, day), 12 slices:
+    day endpoints + per-interior-slice largest-triangle point against
+    neighbor-slice centroids; scores are exact decimal(38,0)/HUGEINT
+    integers, ties broken by (score desc, x asc, y asc)."""
+    from smos_spark.operators.downsample import lttb_downsample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return lttb_downsample(ev, "value", ("user_id",), n_segments=12)
+
+
 def _q_events_budget_mtd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-to-date error-budget report per synthetic service
     (pmod(user_id, 4)): 6h buckets, 85% SLO (budget 150_000 ppm);
@@ -2147,6 +2158,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sax_daily": _q_events_sax_daily,
         "events_sax_motifs": _q_events_sax_motifs,
         "events_budget_mtd": _q_events_budget_mtd,
+        "events_lttb_daily": _q_events_lttb_daily,
     }
 
 
@@ -4406,6 +4418,63 @@ def oracle_sql() -> dict[str, str]:
                    - CAST(cum_errors AS HUGEINT) * 1000000 < 0
                  THEN 1 ELSE 0 END AS BIGINT) AS exhausted
           FROM w
+        """,
+        # LTTB (bucket-centroid variant): endpoints + per-interior-
+        # slice argmax of the integer triangle score |S_p| in HUGEINT
+        # (decimal(38,0) in Spark); deterministic (score desc, x, y)
+        "events_lttb_daily": """
+          WITH b AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+              ts, epoch_us(ts) - epoch_us(date_trunc('day', ts)) AS x,
+              CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT)
+                AS val_cents,
+              (epoch_us(ts) - epoch_us(date_trunc('day', ts))) * 12
+                // 86400000000 AS seg
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          ), s AS (
+            SELECT user_id, day, seg, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS HUGEINT) AS sx,
+              CAST(sum(val_cents) AS HUGEINT) AS sy
+            FROM b GROUP BY 1, 2, 3
+          ), w AS (
+            SELECT user_id, day, seg,
+              lag(n) OVER w1 AS np, lag(sx) OVER w1 AS sxp,
+              lag(sy) OVER w1 AS syp,
+              lead(n) OVER w1 AS nn, lead(sx) OVER w1 AS sxn,
+              lead(sy) OVER w1 AS syn,
+              row_number() OVER w1 AS pos,
+              count(*) OVER (PARTITION BY user_id, day) AS cnt
+            FROM s WINDOW w1 AS (PARTITION BY user_id, day ORDER BY seg)
+          ), ends AS (
+            SELECT user_id, day, seg, ts, val_cents,
+              CASE WHEN rn_a = 1 THEN 'first' ELSE 'last' END AS anchor
+            FROM (
+              SELECT b.*,
+                row_number() OVER (PARTITION BY user_id, day
+                  ORDER BY x, val_cents) AS rn_a,
+                row_number() OVER (PARTITION BY user_id, day
+                  ORDER BY x DESC, val_cents DESC) AS rn_d
+              FROM b)
+            WHERE rn_a = 1 OR rn_d = 1
+          ), tri AS (
+            SELECT user_id, day, seg, ts, val_cents,
+              'triangle' AS anchor
+            FROM (
+              SELECT b.user_id, b.day, b.seg, b.ts, b.val_cents,
+                row_number() OVER (
+                  PARTITION BY b.user_id, b.day, b.seg
+                  ORDER BY abs(
+                    (w.sxp * w.nn - w.sxn * w.np)
+                      * (CAST(b.val_cents AS HUGEINT) * w.np - w.syp)
+                    - (w.sxp - CAST(b.x AS HUGEINT) * w.np)
+                      * (w.syp * w.nn - w.syn * w.np)) DESC,
+                    b.x, b.val_cents) AS rn
+              FROM b JOIN w ON b.user_id = w.user_id AND b.day = w.day
+                AND b.seg = w.seg
+              WHERE w.pos > 1 AND w.pos < w.cnt)
+            WHERE rn = 1
+          )
+          SELECT * FROM ends UNION ALL SELECT * FROM tri
         """,
     }
     # the *_auto dispatcher rows are DEFINED to be row-identical to

@@ -377,6 +377,14 @@ def main() -> None:
                 h_cents=8000,
             )
         )
+    def q_lttb():
+        # triangle downsample: counter-table lag/lead + one
+        # co-partitioned join back to raw + per-slice top-1 window
+        from smos_spark.operators.downsample import lttb_downsample
+
+        evf = spark.read.parquet(f"{sf_dir}/events.parquet")
+        _force(lttb_downsample(evf, "value", ("user_id",), n_segments=12))
+
     def q_paa_sax():
         # symbolic downsample: one map-side reduction to (key, day,
         # seg) counters, window + word groupBy on the counter table
@@ -488,6 +496,7 @@ def main() -> None:
         "tiered_read": q_tiered_read,
         "slo_burn": q_slo_burn,
         "paa_sax": q_paa_sax,
+        "lttb": q_lttb,
     }
 
     # one-time setup for the tiered-read entry: persist the tier

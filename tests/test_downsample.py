@@ -281,3 +281,47 @@ def test_counter_rate_bucketed_null_key(spark):
     assert a == b
     incs = {r[1].hour: r[2] for r in b}
     assert incs[2] == 20
+
+
+class TestLttb:
+    def _run(self, spark, rows, n_segments=4):
+        from smos_spark.operators.downsample import lttb_downsample
+
+        t0 = dt.datetime(2024, 3, 1, tzinfo=UTC)
+        data = [
+            (i, 1, t0 + dt.timedelta(hours=h), v)
+            for i, (h, v) in enumerate(rows)
+        ]
+        return lttb_downsample(
+            _events(spark, data), "value", ("user_id",), n_segments=n_segments
+        ).collect()
+
+    def test_hand_computed_selection(self, spark):
+        # 6h slices: seg0 {h0,h2 @1.0}, seg1 {h6,h8 @1.0, SPIKE h7 @9.0},
+        # seg2 {h13 @1.0}, seg3 {h19 @1.0, h20 @3.0}. Neighbor centroids
+        # of seg1 are both at y=100 cents, so the colinear candidates
+        # score 0 and the spike must win; seg2's lone point is chosen
+        # trivially; endpoints are the day's first/last rows.
+        out = self._run(
+            spark,
+            [(0, 1.0), (2, 1.0), (6, 1.0), (7, 9.0), (8, 1.0),
+             (13, 1.0), (19, 1.0), (20, 3.0)],
+        )
+        by = {(r.anchor, r.seg): r for r in out}
+        assert len(out) == 4
+        assert by[("first", 0)].val_cents == 100
+        assert by[("last", 3)].val_cents == 300
+        assert by[("triangle", 1)].val_cents == 900
+        assert by[("triangle", 2)].val_cents == 100
+
+    def test_single_point_day_emits_one_first_row(self, spark):
+        out = self._run(spark, [(5, 2.5)])
+        assert len(out) == 1 and out[0].anchor == "first"
+        assert out[0].val_cents == 250
+
+    def test_validation(self, spark):
+        from smos_spark.operators.downsample import lttb_downsample
+
+        df = _events(spark, [(0, 1, dt.datetime(2024, 3, 1, tzinfo=UTC), 1.0)])
+        with pytest.raises(ValueError, match="n_segments"):
+            lttb_downsample(df, "value", ("user_id",), n_segments=2)
