@@ -2026,11 +2026,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      events_twa_6h_carry, events_uptime_weekly, conv_role_weekly,
     #      events_ohlc_1d_merged, and later events_theil_sen,
     #      events_wmedian_daily, tiered_read, events_slo_burn,
-    #      events_paa_8 + events_sax_daily) at the very end: they
+    #      events_paa_8, events_sax_daily, events_sax_motifs,
+    #      events_budget_mtd + events_lttb_daily) at the very end: they
     #      have no driver
     #      row yet and rely on the local cross-check + pytest until a
     #      future window reaches them.
-    # All 112 were additionally cross-checked green against DuckDB at
+    # All 121 were additionally cross-checked green against DuckDB at
     # BOTH sf0.01 and sf0.1 this round (scripts/check_contract.py).
     return {
         # -- r3-green rows rotated into the round-5 window (slots 1-42) ----
