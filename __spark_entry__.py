@@ -1995,6 +1995,34 @@ def _q_events_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-threshold raise/clear alert log per user (hi=150, lo=50 on
+    the event value): LOCF of the crossing classification decides the
+    state, transitions emit 'raise'/'clear' — pure IEEE comparisons
+    against constants, exact in both engines."""
+    from smos_spark.operators.alerting import hysteresis_alerts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hysteresis_alerts(
+        ev, "value", hi=150.0, lo=50.0, key_cols=("user_id",),
+        events_only=True,
+    ).select("user_id", "ts", "event_id", "value", "alert_active", "event")
+
+
+def _q_conv_concurrency_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly peak simultaneously-active conversations (closed
+    [first_ts, last_ts] intervals): boundary sweep with the bucketed
+    two-level running sum — pure integer +1/-1 arithmetic."""
+    from smos_spark.operators.interval import interval_concurrency
+
+    iv = _transcripts(spark, sf_dir).groupBy("conv_id").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+    return interval_concurrency(iv, width_sec=3600.0, closed=True).select(
+        "bucket_start", "peak_active", "level_end", "n_starts", "n_ends"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _with_dist(fn)
@@ -2027,11 +2055,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      events_ohlc_1d_merged, and later events_theil_sen,
     #      events_wmedian_daily, tiered_read, events_slo_burn,
     #      events_paa_8, events_sax_daily, events_sax_motifs,
-    #      events_budget_mtd + events_lttb_daily) at the very end: they
+    #      events_budget_mtd, events_lttb_daily, events_hysteresis +
+    #      conv_concurrency_1h) at the very end: they
     #      have no driver
     #      row yet and rely on the local cross-check + pytest until a
     #      future window reaches them.
-    # All 121 were additionally cross-checked green against DuckDB at
+    # All 123 were additionally cross-checked green against DuckDB at
     # BOTH sf0.01 and sf0.1 this round (scripts/check_contract.py).
     return {
         # -- r3-green rows rotated into the round-5 window (slots 1-42) ----
@@ -2160,6 +2189,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sax_motifs": _q_events_sax_motifs,
         "events_budget_mtd": _q_events_budget_mtd,
         "events_lttb_daily": _q_events_lttb_daily,
+        "events_hysteresis": _q_events_hysteresis,
+        "conv_concurrency_1h": _q_conv_concurrency_1h,
     }
 
 
@@ -4476,6 +4507,76 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1
           )
           SELECT * FROM ends UNION ALL SELECT * FROM tri
+        """,
+        # hysteresis raise/clear: LOCF of the crossing classification
+        # (IGNORE NULLS running last_value), transition rows only
+        "events_hysteresis": """
+          WITH c AS (
+            SELECT user_id, ts, event_id, value,
+              CASE WHEN value >= 150.0 THEN 1
+                   WHEN value <= 50.0 THEN -1 END AS cls
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+          s AS (
+            SELECT user_id, ts, event_id, value,
+              coalesce(last_value(cls IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                AS state
+            FROM c),
+          tr AS (
+            SELECT *, coalesce(CAST(lag(state) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) = 1 AS INT),
+                0) AS prev_active
+            FROM s)
+          SELECT user_id, ts, event_id, value,
+            CAST(state = 1 AS INT) AS alert_active,
+            CASE WHEN state = 1 AND prev_active = 0 THEN 'raise'
+                 WHEN state <> 1 AND prev_active = 1 THEN 'clear'
+            END AS event
+          FROM tr
+          WHERE (state = 1 AND prev_active = 0)
+             OR (state <> 1 AND prev_active = 1)
+        """,
+        # concurrency sweep: +1/-1 boundary deltas of the closed
+        # [first_ts, last_ts] conversation intervals, global running
+        # sum (starts before ends at equal t), per-hour peak = max of
+        # the entering level and the in-bucket running max
+        "conv_concurrency_1h": _T_CTE
+        + """
+          , iv AS (
+            SELECT conv_id, min(ts) AS s, max(ts) AS e
+            FROM t WHERE ts IS NOT NULL GROUP BY conv_id),
+          d AS (
+            SELECT s AS bt, 1 AS d, 0 AS o FROM iv
+              WHERE s IS NOT NULL AND e IS NOT NULL
+            UNION ALL
+            SELECT e, -1, 1 FROM iv
+              WHERE s IS NOT NULL AND e IS NOT NULL),
+          r AS (
+            SELECT d,
+              make_timestamp(epoch_us(bt) - epoch_us(bt) % 3600000000)
+                AS bucket_start,
+              sum(d) OVER (ORDER BY bt, o ROWS UNBOUNDED PRECEDING)
+                AS run
+            FROM d),
+          g AS (
+            SELECT bucket_start, max(run) AS peak_in, sum(d) AS bd,
+              CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_starts,
+              CAST(sum(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_ends
+            FROM r GROUP BY bucket_start),
+          lvl AS (
+            SELECT bucket_start, peak_in, bd, n_starts, n_ends,
+              coalesce(sum(bd) OVER (ORDER BY bucket_start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS entering
+            FROM g)
+          SELECT bucket_start,
+            CAST(greatest(entering, peak_in) AS BIGINT) AS peak_active,
+            CAST(entering + bd AS BIGINT) AS level_end,
+            n_starts, n_ends
+          FROM lvl
         """,
     }
     # the *_auto dispatcher rows are DEFINED to be row-identical to

@@ -1,0 +1,212 @@
+"""Hysteresis (two-threshold) alerting over a per-key value series.
+
+The standard monitoring raise/clear discipline (Nagios/Prometheus
+`for:`-style alerting, classic Schmitt-trigger semantics, public
+knowledge): an alert RAISES when the value crosses at or above the
+high threshold and CLEARS only when it falls at or below the low
+threshold — values in the (lo, hi) dead band keep the previous state,
+so a series oscillating around a single threshold cannot flap.  This
+is the derived alert-state series a retention-tier engine computes
+from its gauges, the same alert family as operators/slo.py
+(burn-rate) and operators/anomaly.py (statistical).
+
+Semantics per key, rows ordered by (ts, *ties):
+
+* classification  c_i = +1 if v_i >= hi, -1 if v_i <= lo, else NULL;
+* state_i = last non-NULL c_j for j <= i, else the initial state 0
+  (inactive) — a forward fill (LOCF) of the crossing events;
+* ``alert_active`` = (state == +1);
+* ``event`` = 'raise' on the first active row after an inactive one
+  (or an initially-active first row), 'clear' on the converse, NULL
+  otherwise.
+
+Exactness: the only arithmetic is the two comparisons ``v >= hi`` /
+``v <= lo`` on the raw column — IEEE comparisons with a constant are
+bit-deterministic and identical across Spark and DuckDB, so the
+output is exact with no cents scaling needed (house rules,
+operators/anomaly.py module header).
+
+Spark-first shape (batch): ONE window exchange on the key.  The LOCF
+is ``last(c, ignorenulls=True)`` over rowsBetween(unboundedPreceding,
+current) — the same engine-native forward fill as
+operators/gapfill.py:124 — and the transition flag is one further
+``lag`` over the SAME window partitioning, so Catalyst plans both in
+a single sort+exchange (no second shuffle).  All expressions are
+whole-stage-codegen; no UDF.
+
+Scale: partition size is one key's full series — the same keyed-
+ordered-window class as forward_fill/ewma.  Hysteresis state is
+inherently sequential per key (each state depends on the previous
+crossing), so the bucketed two-level decomposition used by
+counter_rate_bucketed does NOT apply verbatim; for hot keys the
+crossing rows are sparse, and the documented mitigation is to
+pre-filter to crossing rows plus a per-bucket carry — not implemented
+until a workload needs it (see operators/dispatch.py for the
+auto-dispatch pattern).  A key's alert state is O(1); the streaming
+twin below runs in bounded state at any stream length.
+
+Reference analog: the reference's quality-flag gating raises/clears a
+per-cell usability verdict from threshold crossings of RFI fractions
+(/root/reference/src/smos/smos_l2/reshuffle.py:60-75); at tier scale
+the natural generalization is the stateful two-threshold alert.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["hysteresis_alerts", "hysteresis_stream"]
+
+
+def hysteresis_alerts(
+    df: DataFrame,
+    value_col: str,
+    hi: float,
+    lo: float,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    tie_cols: Sequence[str] = ("event_id",),
+    events_only: bool = False,
+) -> DataFrame:
+    """Two-threshold raise/clear alert state per key (batch).
+
+    Output: the input key/ts/tie/value columns plus
+    ``alert_active`` (int 0/1) and ``event`` ('raise' | 'clear' |
+    NULL).  ``events_only=True`` keeps only transition rows — the
+    compact alert log.  Rows with NULL ts or NULL value are excluded
+    (they carry no crossing information and no orderable position).
+    """
+    if not lo < hi:
+        raise ValueError("need lo < hi (dead band between them)")
+    keys = list(key_cols)
+    ties = list(tie_cols)
+    v = F.col(value_col)
+    cls = F.when(v >= F.lit(hi), F.lit(1)).when(v <= F.lit(lo), F.lit(-1))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col), *[F.col(t) for t in ties])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lag = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col), *[F.col(t) for t in ties]
+    )
+    base = df.where(
+        F.col(ts_col).isNotNull() & v.isNotNull()
+    ).withColumn(
+        "_state", F.coalesce(F.last(cls, ignorenulls=True).over(w), F.lit(0))
+    )
+    active = (F.col("_state") == 1).cast("int")
+    prev_active = F.coalesce(
+        (F.lag(F.col("_state")).over(w_lag) == 1).cast("int"), F.lit(0)
+    )
+    out = base.withColumn("alert_active", active).withColumn(
+        "event",
+        F.when((active == 1) & (prev_active == 0), F.lit("raise")).when(
+            (active == 0) & (prev_active == 1), F.lit("clear")
+        ),
+    ).drop("_state")
+    if events_only:
+        out = out.where(F.col("event").isNotNull())
+    return out
+
+
+def hysteresis_stream(
+    stream: DataFrame,
+    value_col: str,
+    hi: float,
+    lo: float,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    tie_cols: Sequence[str] = ("event_id",),
+    watermark: str = "1 hour",
+):
+    """Structured Streaming twin of `hysteresis_alerts` (§2.8 parity —
+    the same incremental-path contract as anomaly.cusum_stream).
+
+    State per key is the batch fold's carry — (current alert state as
+    -1/0/+1, last event-time micros), 16 bytes, O(1) in stream length
+    — maintained across micro-batches via applyInPandasWithState.
+    Emits ONLY transition rows (append mode; ``events_only=True``
+    batch twin), each exactly once; row-for-row equal to the batch
+    operator over the same rows (pinned in
+    test_hysteresis_stream_matches_batch).
+
+    Ordering contract (mirrors cusum_stream): a key's micro-batch
+    chunks are concatenated and sorted once by (ts, *ties); a row
+    arriving in a later micro-batch with ts earlier than the key's
+    last processed ts cannot re-enter the fold and is DROPPED — bound
+    disorder with the source watermark.  State is kept for the key's
+    lifetime (eviction would silently reset the alert to inactive).
+    """
+    if not lo < hi:
+        raise ValueError("need lo < hi (dead band between them)")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keys = list(key_cols)
+    ties = list(tie_cols)
+    src = stream.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(ts_col).cast("timestamp").alias(ts_col),
+        *[F.col(t) for t in ties],
+        F.col(value_col).cast("double").alias(value_col),
+    )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+    ) + ", alert_active int, event string"
+    state_schema = "state int, last_us long"
+
+    def _fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return iter([])
+        s0, last_us = state.get if state.exists else (0, None)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return iter([])
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(["_ts_us", *ties], kind="mergesort")
+        if last_us is not None:
+            pdf = pdf[pdf["_ts_us"] >= last_us]
+        if not len(pdf):
+            return iter([])
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        cls = np.where(v >= hi, 1.0, np.where(v <= lo, -1.0, np.nan))
+        # seeded LOCF: prepend the carried state as a virtual first
+        # classification, forward-fill, drop the seed row
+        filled = (
+            pd.Series(np.concatenate(([np.float64(s0)], cls)))
+            .ffill()
+            .to_numpy()[1:]
+            .astype(np.int64)
+        )
+        active = (filled == 1).astype(np.int64)
+        prev = np.concatenate(([np.int64(1 if s0 == 1 else 0)], active[:-1]))
+        state.update((int(filled[-1]), int(pdf["_ts_us"].iloc[-1])))
+        mask = active != prev
+        if not mask.any():
+            return iter([])
+        out = pdf.loc[mask].drop(columns=["_ts_us"]).copy()
+        out["alert_active"] = active[mask].astype(np.int32)
+        out["event"] = np.where(active[mask] == 1, "raise", "clear")
+        return iter([out])
+
+    return (
+        src.withWatermark(ts_col, watermark)
+        .withColumn("_ts_us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -41,8 +41,9 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-__all__ = ["interval_join", "interval_join_stream"]
+__all__ = ["interval_join", "interval_join_stream", "interval_concurrency"]
 
 
 def interval_join(
@@ -245,4 +246,126 @@ def interval_join_stream(
     return joined.select(
         *[p[c] for c in points.columns],
         *[iv[c] for c in intervals.columns if c not in keys],
+    )
+
+
+def interval_concurrency(
+    intervals: DataFrame,
+    width_sec: float = 3600.0,
+    key_cols: Sequence[str] = (),
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    closed: bool = True,
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-bucket PEAK CONCURRENCY (and exit level) of a set of
+    intervals — "how many conversations were active at once" — via
+    the classic boundary-sweep: each interval contributes +1 at its
+    start and -1 at its end, and the running sum of the
+    time-ordered deltas IS the concurrency curve (textbook sweep-line
+    / the `generate_series`-free form of the SQL "active sessions
+    gauge", public knowledge).
+
+    ``closed=True`` (default) counts an interval as active through
+    BOTH endpoints ([s, e] — at a timestamp where one conversation
+    ends and another starts, both are active): ties at equal t order
+    starts before ends.  ``closed=False`` gives half-open [s, e)
+    (ends before starts), the non-overlapping back-to-back reading.
+    The per-bucket peak is order-independent beyond that choice: at
+    equal (t, delta) the prefix sums reach the same extremes whatever
+    the order inside the run of equal deltas.
+
+    Exactness: pure integer +1/-1 sums — exact at any scale in both
+    engines.  Intervals with NULL endpoints are excluded; an interval
+    with s == e counts at that instant under closed=True and never
+    under closed=False (both documented, both pinned).
+
+    Spark-first, scale-first shape — the naive form is ONE global
+    ordered window (single-partition sort: a scale killer).  Instead
+    the two-level decomposition of downsample.counter_rate_bucketed:
+
+    * deltas bucketed to ``width_sec`` grid cells; the in-bucket
+      running sum is a window over (key, bucket) — partition size
+      bounded by boundaries per bucket, for ANY total span;
+    * the level ENTERING each bucket is the per-key cumulative sum of
+      per-bucket delta totals — O(span/width) rows per key, one
+      window over the tiny bucket-level table;
+    * bucket peak = max(entering level, entering + max in-bucket
+      running sum): the entering level itself is a candidate peak
+      because concurrency holds it until the bucket's first boundary.
+
+    Only buckets containing >= 1 boundary are emitted; in a silent
+    bucket the gauge holds the previous row's ``level_end``
+    (documented gap semantics, same convention as gap_fill's grid).
+
+    Output: key cols + ``bucket_start`` (timestamp), ``peak_active``
+    (long), ``level_end`` (long), ``n_starts``/``n_ends`` (long).
+
+    Reference analog: the reference's per-day image-stack occupancy
+    (how many orbit files cover a date —
+    /root/reference/src/smos/interface.py date-indexed multi-file
+    datasets) is this gauge with day buckets.
+    """
+    if width_sec <= 0:
+        raise ValueError("width_sec must be positive")
+    keys = list(key_cols)
+    ties = list(tie_cols)
+    # end-before-start (+1 sorts after -1) for half-open; start-before-
+    # end for closed.  Encode as a sort column so ONE expression serves
+    # both: order by (t, _ord) ascending.
+    start_ord, end_ord = (0, 1) if closed else (1, 0)
+    d_start = intervals.where(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(start_col).cast("timestamp").alias("_t"),
+        F.lit(1).cast("long").alias("_d"),
+        F.lit(start_ord).alias("_ord"),
+        *[F.col(t) for t in ties],
+    )
+    d_end = intervals.where(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(end_col).cast("timestamp").alias("_t"),
+        F.lit(-1).cast("long").alias("_d"),
+        F.lit(end_ord).alias("_ord"),
+        *[F.col(t) for t in ties],
+    )
+    from smos_spark.operators.rollup import _width_bucket
+
+    deltas = d_start.unionByName(d_end).withColumn(
+        "bucket_start", _width_bucket(F.col("_t"), width_sec)
+    )
+    order = [F.col("_t"), F.col("_ord"), *[F.col(t) for t in ties]]
+    w_in = (
+        Window.partitionBy(*keys, "bucket_start")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = deltas.withColumn("_run", F.sum("_d").over(w_in))
+    per_bucket = local.groupBy(*keys, "bucket_start").agg(
+        F.max("_run").alias("_peak_local"),
+        F.sum("_d").alias("_bd"),
+        F.sum(F.when(F.col("_d") == 1, 1).otherwise(0)).alias("n_starts"),
+        F.sum(F.when(F.col("_d") == -1, 1).otherwise(0)).alias("n_ends"),
+    )
+    w_b = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return per_bucket.select(
+        *keys,
+        F.col("bucket_start"),
+        F.greatest(
+            F.coalesce(F.sum("_bd").over(w_b), F.lit(0)),
+            F.coalesce(F.sum("_bd").over(w_b), F.lit(0))
+            + F.col("_peak_local"),
+        ).alias("peak_active"),
+        (
+            F.coalesce(F.sum("_bd").over(w_b), F.lit(0)) + F.col("_bd")
+        ).alias("level_end"),
+        F.col("n_starts").cast("long").alias("n_starts"),
+        F.col("n_ends").cast("long").alias("n_ends"),
     )

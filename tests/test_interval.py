@@ -251,3 +251,93 @@ def test_interval_join_stream_guards(spark):
             ivs.withColumn("session_id", F.lit(1)),
             max_len_sec=10,
         )
+
+
+class TestIntervalConcurrency:
+    """Boundary-sweep concurrency gauge: known answers in both
+    endpoint modes, the entering-level carry, degenerate intervals,
+    and equality with the naive single-window sweep."""
+
+    @pytest.fixture(scope="class")
+    def ivs(self, spark):
+        H = 3600.0
+        rows = [
+            ("I1", _ts(100.0), _ts(2 * H + 100.0)),   # spans buckets 0..2
+            ("I2", _ts(200.0), _ts(300.0)),           # inside bucket 0
+            ("I3", _ts(2 * H), _ts(2 * H)),           # degenerate s == e
+            ("I4", _ts(5 * H + 10.0), _ts(5 * H + 20.0)),  # after a gap
+            ("I5", None, _ts(50.0)),                  # NULL bound: dropped
+        ]
+        return spark.createDataFrame(
+            rows, "ivl string, start_ts timestamp, end_ts timestamp"
+        )
+
+    def _by_bucket(self, df):
+        return {
+            r["bucket_start"].timestamp(): (
+                r["peak_active"], r["level_end"], r["n_starts"], r["n_ends"]
+            )
+            for r in df.collect()
+        }
+
+    def test_known_answers_closed(self, spark, ivs):
+        from smos_spark.operators.interval import interval_concurrency
+
+        got = self._by_bucket(interval_concurrency(ivs, 3600.0, closed=True))
+        assert got == {
+            0.0: (2, 1, 2, 1),          # I1+I2 overlap, I2 closes
+            7200.0: (2, 0, 1, 2),       # entering 1; I3 instant +1 peaks 2
+            18000.0: (1, 0, 1, 1),      # carry crossed silent buckets 1,3,4
+        }
+
+    def test_known_answers_half_open(self, spark, ivs):
+        from smos_spark.operators.interval import interval_concurrency
+
+        got = self._by_bucket(interval_concurrency(ivs, 3600.0, closed=False))
+        # half-open: I3 (s == e) never counts, ends sort before starts,
+        # so bucket 2 peaks at its entering level only
+        assert got[7200.0] == (1, 0, 1, 2)
+        assert got[0.0] == (2, 1, 2, 1)
+
+    def test_matches_naive_global_sweep(self, spark):
+        """Bucketed two-level == one global ordered cumsum (pandas)."""
+        import pandas as pd
+
+        from smos_spark.operators.interval import interval_concurrency
+        from smos_spark.synth import synth_transcripts
+
+        iv = (
+            synth_transcripts(spark, n_conv=80, seed=7)
+            .where(F.col("ts").isNotNull())
+            .groupBy("conv_id")
+            .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+        )
+        got = self._by_bucket(interval_concurrency(iv, 3600.0, closed=True))
+
+        pdf = iv.toPandas()
+        deltas = pd.concat([
+            pd.DataFrame({"t": pdf["start_ts"], "d": 1, "o": 0}),
+            pd.DataFrame({"t": pdf["end_ts"], "d": -1, "o": 1}),
+        ]).sort_values(["t", "o"], kind="mergesort")
+        deltas["run"] = deltas["d"].cumsum()
+        # floor the ns-epoch to the hour, in epoch seconds
+        deltas["bucket"] = (
+            deltas["t"].astype("int64") // 3_600_000_000_000 * 3600
+        ).astype("float64")
+        want = {}
+        level = 0
+        for b, g in deltas.groupby("bucket", sort=True):
+            want[float(b)] = (
+                max(level, int(g["run"].max())),
+                int(g["run"].iloc[-1]),
+                int((g["d"] == 1).sum()),
+                int((g["d"] == -1).sum()),
+            )
+            level = int(g["run"].iloc[-1])
+        assert got == want and len(want) > 3
+
+    def test_bad_width_rejected(self, spark, ivs):
+        from smos_spark.operators.interval import interval_concurrency
+
+        with pytest.raises(ValueError):
+            interval_concurrency(ivs, 0.0)
