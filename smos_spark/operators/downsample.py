@@ -50,6 +50,7 @@ __all__ = [
     "lttb_downsample",
     "counter_rate",
     "counter_rate_bucketed",
+    "counter_rate_stream",
     "largest_gaps",
     "largest_gaps_bucketed",
 ]
@@ -449,5 +450,145 @@ def largest_gaps_bucketed(
             F.col(ts_col).alias("gap_end"),
             "gap_us",
             "gap_rank",
+        )
+    )
+
+
+def counter_rate_stream(
+    stream: DataFrame,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    counter_col: str = "counter",
+    width_sec: float = 3600.0,
+    tie_cols: Sequence[str] = ("event_id",),
+    watermark: str = "1 hour",
+):
+    """Structured Streaming twin of `counter_rate` (§2.8 parity — the
+    slo_stream emit-on-close contract applied to Prometheus
+    ``increase()`` semantics).
+
+    State per key is the batch fold's carry: the OPEN bucket's partial
+    (bucket index, increase, n_samples) plus the last sample's
+    (value, event-time micros) for the cross-bucket / cross-batch
+    predecessor, and the last emitted bucket index — six int64s, O(1)
+    in stream length.  A bucket's row is emitted exactly once, when a
+    LATER bucket first appears for the key, so the streaming output
+    equals the batch output minus each key's final still-open bucket —
+    row-for-row identical values (pinned in
+    test_counter_rate_stream_matches_batch).
+
+    Exactness contract: the counter column must be INTEGER-typed (the
+    exact-sum guarantee; float counters would make the per-bucket sum
+    order-sensitive) — enforced, ValueError otherwise.  Reset handling
+    is the batch rule verbatim: delta = v - prev when monotone, else v;
+    a key's first sample contributes 0.
+
+    Ordering contract (cusum_stream's): a key's micro-batch chunks are
+    concatenated and sorted once by (ts, *ties); rows earlier than the
+    key's last processed ts, or in an already-published bucket, are
+    DROPPED — bound disorder with the source watermark.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    width_us = int(round(width_sec * 1_000_000))
+    if width_us <= 0:
+        raise ValueError(f"width_sec must be positive, got {width_sec}")
+    keys = list(key_cols)
+    ties = list(tie_cols)
+    src = stream.where(
+        F.col(ts_col).isNotNull() & F.col(counter_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(ts_col).cast("timestamp").alias(ts_col),
+        *[F.col(t) for t in ties],
+        F.col(counter_col).alias("_v"),
+    )
+    vtype = src.schema["_v"].dataType.simpleString()
+    if vtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"counter column must be integer-typed for the exact-sum "
+            f"contract, got {vtype}"
+        )
+    key_fields = [f for f in src.schema.fields if f.name in keys]
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in key_fields)
+        + (", " if key_fields else "")
+        + "bucket_start timestamp, increase long, n_samples long"
+    )
+    state_schema = (
+        "open_bucket long, open_inc long, open_n long, "
+        "last_v long, last_us long, last_emitted long"
+    )
+    _NONE = -(1 << 62)
+
+    def _fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return iter([])
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return iter([])
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(["_ts_us", *ties], kind="mergesort")
+        if state.exists:
+            ob, oi, on, lv, lus, lem = state.get
+        else:
+            ob, oi, on, lv, lus, lem = _NONE, 0, 0, _NONE, None, _NONE
+        if lus is not None and lus != _NONE:
+            pdf = pdf[pdf["_ts_us"] >= lus]
+        us = pdf["_ts_us"].to_numpy(dtype=np.int64)
+        buckets = us // width_us
+        keep = buckets > lem if lem != _NONE else np.ones(len(us), bool)
+        pdf, us, buckets = pdf[keep], us[keep], buckets[keep]
+        if not len(us):
+            return iter([])
+        v = pdf["_v"].to_numpy(dtype=np.int64)
+        prev = np.concatenate(
+            ([np.int64(lv if lv != _NONE else 0)], v[:-1])
+        )
+        delta = np.where(v >= prev, v - prev, v)
+        if lv == _NONE:
+            delta[0] = 0  # key's first sample ever: no predecessor
+        # merge the open-bucket partial with this batch's buckets
+        ub, inv = np.unique(buckets, return_inverse=True)
+        inc = np.bincount(inv, weights=delta).astype(np.int64)
+        cnt = np.bincount(inv).astype(np.int64)
+        if ob != _NONE:
+            if len(ub) and ub[0] == ob:
+                inc[0] += oi
+                cnt[0] += on
+            else:
+                ub = np.concatenate(([np.int64(ob)], ub))
+                inc = np.concatenate(([np.int64(oi)], inc))
+                cnt = np.concatenate(([np.int64(on)], cnt))
+        # all but the last (max) bucket are now closed: emit them
+        state.update((
+            int(ub[-1]), int(inc[-1]), int(cnt[-1]),
+            int(v[-1]), int(us[-1]),
+            int(ub[-2]) if len(ub) > 1 else lem,
+        ))
+        if len(ub) == 1:
+            return iter([])
+        out = pd.DataFrame({
+            "bucket_start": pd.to_datetime(ub[:-1] * width_us, unit="us"),
+            "increase": inc[:-1],
+            "n_samples": cnt[:-1],
+        })
+        for k in keys:
+            out.insert(0, k, pdf[k].iloc[0])
+        return iter([out])
+
+    return (
+        src.withWatermark(ts_col, watermark)
+        .withColumn("_ts_us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

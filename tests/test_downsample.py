@@ -325,3 +325,96 @@ class TestLttb:
         df = _events(spark, [(0, 1, dt.datetime(2024, 3, 1, tzinfo=UTC), 1.0)])
         with pytest.raises(ValueError, match="n_segments"):
             lttb_downsample(df, "value", ("user_id",), n_segments=2)
+
+
+class TestCounterRateStream:
+    def test_counter_rate_stream_matches_batch(self, spark, tmp_path):
+        """Streaming reset-aware increase() across 3 micro-batches ==
+        batch counter_rate minus each key's final still-open bucket."""
+        from pyspark.sql.window import Window
+
+        from smos_spark.operators.downsample import counter_rate_stream
+        from smos_spark.synth import synth_transcripts
+
+        w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+        turns = (
+            synth_transcripts(spark, n_conv=25, seed=31)
+            .where(F.col("ts").isNotNull())
+            .withColumn(
+                "counter",
+                # cumulative text length mod 10k: a monotone counter
+                # with planted resets
+                F.pmod(
+                    F.sum(F.length("text")).over(w), F.lit(10_000)
+                ).cast("long"),
+            )
+            .select("conv_id", "ts", "turn_idx", "counter")
+            .cache()
+        )
+        c1, c2 = turns.selectExpr(
+            "percentile_approx(ts, 0.33) as a",
+            "percentile_approx(ts, 0.66) as b",
+        ).collect()[0]
+        src = str(tmp_path / "src")
+        turns.where(F.col("ts") <= F.lit(c1)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        turns.where(
+            (F.col("ts") > F.lit(c1)) & (F.col("ts") <= F.lit(c2))
+        ).coalesce(1).write.mode("append").parquet(src)
+        turns.where(F.col("ts") > F.lit(c2)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        stream = (
+            spark.readStream.schema(turns.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            counter_rate_stream(
+                stream,
+                key_cols=["conv_id"],
+                counter_col="counter",
+                width_sec=3600.0,
+                tie_cols=["turn_idx"],
+                watermark="0 seconds",
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("crate_stream_t")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r["conv_id"], r["bucket_start"], r["increase"], r["n_samples"])
+            for r in spark.table("crate_stream_t").collect()
+        )
+        batch = counter_rate(
+            turns,
+            key_cols=("conv_id",),
+            counter_col="counter",
+            width_sec=3600.0,
+            tie_cols=("turn_idx",),
+        )
+        wlast = Window.partitionBy("conv_id")
+        want = sorted(
+            (r["conv_id"], r["bucket_start"], r["increase"], r["n_samples"])
+            for r in batch.withColumn(
+                "_maxb", F.max("bucket_start").over(wlast)
+            )
+            .where(F.col("bucket_start") < F.col("_maxb"))
+            .collect()
+        )
+        assert got == want and len(want) > 10
+
+    def test_float_counter_refused(self, spark):
+        from smos_spark.operators.downsample import counter_rate_stream
+
+        df = spark.createDataFrame(
+            [(1, 1, dt.datetime(2024, 3, 1, 10, 0), 1.5)],
+            "event_id long, user_id long, ts timestamp, counter double",
+        )
+        with pytest.raises(ValueError, match="integer-typed"):
+            counter_rate_stream(df, counter_col="counter")
