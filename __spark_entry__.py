@@ -2009,6 +2009,19 @@ def _q_events_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "ts", "event_id", "value", "alert_active", "event")
 
 
+def _q_events_hold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus `for:`-style hold alert log (hi=60 on value, 1 h
+    hold): a run of the condition must age past the hold before it
+    fires; LOCF of run-start markers keeps it one window exchange."""
+    from smos_spark.operators.alerting import threshold_hold_alerts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return threshold_hold_alerts(
+        ev, "value", hi=60.0, hold_sec=3600.0, key_cols=("user_id",),
+        events_only=True,
+    ).select("user_id", "ts", "event_id", "value", "cond", "firing", "event")
+
+
 def _q_conv_concurrency_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly peak simultaneously-active conversations (closed
     [first_ts, last_ts] intervals): boundary sweep with the bucketed
@@ -2055,12 +2068,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      events_ohlc_1d_merged, and later events_theil_sen,
     #      events_wmedian_daily, tiered_read, events_slo_burn,
     #      events_paa_8, events_sax_daily, events_sax_motifs,
-    #      events_budget_mtd, events_lttb_daily, events_hysteresis +
-    #      conv_concurrency_1h) at the very end: they
+    #      events_budget_mtd, events_lttb_daily, events_hysteresis,
+    #      conv_concurrency_1h + events_hold_alerts) at the very end: they
     #      have no driver
     #      row yet and rely on the local cross-check + pytest until a
     #      future window reaches them.
-    # All 123 were additionally cross-checked green against DuckDB at
+    # All 124 were additionally cross-checked green against DuckDB at
     # BOTH sf0.01 and sf0.1 this round (scripts/check_contract.py).
     return {
         # -- r3-green rows rotated into the round-5 window (slots 1-42) ----
@@ -2191,6 +2204,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lttb_daily": _q_events_lttb_daily,
         "events_hysteresis": _q_events_hysteresis,
         "conv_concurrency_1h": _q_conv_concurrency_1h,
+        "events_hold_alerts": _q_events_hold_alerts,
     }
 
 
@@ -4577,6 +4591,41 @@ def oracle_sql() -> dict[str, str]:
             CAST(entering + bd AS BIGINT) AS level_end,
             n_starts, n_ends
           FROM lvl
+        """,
+        # hold-duration ("for:") alert: run-start markers LOCF'd over
+        # the key window, firing = integer-µs run age >= hold
+        "events_hold_alerts": """
+          WITH b AS (
+            SELECT user_id, ts, event_id, value,
+              epoch_us(ts) AS us,
+              CAST(value >= 60.0 AS INT) AS cond
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+          m AS (
+            SELECT *, CASE WHEN cond = 1
+                AND coalesce(lag(cond) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id), 0) = 0
+                THEN us END AS marker
+            FROM b),
+          r AS (
+            SELECT *, last_value(marker IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS run_start
+            FROM m),
+          fz AS (
+            SELECT user_id, ts, event_id, value, cond,
+              CAST(cond = 1 AND us - run_start >= 3600000000 AS INT)
+                AS firing
+            FROM r),
+          t2 AS (
+            SELECT *, coalesce(lag(firing) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id), 0) AS pf
+            FROM fz)
+          SELECT user_id, ts, event_id, value, cond, firing,
+            CASE WHEN firing = 1 AND pf = 0 THEN 'fire'
+                 WHEN firing = 0 AND pf = 1 THEN 'resolve' END AS event
+          FROM t2
+          WHERE (firing = 1 AND pf = 0) OR (firing = 0 AND pf = 1)
         """,
     }
     # the *_auto dispatcher rows are DEFINED to be row-identical to

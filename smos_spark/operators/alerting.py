@@ -59,7 +59,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["hysteresis_alerts", "hysteresis_stream"]
+__all__ = ["hysteresis_alerts", "hysteresis_stream", "threshold_hold_alerts"]
 
 
 def hysteresis_alerts(
@@ -210,3 +210,91 @@ def hysteresis_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def threshold_hold_alerts(
+    df: DataFrame,
+    value_col: str,
+    hi: float,
+    hold_sec: float,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    tie_cols: Sequence[str] = ("event_id",),
+    events_only: bool = False,
+) -> DataFrame:
+    """Hold-duration ("for:") alerting per key: the condition
+    ``value >= hi`` must hold CONTINUOUSLY for at least ``hold_sec``
+    before the alert fires — the Prometheus `for:` clause / Nagios
+    soft-state semantics (public), sample-based: a row is *pending*
+    while its true-run is younger than ``hold_sec`` and *firing* once
+    ``ts - run_start >= hold_sec``; any false sample resets the run.
+
+    Single-window formulation (no per-(key,run) second shuffle): the
+    run start is recovered as the LOCF of *run-start markers* — a row
+    marks a run start when the condition is true and the previous row's
+    was not (or no previous row exists).  ``last(marker_us,
+    ignorenulls)`` over the ordered key window then carries each true
+    row its own run's start, and firing is the pure integer-µs
+    comparison ``us - run_start_us >= hold_us``.  Marker, LOCF,
+    transition lag all share ONE window partitioning → one Exchange,
+    all codegen (plan pinned in tests).
+
+    Events: ``'fire'`` on the first firing row of a run, ``'resolve'``
+    on the first non-firing row after a firing one (condition dropped
+    — a run that ends stops firing at the next sample).  Output adds
+    ``cond`` (0/1), ``firing`` (0/1), ``event``; ``events_only=True``
+    keeps transitions.  Rows with NULL ts/value are excluded.
+
+    Exactness: one IEEE comparison against the ``hi`` constant plus
+    int64 microsecond arithmetic — exact in both engines.
+
+    Scale: one key-partitioned ordered window (the forward_fill
+    class); alert state is O(1) per key.  Reference analog: the
+    reference's n-consecutive-orbits quality gate before a cell is
+    trusted (/root/reference/src/smos/smos_l2/reshuffle.py:60-75
+    fraction screens) is this hold discipline at tier scale.
+    """
+    if hold_sec < 0:
+        raise ValueError("hold_sec must be >= 0")
+    keys = list(key_cols)
+    ties = list(tie_cols)
+    hold_us = int(round(hold_sec * 1_000_000))
+    v = F.col(value_col)
+    order = [F.col(ts_col), *[F.col(t) for t in ties]]
+    w_loc = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lag = Window.partitionBy(*keys).orderBy(*order)
+    base = (
+        df.where(F.col(ts_col).isNotNull() & v.isNotNull())
+        .withColumn("_us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .withColumn("_cond", (v >= F.lit(hi)).cast("int"))
+    )
+    prev_cond = F.lag(F.col("_cond")).over(w_lag)
+    marker = F.when(
+        (F.col("_cond") == 1) & (prev_cond.isNull() | (prev_cond == 0)),
+        F.col("_us"),
+    )
+    run_start = F.last(marker, ignorenulls=True).over(w_loc)
+    firing = (
+        (F.col("_cond") == 1) & (F.col("_us") - run_start >= F.lit(hold_us))
+    ).cast("int")
+    out = base.withColumn("firing", firing)
+    prev_firing = F.coalesce(F.lag(F.col("firing")).over(w_lag), F.lit(0))
+    out = (
+        out.withColumn(
+            "event",
+            F.when(
+                (F.col("firing") == 1) & (prev_firing == 0), F.lit("fire")
+            ).when(
+                (F.col("firing") == 0) & (prev_firing == 1), F.lit("resolve")
+            ),
+        )
+        .withColumn("cond", F.col("_cond"))
+        .drop("_us", "_cond")
+    )
+    if events_only:
+        out = out.where(F.col("event").isNotNull())
+    return out

@@ -168,3 +168,82 @@ def test_hysteresis_stream_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(want) > 5
+
+
+class TestThresholdHold:
+    def test_known_fire_resolve_sequence(self, spark):
+        from smos_spark.operators.alerting import threshold_hold_alerts
+
+        rows = [
+            ("a", _ts(0), 1, 150.0),   # run starts, age 0 < 10: pending
+            ("a", _ts(5), 2, 150.0),   # age 5: pending
+            ("a", _ts(10), 3, 150.0),  # age 10 >= 10 -> fire
+            ("a", _ts(12), 4, 150.0),  # still firing
+            ("a", _ts(14), 5, 50.0),   # condition drops -> resolve
+            ("a", _ts(16), 6, 150.0),  # NEW run (reset), pending
+            ("a", _ts(27), 7, 150.0),  # age 11 -> fire again
+            ("a", _ts(28), 8, 20.0),   # -> resolve
+            ("b", _ts(0), 9, 150.0),   # run shorter than hold:
+            ("b", _ts(5), 10, 150.0),  # never fires
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id string, ts timestamp, event_id int, value double"
+        )
+        got = {
+            (r["user_id"], r["event_id"]): (r["cond"], r["firing"], r["event"])
+            for r in threshold_hold_alerts(
+                df, "value", hi=100.0, hold_sec=10.0, key_cols=["user_id"]
+            ).collect()
+        }
+        assert got == {
+            ("a", 1): (1, 0, None),
+            ("a", 2): (1, 0, None),
+            ("a", 3): (1, 1, "fire"),
+            ("a", 4): (1, 1, None),
+            ("a", 5): (0, 0, "resolve"),
+            ("a", 6): (1, 0, None),
+            ("a", 7): (1, 1, "fire"),
+            ("a", 8): (0, 0, "resolve"),
+            ("b", 9): (1, 0, None),
+            ("b", 10): (1, 0, None),
+        }
+
+    def test_zero_hold_fires_immediately(self, spark):
+        from smos_spark.operators.alerting import threshold_hold_alerts
+
+        df = spark.createDataFrame(
+            [("k", _ts(1), 1, 150.0), ("k", _ts(2), 2, 10.0)],
+            "user_id string, ts timestamp, event_id int, value double",
+        )
+        ev = threshold_hold_alerts(
+            df, "value", hi=100.0, hold_sec=0.0, key_cols=["user_id"],
+            events_only=True,
+        ).collect()
+        assert [(r["event_id"], r["event"]) for r in ev] == [
+            (1, "fire"), (2, "resolve")
+        ]
+
+    def test_negative_hold_rejected(self, spark):
+        from smos_spark.operators.alerting import threshold_hold_alerts
+
+        df = spark.createDataFrame(
+            [("k", _ts(1), 1, 1.0)],
+            "user_id string, ts timestamp, event_id int, value double",
+        )
+        with pytest.raises(ValueError):
+            threshold_hold_alerts(df, "value", hi=1.0, hold_sec=-1.0)
+
+    def test_single_exchange_plan(self, spark):
+        from smos_spark.operators.alerting import threshold_hold_alerts
+
+        df = spark.createDataFrame(
+            [("k", _ts(1), 1, 1.0)],
+            "user_id string, ts timestamp, event_id int, value double",
+        )
+        plan = (
+            threshold_hold_alerts(
+                df, "value", hi=100.0, hold_sec=10.0, key_cols=["user_id"]
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") == 1, plan
