@@ -59,7 +59,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["hysteresis_alerts", "hysteresis_stream", "threshold_hold_alerts"]
+__all__ = [
+    "hysteresis_alerts",
+    "hysteresis_stream",
+    "threshold_hold_alerts",
+    "threshold_hold_stream",
+]
 
 
 def hysteresis_alerts(
@@ -298,3 +303,113 @@ def threshold_hold_alerts(
     if events_only:
         out = out.where(F.col("event").isNotNull())
     return out
+
+
+def threshold_hold_stream(
+    stream: DataFrame,
+    value_col: str,
+    hi: float,
+    hold_sec: float,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    tie_cols: Sequence[str] = ("event_id",),
+    watermark: str = "1 hour",
+):
+    """Structured Streaming twin of `threshold_hold_alerts` (§2.8
+    parity — the hysteresis_stream contract applied to the `for:`
+    hold).
+
+    State per key is the batch fold's carry — (current run's start
+    micros or the no-run sentinel, whether the alert was firing, last
+    processed micros), 24 bytes, O(1) in stream length.  Emits ONLY
+    transition rows ('fire'/'resolve'; the ``events_only=True`` batch
+    twin), each exactly once, row-for-row equal to batch over the same
+    rows (pinned in test_threshold_hold_stream_matches_batch).
+
+    Ordering contract (cusum_stream's): chunks concat+sort once by
+    (ts, *ties); rows earlier than the key's last processed ts are
+    DROPPED — bound disorder with the source watermark.  State is kept
+    for the key's lifetime: evicting it would forget an open run and
+    silently re-age the alert from zero.
+    """
+    if hold_sec < 0:
+        raise ValueError("hold_sec must be >= 0")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keys = list(key_cols)
+    ties = list(tie_cols)
+    hold_us = int(round(hold_sec * 1_000_000))
+    src = stream.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(ts_col).cast("timestamp").alias(ts_col),
+        *[F.col(t) for t in ties],
+        F.col(value_col).cast("double").alias(value_col),
+    )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+    ) + ", cond int, firing int, event string"
+    state_schema = "run_start_us long, was_firing int, last_us long"
+    _NONE = -(1 << 62)
+
+    def _fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return iter([])
+        run0, wf0, lus = state.get if state.exists else (_NONE, 0, None)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return iter([])
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(["_ts_us", *ties], kind="mergesort")
+        if lus is not None:
+            pdf = pdf[pdf["_ts_us"] >= lus]
+        if not len(pdf):
+            return iter([])
+        us = pdf["_ts_us"].to_numpy(dtype=np.int64)
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        cond = v >= hi
+        # seeded run-start LOCF: prepend the carried run start (NaN if
+        # no open run), mark batch-local run starts where cond rises
+        prev_cond = np.concatenate(([run0 != _NONE], cond[:-1]))
+        marker = np.where(
+            cond & ~prev_cond, us.astype(np.float64), np.nan
+        )
+        seed = np.float64(run0) if run0 != _NONE else np.nan
+        run_start = (
+            pd.Series(np.concatenate(([seed], marker))).ffill().to_numpy()[1:]
+        )
+        firing = (
+            cond & ~np.isnan(run_start) & (us - run_start >= hold_us)
+        ).astype(np.int64)
+        prev_f = np.concatenate(([np.int64(wf0)], firing[:-1]))
+        # persist: open run start only while cond holds at the tail
+        tail_run = (
+            int(run_start[-1]) if cond[-1] and not np.isnan(run_start[-1])
+            else _NONE
+        )
+        state.update((tail_run, int(firing[-1]), int(us[-1])))
+        mask = firing != prev_f
+        if not mask.any():
+            return iter([])
+        out = pdf.loc[mask].drop(columns=["_ts_us"]).copy()
+        out["cond"] = cond[mask].astype(np.int32)
+        out["firing"] = firing[mask].astype(np.int32)
+        out["event"] = np.where(firing[mask] == 1, "fire", "resolve")
+        return iter([out])
+
+    return (
+        src.withWatermark(ts_col, watermark)
+        .withColumn("_ts_us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

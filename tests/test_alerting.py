@@ -247,3 +247,70 @@ class TestThresholdHold:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert plan.count("Exchange") == 1, plan
+
+    def test_threshold_hold_stream_matches_batch(self, spark, tmp_path):
+        """Streaming `for:` twin across 3 micro-batches == batch
+        events_only rows (the 24-byte state is the fold's carry)."""
+        from smos_spark.operators.alerting import (
+            threshold_hold_alerts,
+            threshold_hold_stream,
+        )
+        from smos_spark.synth import synth_transcripts
+
+        turns = (
+            synth_transcripts(spark, n_conv=30, seed=37)
+            .where(F.col("ts").isNotNull())
+            .select(
+                "conv_id", "ts", "turn_idx",
+                F.length("text").cast("double").alias("value"),
+            )
+            .where(F.col("value").isNotNull())
+            .cache()
+        )
+        hi, hold = 300.0, 180.0
+        c1, c2 = turns.selectExpr(
+            "percentile_approx(ts, 0.33) as a",
+            "percentile_approx(ts, 0.66) as b",
+        ).collect()[0]
+        src = str(tmp_path / "src")
+        turns.where(F.col("ts") <= F.lit(c1)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        turns.where(
+            (F.col("ts") > F.lit(c1)) & (F.col("ts") <= F.lit(c2))
+        ).coalesce(1).write.mode("append").parquet(src)
+        turns.where(F.col("ts") > F.lit(c2)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        stream = (
+            spark.readStream.schema(turns.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            threshold_hold_stream(
+                stream, "value", hi=hi, hold_sec=hold,
+                key_cols=["conv_id"], tie_cols=["turn_idx"],
+                watermark="0 seconds",
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("hold_stream_t")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r["conv_id"], r["turn_idx"], r["cond"], r["firing"], r["event"])
+            for r in spark.table("hold_stream_t").collect()
+        )
+        want = sorted(
+            (r["conv_id"], r["turn_idx"], r["cond"], r["firing"], r["event"])
+            for r in threshold_hold_alerts(
+                turns, "value", hi=hi, hold_sec=hold,
+                key_cols=["conv_id"], tie_cols=["turn_idx"],
+                events_only=True,
+            ).collect()
+        )
+        assert got == want and len(want) > 5
