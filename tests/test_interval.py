@@ -341,3 +341,19 @@ class TestIntervalConcurrency:
 
         with pytest.raises(ValueError):
             interval_concurrency(ivs, 0.0)
+
+    def test_two_exchange_plan(self, spark, ivs):
+        """Exactly the designed two exchanges: hashpartitioning for
+        the (key,bucket) in-bucket window, SinglePartition for the
+        O(span/width) bucket-level carry window (keyless call)."""
+        import re
+
+        from smos_spark.operators.interval import interval_concurrency
+
+        plan = (
+            interval_concurrency(ivs, 3600.0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        kinds = sorted(set(re.findall(r"Exchange (\w+)", plan)))
+        assert kinds == ["SinglePartition", "hashpartitioning"], plan
+        assert plan.count("Exchange") == 2, plan
