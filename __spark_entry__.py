@@ -2022,6 +2022,17 @@ def _q_events_hold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "ts", "event_id", "value", "cond", "firing", "event")
 
 
+def _q_events_gap_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold gap detection (every >= 2 h silence per user): exact
+    int64-µs lag arithmetic; the alerting twin of top_gaps."""
+    from smos_spark.operators.downsample import gap_alerts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return gap_alerts(ev, key_cols=("user_id",), min_gap_sec=7200.0).select(
+        "user_id", "gap_start", "gap_end", "gap_us"
+    )
+
+
 def _q_conv_concurrency_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly peak simultaneously-active conversations (closed
     [first_ts, last_ts] intervals): boundary sweep with the bucketed
@@ -2069,11 +2080,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      events_wmedian_daily, tiered_read, events_slo_burn,
     #      events_paa_8, events_sax_daily, events_sax_motifs,
     #      events_budget_mtd, events_lttb_daily, events_hysteresis,
-    #      conv_concurrency_1h + events_hold_alerts) at the very end: they
+    #      conv_concurrency_1h, events_hold_alerts +
+    #      events_gap_alerts) at the very end: they
     #      have no driver
     #      row yet and rely on the local cross-check + pytest until a
     #      future window reaches them.
-    # All 124 were additionally cross-checked green against DuckDB at
+    # All 125 were additionally cross-checked green against DuckDB at
     # BOTH sf0.01 and sf0.1 this round (scripts/check_contract.py).
     return {
         # -- r3-green rows rotated into the round-5 window (slots 1-42) ----
@@ -2205,6 +2217,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hysteresis": _q_events_hysteresis,
         "conv_concurrency_1h": _q_conv_concurrency_1h,
         "events_hold_alerts": _q_events_hold_alerts,
+        "events_gap_alerts": _q_events_gap_alerts,
     }
 
 
@@ -4626,6 +4639,20 @@ def oracle_sql() -> dict[str, str]:
                  WHEN firing = 0 AND pf = 1 THEN 'resolve' END AS event
           FROM t2
           WHERE (firing = 1 AND pf = 0) OR (firing = 0 AND pf = 1)
+        """,
+        # threshold gap alerts: every inter-sample gap >= 2 h
+        "events_gap_alerts": """
+          WITH g AS (
+            SELECT user_id,
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS gap_start,
+              ts AS gap_end,
+              epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events WHERE ts IS NOT NULL)
+          SELECT user_id, gap_start, gap_end, CAST(gap_us AS BIGINT)
+            AS gap_us
+          FROM g WHERE gap_us >= 7200000000
         """,
     }
     # the *_auto dispatcher rows are DEFINED to be row-identical to

@@ -53,6 +53,8 @@ __all__ = [
     "counter_rate_stream",
     "largest_gaps",
     "largest_gaps_bucketed",
+    "gap_alerts",
+    "gap_alerts_stream",
 ]
 
 
@@ -575,6 +577,136 @@ def counter_rate_stream(
             "bucket_start": pd.to_datetime(ub[:-1] * width_us, unit="us"),
             "increase": inc[:-1],
             "n_samples": cnt[:-1],
+        })
+        for k in keys:
+            out.insert(0, k, pdf[k].iloc[0])
+        return iter([out])
+
+    return (
+        src.withWatermark(ts_col, watermark)
+        .withColumn("_ts_us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def gap_alerts(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    min_gap_sec: float = 3600.0,
+    tie_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Threshold gap detection per key: every inter-sample gap of at
+    least ``min_gap_sec`` — the alerting twin of `largest_gaps`
+    (which ranks; this thresholds — a heartbeat-loss / outage monitor
+    needs *every* breach, not the top-k).
+
+    Output: key cols, ``gap_start``, ``gap_end``, ``gap_us`` — one row
+    per qualifying gap, exact int64 microsecond arithmetic.  A key's
+    first sample opens no gap (no predecessor).  One key-partitioned
+    lag window, all codegen.
+    """
+    if min_gap_sec <= 0:
+        raise ValueError("min_gap_sec must be positive")
+    keys = [F.col(k) for k in key_cols]
+    min_gap_us = int(round(min_gap_sec * 1_000_000))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col), *[F.col(t) for t in tie_cols]
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    gap = us - F.lag(us).over(w)
+    return (
+        df.where(F.col(ts_col).isNotNull())
+        .select(
+            *keys,
+            prev_ts.alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            gap.alias("gap_us"),
+        )
+        .where(F.col("gap_us") >= F.lit(min_gap_us))
+    )
+
+
+def gap_alerts_stream(
+    stream: DataFrame,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    min_gap_sec: float = 3600.0,
+    tie_cols: Sequence[str] = ("event_id",),
+    watermark: str = "1 hour",
+):
+    """Structured Streaming twin of `gap_alerts` (§2.8 parity).
+
+    A gap is knowable exactly when its CLOSING sample arrives, so the
+    streaming output is row-for-row IDENTICAL to batch over the same
+    rows — no open-tail deficit at all, unlike the emit-on-close bucket
+    twins (pinned in test_gap_alerts_stream_matches_batch).  State per
+    key is the last sample's event-time micros — 8 bytes, O(1).
+
+    Ordering contract (cusum_stream's): chunks concat+sort once by
+    (ts, *ties); rows earlier than the key's last processed ts are
+    DROPPED — bound disorder with the source watermark.  (A dropped
+    late row cannot retroactively split an already-published gap.)
+    """
+    if min_gap_sec <= 0:
+        raise ValueError("min_gap_sec must be positive")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keys = list(key_cols)
+    ties = list(tie_cols)
+    min_gap_us = int(round(min_gap_sec * 1_000_000))
+    src = stream.where(F.col(ts_col).isNotNull()).select(
+        *keys,
+        F.col(ts_col).cast("timestamp").alias(ts_col),
+        *[F.col(t) for t in ties],
+    )
+    key_fields = [f for f in src.schema.fields if f.name in keys]
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in key_fields)
+        + (", " if key_fields else "")
+        + "gap_start timestamp, gap_end timestamp, gap_us long"
+    )
+    state_schema = "last_us long"
+
+    def _fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return iter([])
+        (lus,) = state.get if state.exists else (None,)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return iter([])
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(["_ts_us", *ties], kind="mergesort")
+        if lus is not None:
+            pdf = pdf[pdf["_ts_us"] >= lus]
+        if not len(pdf):
+            return iter([])
+        us = pdf["_ts_us"].to_numpy(dtype=np.int64)
+        prev = np.concatenate(
+            ([np.int64(lus if lus is not None else -1)], us[:-1])
+        )
+        gap = us - prev
+        mask = (gap >= min_gap_us) & (
+            np.arange(len(us)) > 0 if lus is None else np.ones(len(us), bool)
+        )
+        state.update((int(us[-1]),))
+        if not mask.any():
+            return iter([])
+        out = pd.DataFrame({
+            "gap_start": pd.to_datetime(prev[mask], unit="us"),
+            "gap_end": pd.to_datetime(us[mask], unit="us"),
+            "gap_us": gap[mask],
         })
         for k in keys:
             out.insert(0, k, pdf[k].iloc[0])

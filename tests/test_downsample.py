@@ -418,3 +418,118 @@ class TestCounterRateStream:
         )
         with pytest.raises(ValueError, match="integer-typed"):
             counter_rate_stream(df, counter_col="counter")
+
+
+class TestGapAlerts:
+    def test_known_gaps(self, spark):
+        from smos_spark.operators.downsample import gap_alerts
+
+        rows = [
+            (1, 7, _t(0)), (2, 7, _t(1)),          # 60 s gap: below
+            (3, 7, _t(20)),                        # 19 min gap: alert
+            (4, 7, _t(25)), (5, 7, _t(59)),        # 34 min gap: alert
+            (6, 8, _t(0)),                         # other key, 1 sample
+            (7, 8, _t(40)),                        # 40 min gap: alert
+        ]
+        df = spark.createDataFrame(
+            [(e, u, t, 0.0) for e, u, t in rows],
+            "event_id long, user_id long, ts timestamp, value double",
+        )
+        got = {
+            (r["user_id"], r["gap_start"], r["gap_end"])
+            for r in gap_alerts(df, min_gap_sec=600.0).collect()
+        }
+        naive = lambda m: dt.datetime(2024, 3, 1, 10, m)  # noqa: E731
+        assert got == {
+            (7, naive(1), naive(20)),
+            (7, naive(25), naive(59)),
+            (8, naive(0), naive(40)),
+        }
+
+    def test_matches_largest_gaps_superset(self, spark, events):
+        """Every top-k largest gap above the threshold appears in the
+        threshold output with the identical µs width."""
+        from smos_spark.operators.downsample import gap_alerts, largest_gaps
+
+        thr = 600.0
+        alerts = {
+            (r["user_id"], r["gap_start"], r["gap_end"]): r["gap_us"]
+            for r in gap_alerts(events, min_gap_sec=thr).collect()
+        }
+        for r in largest_gaps(events, top_k=3).collect():
+            if r["gap_us"] >= thr * 1e6:
+                key = (r["user_id"], r["gap_start"], r["gap_end"])
+                assert alerts.get(key) == r["gap_us"]
+
+    def test_bad_threshold_rejected(self, spark, events):
+        from smos_spark.operators.downsample import (
+            gap_alerts,
+            gap_alerts_stream,
+        )
+
+        with pytest.raises(ValueError):
+            gap_alerts(events, min_gap_sec=0.0)
+        with pytest.raises(ValueError):
+            gap_alerts_stream(events, min_gap_sec=-5.0)
+
+    def test_gap_alerts_stream_matches_batch(self, spark, tmp_path):
+        """Streaming gap alerts across 3 micro-batches == batch
+        row-for-row — a gap closes exactly when its closing sample
+        arrives, so there is NO open-tail deficit."""
+        from smos_spark.operators.downsample import (
+            gap_alerts,
+            gap_alerts_stream,
+        )
+        from smos_spark.synth import synth_transcripts
+
+        turns = (
+            synth_transcripts(spark, n_conv=25, seed=41)
+            .where(F.col("ts").isNotNull())
+            .select("conv_id", "ts", "turn_idx")
+            .cache()
+        )
+        thr = 1800.0
+        c1, c2 = turns.selectExpr(
+            "percentile_approx(ts, 0.33) as a",
+            "percentile_approx(ts, 0.66) as b",
+        ).collect()[0]
+        src = str(tmp_path / "src")
+        turns.where(F.col("ts") <= F.lit(c1)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        turns.where(
+            (F.col("ts") > F.lit(c1)) & (F.col("ts") <= F.lit(c2))
+        ).coalesce(1).write.mode("append").parquet(src)
+        turns.where(F.col("ts") > F.lit(c2)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        stream = (
+            spark.readStream.schema(turns.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            gap_alerts_stream(
+                stream, key_cols=["conv_id"], min_gap_sec=thr,
+                tie_cols=["turn_idx"], watermark="0 seconds",
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("gap_stream_t")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r["conv_id"], r["gap_start"], r["gap_end"], r["gap_us"])
+            for r in spark.table("gap_stream_t").collect()
+        )
+        want = sorted(
+            (r["conv_id"], r["gap_start"], r["gap_end"], r["gap_us"])
+            for r in gap_alerts(
+                turns, key_cols=("conv_id",), min_gap_sec=thr,
+                tie_cols=("turn_idx",),
+            ).collect()
+        )
+        assert got == want and len(want) > 10
