@@ -65,7 +65,9 @@ __all__ = [
     "cusum_stream",
     "trend_slope",
     "theil_sen_slope",
+    "mann_kendall",
     "mad_outliers",
+    "classical_decompose",
 ]
 
 _DEC = "decimal(38,0)"
@@ -756,4 +758,180 @@ def theil_sen_slope(
         F.col("n_pairs"),
         F.col("_num").alias("slope_num"),
         F.col("_den").alias("slope_den"),
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    cents: int = 100,
+    epoch: str = "2020-01-01",
+    x_unit_s: int = 3600,
+) -> DataFrame:
+    """Per-group Mann–Kendall trend test statistic: S = Σ_{x_i < x_j}
+    sign(y_j − y_i) over all sample pairs with distinct time buckets —
+    the standard non-parametric "is there a monotonic trend?"
+    companion to `theil_sen_slope` (public test, Mann 1945 / Kendall
+    1975), sharing its exact quantization (x = floor-to-unit epoch
+    bucket, y = floor(v·cents)) and its pair generation, so the two
+    can be read off the SAME bounded pair join in a combined
+    dashboard.
+
+    Everything emitted is exact: n_samples, n_pairs (pairs with
+    strictly increasing x — same-bucket pairs contribute nothing, the
+    standard tie handling), s_stat = Σ sign ∈ int64, and
+    tau_ppm = floor(S·1e6 / n_pairs) — Kendall's tau-a against the
+    comparable-pair count, ONE double division of two exact ints.
+    Groups with no cross-bucket pair are dropped (no trend is
+    definable).
+
+    Scale shape: identical to theil_sen_slope — a per-group equi-join
+    self-pairing (O(n²) pairs per group) under the documented
+    bounded-group contract: group by (key, calendar unit) so n is the
+    per-unit sample count. The sign aggregation is map-side combined;
+    unlike Theil–Sen there is no window sort, so the post-join plan is
+    a single bounded aggregation.
+    """
+    if cents <= 0:
+        raise ValueError("cents must be positive")
+    if x_unit_s <= 0:
+        raise ValueError("x_unit_s must be positive")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
+        F.lit(epoch).cast("timestamp")
+    )
+    unit_us = int(x_unit_s) * 1_000_000
+    xs = ((us - F.pmod(us, F.lit(unit_us))) / F.lit(unit_us)).cast("long")
+    y = F.floor(F.col(value_col).cast("double") * cents).cast("long")
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(*group_cols, xs.alias("_x"), y.alias("_y"))
+    b = base
+    for c in ["_x", "_y"]:
+        b = b.withColumnRenamed(c, c + "2")
+    pairs = base.join(b, group_cols).where(F.col("_x") < F.col("_x2"))
+    sgn = F.signum((F.col("_y2") - F.col("_y")).cast("double")).cast("long")
+    counts = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_samples")
+    )
+    stat = pairs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(sgn).alias("s_stat"),
+    )
+    tau_ppm = F.floor(
+        F.col("s_stat").cast("double")
+        / F.col("n_pairs").cast("double")
+        * 1_000_000
+    ).cast("long")
+    return stat.join(counts, group_cols).select(
+        *group_cols,
+        "n_samples",
+        "n_pairs",
+        "s_stat",
+        tau_ppm.alias("tau_ppm"),
+    )
+
+
+def classical_decompose(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    period: int = 24,
+    width_sec: int = 3600,
+    cents: int = 100,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a per-group
+    activity series (the moving-average method behind
+    statsmodels.seasonal_decompose, Kendall/Stuart textbook form),
+    kept EXACT end-to-end by working in scaled integers:
+
+    * the series is the per-(group, width_sec bucket) sum of
+      floor(v·cents), densified to a gapless grid (missing buckets are
+      0 — the natural reading for activity totals, same grid
+      convention as gapfill);
+    * trend: the centered 2×period moving average. For even period
+      2m the textbook weights are (½, 1, …, 1, ½)/period over
+      [t−m, t+m]; multiplied through by 2·period they are the pure
+      integer  trend_x2p = y[t−m] + 2·Σ_{t−m+1..t+m−1} y + y[t+m]
+      (computed as 2·Σ_{[−m,+m]} − y[−m] − y[+m], one window frame
+      plus a lag and a lead over the SAME sort);
+    * detrended: detr_x2p = 2·period·y − trend_x2p (exact int64);
+    * seasonal: per (group, phase = bucket mod period), the SUM and
+      COUNT of detr_x2p over the buckets where the trend is defined —
+      emitted as the exact rational (seas_num, seas_den) rather than a
+      rounded index, theil_sen_slope's emit-the-rational discipline
+      (the remainder at any row is detr_x2p − seas_num/seas_den,
+      reconstructible exactly by the caller).
+
+    Only rows with a full trend window (the inner span of the grid)
+    are emitted. Output per bucket: group cols, bucket_start
+    (timestamp), y_cents, trend_x2p, detr_x2p, seas_num, seas_den.
+
+    Plan: one map-side-combined bucket aggregation (shuffle
+    O(groups·buckets)); the dense grid is a per-group sequence explode
+    (gapfill's generator) left-joined to the sums; then one Exchange
+    on the group feeds the ordered trend window, and one more window
+    partitioned by (group, phase) attaches the seasonal sums. Grid
+    size is span/width per group — bounded by the calendar range, not
+    the input row count.
+    """
+    if period < 2 or period % 2 != 0:
+        raise ValueError("period must be an even integer >= 2")
+    if width_sec <= 0:
+        raise ValueError("width_sec must be positive")
+    if cents <= 0:
+        raise ValueError("cents must be positive")
+    m = period // 2
+    width_us = int(width_sec) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    b = ((us - F.pmod(us, F.lit(width_us))) / F.lit(width_us)).cast("long")
+    vc = F.floor(F.col(value_col).cast("double") * cents).cast("long")
+    sums = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(*group_cols, b.alias("_b"), vc.alias("_vc"))
+        .groupBy(*group_cols, "_b")
+        .agg(F.sum("_vc").alias("_y"))
+    )
+    span = sums.groupBy(*group_cols).agg(
+        F.min("_b").alias("_b0"), F.max("_b").alias("_b1")
+    )
+    grid = span.select(
+        *group_cols,
+        F.explode(F.sequence(F.col("_b0"), F.col("_b1"))).alias("_b"),
+    )
+    dense = grid.join(sums, [*group_cols, "_b"], "left").select(
+        *group_cols,
+        F.col("_b"),
+        F.coalesce(F.col("_y"), F.lit(0)).alias("_y"),
+    )
+    wo = Window.partitionBy(*group_cols).orderBy("_b")
+    frame = wo.rowsBetween(-m, m)
+    trend = (
+        F.lit(2) * F.sum("_y").over(frame)
+        - F.lag("_y", m).over(wo)
+        - F.lead("_y", m).over(wo)
+    )
+    n_win = F.count(F.lit(1)).over(frame)
+    valid = (
+        dense.withColumn("_t2p", trend)
+        .withColumn("_nw", n_win)
+        .where(F.col("_t2p").isNotNull() & (F.col("_nw") == period + 1))
+        .withColumn(
+            "_d2p", F.lit(2 * period) * F.col("_y") - F.col("_t2p")
+        )
+        .withColumn("_phase", F.pmod(F.col("_b"), F.lit(period)))
+    )
+    wp = Window.partitionBy(*group_cols, "_phase")
+    return valid.select(
+        *group_cols,
+        F.timestamp_micros(F.col("_b") * F.lit(width_us)).alias(
+            "bucket_start"
+        ),
+        F.col("_y").alias("y_cents"),
+        F.col("_t2p").alias("trend_x2p"),
+        F.col("_d2p").alias("detr_x2p"),
+        F.sum("_d2p").over(wp).alias("seas_num"),
+        F.count(F.lit(1)).over(wp).alias("seas_den"),
     )

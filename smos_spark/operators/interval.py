@@ -43,7 +43,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["interval_join", "interval_join_stream", "interval_concurrency"]
+__all__ = [
+    "interval_join",
+    "interval_join_stream",
+    "interval_concurrency",
+    "interval_coverage",
+]
 
 
 def interval_join(
@@ -368,4 +373,79 @@ def interval_concurrency(
         ).alias("level_end"),
         F.col("n_starts").cast("long").alias("n_starts"),
         F.col("n_ends").cast("long").alias("n_ends"),
+    )
+
+
+def interval_coverage(
+    intervals: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+) -> DataFrame:
+    """Per-key UNION length of a set of possibly-overlapping intervals
+    — merge overlaps, measure what remains: total covered time, island
+    count, and the longest island. The classic gaps-and-islands
+    reduction (public SQL folklore; the textbook sweep is "an interval
+    starts a new island iff its start exceeds the running max of all
+    earlier ends"), and `interval_concurrency`'s integral twin:
+    coverage = measure of {t : concurrency(t) >= 1}.
+
+    Semantics (all pinned): intervals are half-open [s, e); touching
+    intervals (s == previous running-max end) MERGE — back-to-back
+    sessions form one island; rows with NULL endpoints or e < s are
+    excluded; zero-length intervals (e == s) add no coverage but do
+    participate in merging. All arithmetic is integer epoch-µs — exact
+    in both engines at any scale.
+
+    Output per key: n_intervals, n_islands, covered_us (Σ island
+    lengths), max_island_us.
+
+    Plan shape: one Exchange on the key columns feeding one
+    in-partition Sort on (start, end); the island detector is a
+    running-max window (rows unbounded-preceding → 1 preceding) plus a
+    running sum of new-island flags — two frames over the SAME sort,
+    one Window node — then two bounded aggregations. Per-key interval
+    counts are the partition bound, so use the documented
+    bounded-group contract: key by (entity, calendar unit), as the
+    contract query does, and a key's unit-worth of intervals sorts in
+    one partition. (A two-level bucketed decomposition like
+    interval_concurrency's exists for pathological keys; the gauge
+    operator already provides it — coverage over a hot key can be read
+    off its concurrency curve.)
+    """
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    base = intervals.where(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (e_us >= s_us)
+    ).select(*keys, s_us.alias("_s"), e_us.alias("_e"))
+    wo = Window.partitionBy(*keys).orderBy("_s", "_e")
+    prev_max_e = F.max("_e").over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = base.withColumn(
+        "_new",
+        F.when(
+            prev_max_e.isNull() | (F.col("_s") > prev_max_e), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    islands = flagged.groupBy(*keys, "_island").agg(
+        F.min("_s").alias("_is"),
+        F.max("_e").alias("_ie"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return islands.groupBy(*keys).agg(
+        F.sum("_n").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("_ie") - F.col("_is")).alias("covered_us"),
+        F.max(F.col("_ie") - F.col("_is")).alias("max_island_us"),
     )

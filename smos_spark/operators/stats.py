@@ -32,9 +32,11 @@ from pyspark.sql import functions as F
 __all__ = [
     "autocorrelation",
     "grouped_pearson",
+    "grouped_spearman",
     "histogram",
     "hourly_profile",
     "lagged_crosscorr",
+    "winsorized_stats",
 ]
 
 _DEC = "decimal(38,0)"
@@ -274,3 +276,125 @@ def lagged_crosscorr(
     )
     pairs = xs.join(ys, [*groups, "_b"])
     return grouped_pearson(pairs, "_x", "_y", groups, out_col=out_col)
+
+
+def grouped_spearman(
+    df: DataFrame,
+    x: str,
+    y: str,
+    group_cols: list[str],
+    out_col: str = "rho_ppm",
+) -> DataFrame:
+    """Spearman rank correlation of two INTEGER columns per group,
+    emitted as floor(rho·1e6) — `grouped_pearson` applied to DOUBLED
+    average ranks, which keeps the tie-handling exact: the average
+    rank of a tie run [r, r+c−1] is r + (c−1)/2, a half-integer, so
+    2·avg_rank = 2·rank + c − 1 is always an int64 (rank = min-rank
+    over the group, c = the run's tie count). Pearson over the doubled
+    ranks equals Pearson over the ranks (correlation is
+    scale-invariant), so the standard tie-corrected Spearman rho comes
+    out of the same exact-integer-moment / one-double-chain machinery
+    as `grouped_pearson` — no float rank, no approximation.
+
+    Ranks are ≤ n per group, so the decimal(38,0) cross products stay
+    exact far beyond any real group size (n up to ~10^9 keeps
+    n·Σr² < 10^37).
+
+    Plan: one Exchange on the group columns feeding two in-partition
+    Sorts (the rank windows for x and y), then the bounded Pearson
+    aggregation — the per-group sort makes this the documented
+    bounded-group contract (group by (key, calendar unit), as
+    theil_sen_slope does), not an arbitrarily-hot-key operator.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.where(F.col(x).isNotNull() & F.col(y).isNotNull()).select(
+        *group_cols,
+        F.col(x).cast("long").alias("_xv"),
+        F.col(y).cast("long").alias("_yv"),
+    )
+    ranked = base
+    for col, out in (("_xv", "_rx2"), ("_yv", "_ry2")):
+        wr = Window.partitionBy(*group_cols).orderBy(col)
+        wt = Window.partitionBy(*group_cols, col)
+        ranked = ranked.withColumn(
+            out,
+            (
+                F.lit(2) * F.rank().over(wr)
+                + F.count(F.lit(1)).over(wt)
+                - F.lit(1)
+            ).cast("long"),
+        )
+    return grouped_pearson(ranked, "_rx2", "_ry2", group_cols, out_col=out_col)
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Winsorized integer aggregate per group: clip every value into
+    [p_lo, p_hi] before summing, where p_q is the ELEMENT at the
+    deterministic 1-indexed position (n−1)·q div 100 + 1 of the
+    group's ascending sort (the "lower" empirical quantile — always a
+    member of the set, never an interpolation, so the whole pipeline
+    stays in int64 and both engines agree bit-for-bit; same selection
+    discipline as theil_sen_slope's lower median). Equal values make
+    the position→value map deterministic regardless of row_number's
+    tie permutation, because the order column IS the value.
+
+    Output per group: n, lo_cents / hi_cents (the clip thresholds),
+    winsor_sum (Σ of clipped values, exact int64) and winsor_mean_ppm
+    (ONE double division of two exact ints, floored to ppm — the
+    outlier-robust mean a monitoring dashboard plots instead of the
+    raw mean). Input must already be integer-quantized
+    (floor(v·cents), like every stats operator here).
+
+    Plan: one Exchange on the group columns, one in-partition Sort
+    shared by the row_number and the conditional-pick window
+    aggregates, then one map-side-combined final aggregation — the
+    bounded-group contract (group by (key, calendar unit)).
+    """
+    from pyspark.sql.window import Window
+
+    if not (0 <= lo_pct <= hi_pct <= 100):
+        raise ValueError("need 0 <= lo_pct <= hi_pct <= 100")
+    v = F.col(value_col).cast("long")
+    base = df.where(v.isNotNull()).select(*group_cols, v.alias("_v"))
+    wo = Window.partitionBy(*group_cols).orderBy("_v")
+    wg = Window.partitionBy(*group_cols)
+    ranked = base.select(
+        *group_cols,
+        F.col("_v"),
+        F.row_number().over(wo).alias("_rn"),
+        F.count(F.lit(1)).over(wg).alias("_n"),
+    )
+    # (n-1)*q div 100 + 1 in pure integer arithmetic (non-negative, so
+    # pmod-subtract division is the true integer quotient)
+    def _pos(q: int) -> Column:
+        prod = (F.col("_n") - F.lit(1)) * F.lit(q)
+        return ((prod - F.pmod(prod, F.lit(100))) / F.lit(100)).cast(
+            "long"
+        ) + F.lit(1)
+
+    picked = ranked.select(
+        *group_cols,
+        F.col("_v"),
+        F.max(F.when(F.col("_rn") == _pos(lo_pct), F.col("_v"))).over(wg).alias("_lo"),
+        F.max(F.when(F.col("_rn") == _pos(hi_pct), F.col("_v"))).over(wg).alias("_hi"),
+    )
+    clipped = F.greatest(F.least(F.col("_v"), F.col("_hi")), F.col("_lo"))
+    agg = picked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_lo").alias("lo_cents"),
+        F.min("_hi").alias("hi_cents"),
+        F.sum(clipped).alias("winsor_sum"),
+    )
+    mean_ppm = F.floor(
+        F.col("winsor_sum").cast("double")
+        / F.col("n").cast("double")
+        * 1_000_000
+    ).cast("long")
+    return agg.withColumn("winsor_mean_ppm", mean_ppm)

@@ -611,3 +611,153 @@ class TestTheilSen:
             theil_sen_slope(df, "value", ["user_id"], cents=0)
         with pytest.raises(ValueError):
             theil_sen_slope(df, "value", ["user_id"], x_unit_s=0)
+
+
+# ------------------------------------------------------------ mann-kendall
+def test_mann_kendall_matches_bruteforce(spark):
+    import itertools
+
+    import numpy as np
+
+    from smos_spark.operators.anomaly import mann_kendall
+
+    rng = np.random.default_rng(17)
+    rows = []
+    series = {}
+    for g in ("up", "down", "flat", "noisy"):
+        ts0 = 1_700_000_000
+        n = 40
+        if g == "up":
+            ys = np.arange(n) * 1.5 + rng.integers(0, 2, n)
+        elif g == "down":
+            ys = -np.arange(n) * 2.0
+        elif g == "flat":
+            ys = np.full(n, 7.0)
+        else:
+            ys = rng.normal(0, 100, n)
+        xs = np.arange(n) * 60  # one per minute bucket (x_unit_s=60)
+        series[g] = (xs // 60, np.floor(ys * 100).astype(int))
+        rows += [
+            (g, float(ys[i]), ts0 + int(xs[i])) for i in range(n)
+        ]
+    df = spark.createDataFrame(rows, "g string, v double, epoch long").select(
+        "g", "v", F.timestamp_seconds("epoch").alias("ts")
+    )
+    out = {
+        r["g"]: r
+        for r in mann_kendall(
+            df, "v", ["g"], epoch="1970-01-01", x_unit_s=60
+        ).collect()
+    }
+    for g, (xs, ys) in series.items():
+        s = n_pairs = 0
+        for i, j in itertools.combinations(range(len(xs)), 2):
+            if xs[i] < xs[j]:
+                n_pairs += 1
+                s += int(np.sign(ys[j] - ys[i]))
+            elif xs[i] > xs[j]:
+                n_pairs += 1
+                s += int(np.sign(ys[i] - ys[j]))
+        assert out[g]["s_stat"] == s, g
+        assert out[g]["n_pairs"] == n_pairs, g
+        assert out[g]["n_samples"] == len(xs)
+        import math
+
+        assert out[g]["tau_ppm"] == math.floor(s / n_pairs * 1e6), g
+    assert out["up"]["tau_ppm"] > 900_000
+    assert out["down"]["tau_ppm"] == -1_000_000
+    assert out["flat"]["s_stat"] == 0
+
+
+def test_mann_kendall_same_bucket_pairs_excluded(spark):
+    from smos_spark.operators.anomaly import mann_kendall
+
+    # 3 samples in ONE hour bucket → no cross-bucket pair → dropped
+    df = spark.createDataFrame(
+        [("g", 1.0, "2024-01-01 10:00:00"),
+         ("g", 2.0, "2024-01-01 10:20:00"),
+         ("g", 3.0, "2024-01-01 10:40:00")],
+        "g string, v double, ts string",
+    ).select("g", "v", F.col("ts").cast("timestamp").alias("ts"))
+    assert mann_kendall(df, "v", ["g"], epoch="2024-01-01").count() == 0
+
+
+def test_mann_kendall_partition_invariant(spark):
+    import numpy as np
+
+    from smos_spark.operators.anomaly import mann_kendall
+
+    rng = np.random.default_rng(5)
+    rows = [
+        ("k%d" % (i % 3), float(rng.normal(0, 50)), 1_700_000_000 + i * 3600)
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, e long").select(
+        "g", "v", F.timestamp_seconds("e").alias("ts")
+    )
+    a = mann_kendall(df, "v", ["g"]).orderBy("g").collect()
+    b = mann_kendall(df.repartition(13), "v", ["g"]).orderBy("g").collect()
+    assert a == b
+
+
+# ----------------------------------------------------- classical decompose
+def test_classical_decompose_recovers_planted_seasonality(spark):
+    import numpy as np
+
+    from smos_spark.operators.anomaly import classical_decompose
+
+    # planted series: exact linear trend + ZERO-MEAN period-24
+    # seasonal (±500 alternating), one event per hour for 10 days —
+    # the 2×24 CMA's window covers each phase with total weight
+    # exactly once, so a zero-mean pattern vanishes from the trend
+    # EXACTLY and the decomposition is bit-recoverable
+    n = 240
+    seas = [500 if h % 2 == 0 else -500 for h in range(n)]
+    rows = [
+        ("g", float(1000 + 10 * h + seas[h]), 1_700_000_000 - 1_700_000_000 % 3600 + h * 3600)
+        for h in range(n)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, e long").select(
+        "g", "v", F.timestamp_seconds("e").alias("ts")
+    )
+    out = (
+        classical_decompose(df, "v", ["g"], cents=1)
+        .orderBy("bucket_start")
+        .collect()
+    )
+    # inner span only: n - 2*12 rows
+    assert len(out) == n - 24
+    for i, r in enumerate(out):
+        h = i + 12  # grid position of this inner row
+        assert r["y_cents"] == 1000 + 10 * h + seas[h]
+        # CMA of the linear part is exact; the seasonal part cancels
+        assert r["trend_x2p"] == 48 * (1000 + 10 * h)
+        assert r["detr_x2p"] == 48 * seas[h]
+        assert r["detr_x2p"] == 48 * r["y_cents"] - r["trend_x2p"]
+        # phase mean of the recovered seasonal is the planted index
+        assert r["seas_num"] == 48 * seas[h] * r["seas_den"]
+
+
+def test_classical_decompose_gapless_grid_zero_fill(spark):
+    from smos_spark.operators.anomaly import classical_decompose
+
+    # two events 30 hours apart: grid densifies the gap with zeros, so
+    # the inner span emits 31-24 = 7 rows
+    df = spark.createDataFrame(
+        [("g", 1.0, "2024-01-01 00:30:00"), ("g", 2.0, "2024-01-02 06:30:00")],
+        "g string, v double, ts string",
+    ).select("g", "v", F.col("ts").cast("timestamp").alias("ts"))
+    out = classical_decompose(df, "v", ["g"]).collect()
+    assert len(out) == 31 - 24
+    # all-zero interior rows decompose to zero trend and detrended
+    assert all(r["y_cents"] == 0 for r in out)
+
+
+def test_classical_decompose_validates_period(spark):
+    import pytest
+
+    from smos_spark.operators.anomaly import classical_decompose
+
+    df = spark.createDataFrame([("g", 1.0, "2024-01-01")], "g string, v double, ts string")
+    with pytest.raises(ValueError):
+        classical_decompose(df, "v", ["g"], period=7)  # odd

@@ -197,3 +197,105 @@ def test_lagged_crosscorr_known_answers(spark):
 
     with _pytest.raises(ValueError):
         lagged_crosscorr(df, "event_type", "a", "b", lag_buckets=-1)
+
+
+# ---------------------------------------------------------------- spearman
+def test_spearman_matches_scipy_formula(spark):
+    # hand-checkable monotone + tied data per group
+    rows = []
+    rng = np.random.default_rng(11)
+    for g in ("m", "n"):
+        xs = rng.integers(0, 50, 120)  # heavy ties
+        ys = xs * 3 + rng.integers(-5, 5, 120) if g == "m" else rng.integers(0, 50, 120)
+        rows += [(g, int(x), int(y)) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    from smos_spark.operators.stats import grouped_spearman
+
+    out = {r["g"]: r for r in grouped_spearman(df, "x", "y", ["g"]).collect()}
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["g", "x", "y"])
+    for g in ("m", "n"):
+        sub = pdf[pdf.g == g]
+        # spearman = pearson over average ranks (no scipy in the env)
+        rx = sub["x"].rank(method="average")
+        ry = sub["y"].rank(method="average")
+        expect = np.corrcoef(rx, ry)[0, 1]
+        got = out[g]["rho_ppm"] / 1e6
+        assert math.isclose(got, expect, abs_tol=2e-6), (g, got, expect)
+
+
+def test_spearman_perfect_monotone_and_constant(spark):
+    rows = [("a", i, i * i) for i in range(1, 30)]  # monotone, nonlinear
+    rows += [("c", i, 7) for i in range(10)]  # constant y
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    from smos_spark.operators.stats import grouped_spearman
+
+    out = {r["g"]: r for r in grouped_spearman(df, "x", "y", ["g"]).collect()}
+    assert out["a"]["rho_ppm"] == 1_000_000 or out["a"]["rho_ppm"] == 999_999
+    assert out["c"]["rho_ppm"] is None
+
+
+def test_spearman_partition_invariant(spark, pairs):
+    from smos_spark.operators.stats import grouped_spearman
+
+    a = grouped_spearman(pairs, "x", "y", ["g"]).orderBy("g").collect()
+    b = (
+        grouped_spearman(pairs.repartition(13), "x", "y", ["g"])
+        .orderBy("g")
+        .collect()
+    )
+    assert a == b
+
+
+# ------------------------------------------------------------- winsorized
+def test_winsorized_matches_numpy(spark):
+    from smos_spark.operators.stats import winsorized_stats
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(-500, 500, 200).tolist() + [99999, -99999]  # outliers
+    df = spark.createDataFrame([("k", int(v)) for v in vals], "g string, v long")
+    out = winsorized_stats(df, "v", ["g"], lo_pct=5, hi_pct=95).collect()[0]
+    s = np.sort(np.array(vals))
+    n = len(s)
+    lo = int(s[(n - 1) * 5 // 100])
+    hi = int(s[(n - 1) * 95 // 100])
+    clipped = np.clip(s, lo, hi)
+    assert out["n"] == n
+    assert out["lo_cents"] == lo and out["hi_cents"] == hi
+    assert out["winsor_sum"] == int(clipped.sum())
+    assert out["winsor_mean_ppm"] == math.floor(clipped.sum() / n * 1e6)
+
+
+def test_winsorized_outliers_clipped_mean_robust(spark):
+    from smos_spark.operators.stats import winsorized_stats
+
+    base = [("g", v) for v in range(100)]  # 0..99
+    spiked = base + [("g", 10_000_000)]
+    out = winsorized_stats(
+        spark.createDataFrame(spiked, "g string, v long"), "v", ["g"]
+    ).collect()[0]
+    # spike clipped to p95 → mean stays near the bulk
+    assert out["hi_cents"] < 200
+    assert out["winsor_mean_ppm"] < 200 * 1_000_000
+
+
+def test_winsorized_degenerate_single_row(spark):
+    from smos_spark.operators.stats import winsorized_stats
+
+    df = spark.createDataFrame([("g", 42)], "g string, v long")
+    out = winsorized_stats(df, "v", ["g"]).collect()[0]
+    assert (out["n"], out["lo_cents"], out["hi_cents"], out["winsor_sum"]) == (
+        1,
+        42,
+        42,
+        42,
+    )
+
+
+def test_winsorized_validates_pcts(spark):
+    from smos_spark.operators.stats import winsorized_stats
+
+    df = spark.createDataFrame([("g", 1)], "g string, v long")
+    with pytest.raises(ValueError):
+        winsorized_stats(df, "v", ["g"], lo_pct=60, hi_pct=40)
