@@ -2047,6 +2047,98 @@ def _q_conv_concurrency_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation Spearman rank correlation between message
+    length and event value — `stats_pearson`'s outlier-robust sibling:
+    exact tie-corrected average ranks (doubled to stay int64) through
+    the same exact-integer-moment Pearson, ppm floor. One Exchange on
+    the key feeds both rank sorts and the bounded aggregation."""
+    from smos_spark.operators.stats import grouped_spearman
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = ev.where(
+        F.col("props").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.length("props").cast("long").alias("x"),
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    return grouped_spearman(pairs, "x", "y", ["conv_id"])
+
+
+def _q_events_winsorized_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) winsorized mean: clip at the exact rank-picked
+    p05/p95 elements before summing — the robust daily level a
+    dashboard plots when single spikes must not move the line. All
+    thresholds and sums are int64; ONE double division for the ppm
+    mean."""
+    from smos_spark.operators.stats import winsorized_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return winsorized_stats(ev, "v", ["user_id", "day"])
+
+
+def _q_events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) Mann–Kendall monotonic-trend statistic over
+    minute-bucketed samples — theil_sen's significance companion on
+    the SAME bounded pair join: exact S, comparable-pair count, and
+    tau-a in ppm."""
+    from smos_spark.operators.anomaly import mann_kendall
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "value")
+        .withColumn("day", F.date_trunc("day", F.col("ts")))
+    )
+    return mann_kendall(
+        ev, "value", ["user_id", "day"], epoch="2024-01-01", x_unit_s=60
+    )
+
+
+def _q_interval_coverage_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) interval-union coverage: each event opens a
+    [ts, ts + dur) work window (dur = value-derived seconds), windows
+    are merged where they overlap or touch, and the day reports total
+    covered time, island count, and the longest contiguous stretch —
+    gaps-and-islands in exact epoch-µs integers."""
+    from smos_spark.operators.interval import interval_coverage
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    dur_s = F.pmod(F.floor(F.col("value") * 100).cast("long"), F.lit(3600)) + F.lit(60)
+    iv = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("ts").alias("start_ts"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + dur_s * F.lit(1_000_000)
+        ).alias("end_ts"),
+    )
+    return interval_coverage(iv, ["user_id", "day"])
+
+
+def _q_events_decompose_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of each user's hourly activity
+    series (period 24): exact 2×24 centered-MA trend, integer
+    detrended values, and the per-phase seasonal index as an exact
+    rational — the statsmodels seasonal_decompose contract, kept
+    bit-exact by the ×2·period integer scaling."""
+    from smos_spark.operators.anomaly import classical_decompose
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "value"
+    )
+    return classical_decompose(ev, "value", ["user_id"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _with_dist(fn)
@@ -2218,6 +2310,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_concurrency_1h": _q_conv_concurrency_1h,
         "events_hold_alerts": _q_events_hold_alerts,
         "events_gap_alerts": _q_events_gap_alerts,
+        "stats_spearman": _q_stats_spearman,
+        "events_winsorized_daily": _q_events_winsorized_daily,
+        "events_mann_kendall": _q_events_mann_kendall,
+        "interval_coverage_1d": _q_interval_coverage_1d,
+        "events_decompose_24h": _q_events_decompose_24h,
     }
 
 
@@ -4653,6 +4750,171 @@ def oracle_sql() -> dict[str, str]:
           SELECT user_id, gap_start, gap_end, CAST(gap_us AS BIGINT)
             AS gap_us
           FROM g WHERE gap_us >= 7200000000
+        """,
+        # Spearman = exact Pearson over doubled average ranks
+        # (2*min_rank + tie_count - 1, always int64)
+        "stats_spearman": """
+          WITH p AS (
+            SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                   CAST(length(props) AS BIGINT) AS x,
+                   CAST(floor(value * 100) AS BIGINT) AS y
+            FROM events WHERE props IS NOT NULL AND value IS NOT NULL
+          ), r AS (
+            SELECT conv_id,
+              2*rank() OVER (PARTITION BY conv_id ORDER BY x)
+                + count(*) OVER (PARTITION BY conv_id, x) - 1 AS rx,
+              2*rank() OVER (PARTITION BY conv_id ORDER BY y)
+                + count(*) OVER (PARTITION BY conv_id, y) - 1 AS ry
+            FROM p
+          ), a AS (
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(rx) AS HUGEINT) AS sx,
+                   CAST(sum(ry) AS HUGEINT) AS sy,
+                   CAST(sum(rx * rx) AS HUGEINT) AS sxx,
+                   CAST(sum(ry * ry) AS HUGEINT) AS syy,
+                   CAST(sum(rx * ry) AS HUGEINT) AS sxy
+            FROM r GROUP BY 1
+          )
+          SELECT conv_id, n AS n_pairs,
+            CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                 THEN CAST(floor(
+                   (n * sxy - sx * sy)::DOUBLE
+                   / sqrt((n * sxx - sx * sx)::DOUBLE
+                          * (n * syy - sy * sy)::DOUBLE)
+                   * 1000000) AS BIGINT)
+            END AS rho_ppm
+          FROM a
+        """,
+        # winsorized mean: thresholds are the ELEMENTS at 1-indexed
+        # positions (n-1)*q//100 + 1 of the ascending sort
+        "events_winsorized_daily": """
+          WITH p AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(floor(value * 100) AS BIGINT) AS v
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          ), r AS (
+            SELECT user_id, day, v,
+              row_number() OVER (PARTITION BY user_id, day ORDER BY v) AS rn,
+              CAST(count(*) OVER (PARTITION BY user_id, day) AS BIGINT) AS n
+            FROM p
+          ), t AS (
+            SELECT user_id, day, v, n,
+              max(CASE WHEN rn = (n - 1) * 5 // 100 + 1 THEN v END)
+                OVER (PARTITION BY user_id, day) AS lo,
+              max(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN v END)
+                OVER (PARTITION BY user_id, day) AS hi
+            FROM r
+          )
+          SELECT user_id, day, n,
+            CAST(min(lo) AS BIGINT) AS lo_cents,
+            CAST(min(hi) AS BIGINT) AS hi_cents,
+            CAST(sum(greatest(least(v, hi), lo)) AS BIGINT) AS winsor_sum,
+            CAST(floor(sum(greatest(least(v, hi), lo))::DOUBLE
+                       / n::DOUBLE * 1000000) AS BIGINT) AS winsor_mean_ppm
+          FROM t GROUP BY user_id, day, n
+        """,
+        # Mann-Kendall: S over strictly-increasing-x pairs; tau-a ppm
+        "events_mann_kendall": """
+          WITH b AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+              (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                // 60000000 AS x,
+              CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS y
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          ), c AS (
+            SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_samples
+            FROM b GROUP BY 1, 2
+          ), p AS (
+            SELECT a.user_id, a.day,
+              CASE WHEN c.y > a.y THEN 1
+                   WHEN c.y < a.y THEN -1 ELSE 0 END AS sgn
+            FROM b a JOIN b c
+              ON a.user_id = c.user_id AND a.day = c.day AND a.x < c.x
+          ), s AS (
+            SELECT user_id, day,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(sgn) AS BIGINT) AS s_stat
+            FROM p GROUP BY 1, 2
+          )
+          SELECT s.user_id, s.day, c.n_samples, s.n_pairs, s.s_stat,
+            CAST(floor(s.s_stat::DOUBLE / s.n_pairs::DOUBLE * 1000000)
+                 AS BIGINT) AS tau_ppm
+          FROM s JOIN c USING (user_id, day)
+        """,
+        # interval union via gaps-and-islands: new island iff start
+        # exceeds the running max of earlier ends (order by start, end)
+        "interval_coverage_1d": """
+          WITH iv AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+              epoch_us(ts) AS s,
+              epoch_us(ts)
+                + ((((CAST(floor(value * 100) AS BIGINT) % 3600) + 3600)
+                    % 3600) + 60) * 1000000 AS e
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          ), f AS (
+            SELECT user_id, day, s, e,
+              CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                   THEN 1 ELSE 0 END AS nw
+            FROM iv
+            WINDOW w AS (PARTITION BY user_id, day ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          ), g AS (
+            SELECT user_id, day, s, e,
+              sum(nw) OVER (PARTITION BY user_id, day ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM f
+          ), i AS (
+            SELECT user_id, day, island,
+                   min(s) AS i_s, max(e) AS i_e, count(*) AS nn
+            FROM g GROUP BY 1, 2, 3
+          )
+          SELECT user_id, day,
+            CAST(sum(nn) AS BIGINT) AS n_intervals,
+            CAST(count(*) AS BIGINT) AS n_islands,
+            CAST(sum(i_e - i_s) AS BIGINT) AS covered_us,
+            CAST(max(i_e - i_s) AS BIGINT) AS max_island_us
+          FROM i GROUP BY 1, 2
+        """,
+        # classical decomposition: dense hourly grid, 2x24 CMA trend
+        # scaled x48, per-phase seasonal sums as exact rationals
+        "events_decompose_24h": """
+          WITH hb AS (
+            SELECT user_id, epoch_us(ts) // 3600000000 AS b,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1, 2
+          ), sp AS (
+            SELECT user_id, min(b) AS b0, max(b) AS b1 FROM hb GROUP BY 1
+          ), g AS (
+            SELECT user_id, unnest(generate_series(b0, b1)) AS b FROM sp
+          ), d AS (
+            SELECT g.user_id, g.b, coalesce(hb.y, 0) AS y
+            FROM g LEFT JOIN hb ON g.user_id = hb.user_id AND g.b = hb.b
+          ), w AS (
+            SELECT user_id, b, y,
+              2 * sum(y) OVER fr
+                - lag(y, 12) OVER wo
+                - lead(y, 12) OVER wo AS t2p,
+              count(*) OVER fr AS nwin
+            FROM d
+            WINDOW wo AS (PARTITION BY user_id ORDER BY b),
+                   fr AS (PARTITION BY user_id ORDER BY b
+                          ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+          ), v AS (
+            SELECT user_id, b, y, t2p, 48 * y - t2p AS d2p,
+                   b % 24 AS phase
+            FROM w WHERE t2p IS NOT NULL AND nwin = 25
+          )
+          SELECT user_id, make_timestamp(b * 3600000000) AS bucket_start,
+            y AS y_cents,
+            CAST(t2p AS BIGINT) AS trend_x2p,
+            CAST(d2p AS BIGINT) AS detr_x2p,
+            CAST(sum(d2p) OVER (PARTITION BY user_id, phase) AS BIGINT)
+              AS seas_num,
+            CAST(count(*) OVER (PARTITION BY user_id, phase) AS BIGINT)
+              AS seas_den
+          FROM v
         """,
     }
     # the *_auto dispatcher rows are DEFINED to be row-identical to
