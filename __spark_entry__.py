@@ -2178,7 +2178,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      row yet and rely on the local cross-check + pytest until a
     #      future window reaches them.
     # All 125 were additionally cross-checked green against DuckDB at
-    # BOTH sf0.01 and sf0.1 this round (scripts/check_contract.py).
+    # BOTH sf0.01 and sf0.1 this round (scripts/check_contract.py);
+    # the 5 second-batch additions (stats_spearman,
+    # events_winsorized_daily, events_mann_kendall,
+    # interval_coverage_1d, events_decompose_24h) likewise at both SFs
+    # on landing, appended at the very end per the same contract.
     return {
         # -- r3-green rows rotated into the round-5 window (slots 1-42) ----
         "forward_fill_1h": _q_forward_fill_1h,

@@ -464,3 +464,20 @@ def test_coverage_partition_invariant_random(spark):
             # brute force; exclude them from island comparison by
             # construction (e > s only when rng > 0) — compare loosely
             assert out[k]["n_islands"] >= 1
+
+
+def test_coverage_plan_single_exchange(spark):
+    """The island window, the island groupBy, and the key groupBy all
+    share ONE Exchange on the key prefix — the sort-once shape the
+    operator docstring promises."""
+    from smos_spark.operators.interval import interval_coverage
+
+    rows = [("k", "2024-01-01 10:00:00", "2024-01-01 11:00:00")]
+    plan = (
+        interval_coverage(_iv_df(spark, rows), ["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_exchange = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exchange <= 1, plan

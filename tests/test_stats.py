@@ -299,3 +299,18 @@ def test_winsorized_validates_pcts(spark):
     df = spark.createDataFrame([("g", 1)], "g string, v long")
     with pytest.raises(ValueError):
         winsorized_stats(df, "v", ["g"], lo_pct=60, hi_pct=40)
+
+
+def test_spearman_and_winsorized_plan_single_exchange(spark, pairs):
+    """Rank windows (x and y), tie-count windows, and the final
+    Pearson aggregation reuse ONE Exchange on the group key; same for
+    winsorized's row_number + pick windows + aggregation."""
+    from smos_spark.operators.stats import grouped_spearman, winsorized_stats
+
+    for df in (
+        grouped_spearman(pairs, "x", "y", ["g"]),
+        winsorized_stats(pairs, "x", ["g"]),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_exchange = plan.count("Exchange") - plan.count("ReusedExchange")
+        assert n_exchange <= 1, plan
