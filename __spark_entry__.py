@@ -2139,6 +2139,19 @@ def _q_events_decompose_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classical_decompose(ev, "value", ["user_id"])
 
 
+def _q_events_seasonal_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted hourly series per user: the decomposition
+    remainder (detrended minus per-phase seasonal index) as an EXACT
+    int64 rational — the standard published-series product, and the
+    decomposition-based anomaly score (rank by |rem_num|/rem_den)."""
+    from smos_spark.operators.anomaly import seasonal_adjust
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "value"
+    )
+    return seasonal_adjust(ev, "value", ["user_id"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _with_dist(fn)
@@ -2319,6 +2332,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mann_kendall": _q_events_mann_kendall,
         "interval_coverage_1d": _q_interval_coverage_1d,
         "events_decompose_24h": _q_events_decompose_24h,
+        "events_seasonal_adjusted": _q_events_seasonal_adjusted,
     }
 
 
@@ -4919,6 +4933,48 @@ def oracle_sql() -> dict[str, str]:
             CAST(count(*) OVER (PARTITION BY user_id, phase) AS BIGINT)
               AS seas_den
           FROM v
+        """,
+        # seasonally-adjusted remainder: one cross-multiplication over
+        # the decompose CTE (rem = (d2p*den - num) / (48*den))
+        "events_seasonal_adjusted": """
+          WITH hb AS (
+            SELECT user_id, epoch_us(ts) // 3600000000 AS b,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1, 2
+          ), sp AS (
+            SELECT user_id, min(b) AS b0, max(b) AS b1 FROM hb GROUP BY 1
+          ), g AS (
+            SELECT user_id, unnest(generate_series(b0, b1)) AS b FROM sp
+          ), d AS (
+            SELECT g.user_id, g.b, coalesce(hb.y, 0) AS y
+            FROM g LEFT JOIN hb ON g.user_id = hb.user_id AND g.b = hb.b
+          ), w AS (
+            SELECT user_id, b, y,
+              2 * sum(y) OVER fr
+                - lag(y, 12) OVER wo
+                - lead(y, 12) OVER wo AS t2p,
+              count(*) OVER fr AS nwin
+            FROM d
+            WINDOW wo AS (PARTITION BY user_id ORDER BY b),
+                   fr AS (PARTITION BY user_id ORDER BY b
+                          ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+          ), v AS (
+            SELECT user_id, b, y, t2p, 48 * y - t2p AS d2p,
+                   b % 24 AS phase
+            FROM w WHERE t2p IS NOT NULL AND nwin = 25
+          ), s AS (
+            SELECT user_id, b, y, t2p, d2p,
+              sum(d2p) OVER (PARTITION BY user_id, phase) AS snum,
+              count(*) OVER (PARTITION BY user_id, phase) AS sden
+            FROM v
+          )
+          SELECT user_id, make_timestamp(b * 3600000000) AS bucket_start,
+            y AS y_cents,
+            CAST(t2p AS BIGINT) AS trend_x2p,
+            CAST(d2p * sden - snum AS BIGINT) AS rem_num,
+            CAST(48 * sden AS BIGINT) AS rem_den
+          FROM s
         """,
     }
     # the *_auto dispatcher rows are DEFINED to be row-identical to

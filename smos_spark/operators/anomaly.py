@@ -68,6 +68,7 @@ __all__ = [
     "mann_kendall",
     "mad_outliers",
     "classical_decompose",
+    "seasonal_adjust",
 ]
 
 _DEC = "decimal(38,0)"
@@ -934,4 +935,45 @@ def classical_decompose(
         F.col("_d2p").alias("detr_x2p"),
         F.sum("_d2p").over(wp).alias("seas_num"),
         F.count(F.lit(1)).over(wp).alias("seas_den"),
+    )
+
+
+def seasonal_adjust(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    period: int = 24,
+    width_sec: int = 3600,
+    cents: int = 100,
+) -> DataFrame:
+    """Seasonally-adjusted remainder series on top of
+    `classical_decompose` — THE standard decomposition product (what
+    "seasonally adjusted" means in every published economic series):
+    remainder = detrended − seasonal index, emitted as the EXACT
+    rational
+
+        rem = (detr_x2p·seas_den − seas_num) / (2·period·seas_den)
+
+    (numerator/denominator int64 — detr_x2p is already ×2·period and
+    the seasonal index is the phase mean seas_num/seas_den at the same
+    scale, so one cross-multiplication clears both). A caller ranks
+    anomalies by |rem_num|/rem_den or compares rem against a threshold
+    by cross-multiplying — never a float.
+
+    Same plan as classical_decompose plus one projection (no extra
+    shuffle). Output: group cols, bucket_start, y_cents, trend_x2p,
+    rem_num, rem_den.
+    """
+    dec = classical_decompose(
+        df, value_col, group_cols,
+        ts_col=ts_col, period=period, width_sec=width_sec, cents=cents,
+    )
+    rem_num = (
+        F.col("detr_x2p") * F.col("seas_den") - F.col("seas_num")
+    ).alias("rem_num")
+    rem_den = (F.lit(2 * period) * F.col("seas_den")).alias("rem_den")
+    return dec.select(
+        *group_cols, "bucket_start", "y_cents", "trend_x2p",
+        rem_num, rem_den,
     )

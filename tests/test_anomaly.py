@@ -761,3 +761,50 @@ def test_classical_decompose_validates_period(spark):
     df = spark.createDataFrame([("g", 1.0, "2024-01-01")], "g string, v double, ts string")
     with pytest.raises(ValueError):
         classical_decompose(df, "v", ["g"], period=7)  # odd
+
+
+def test_seasonal_adjust_planted_remainder_zero(spark):
+    from smos_spark.operators.anomaly import seasonal_adjust
+
+    n = 240
+    seas = [500 if h % 2 == 0 else -500 for h in range(n)]
+    rows = [
+        ("g", float(1000 + 10 * h + seas[h]),
+         1_700_000_000 - 1_700_000_000 % 3600 + h * 3600)
+        for h in range(n)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, e long").select(
+        "g", "v", F.timestamp_seconds("e").alias("ts")
+    )
+    out = seasonal_adjust(df, "v", ["g"], cents=1).collect()
+    assert len(out) == n - 24
+    # planted trend+seasonal decompose exactly → remainder exactly 0
+    assert all(r["rem_num"] == 0 for r in out)
+    # 216 inner rows / 24 phases = 9 buckets per phase → den = 48·9
+    assert all(r["rem_den"] == 48 * 9 for r in out)
+
+
+def test_seasonal_adjust_identity_vs_decompose(spark):
+    import numpy as np
+
+    from smos_spark.operators.anomaly import classical_decompose, seasonal_adjust
+
+    rng = np.random.default_rng(9)
+    rows = [
+        ("g", float(rng.integers(0, 1000)), 1_700_000_000 + h * 1800)
+        for h in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, e long").select(
+        "g", "v", F.timestamp_seconds("e").alias("ts")
+    )
+    dec = {
+        r["bucket_start"]: r
+        for r in classical_decompose(df, "v", ["g"]).collect()
+    }
+    adj = seasonal_adjust(df, "v", ["g"]).collect()
+    assert len(adj) == len(dec)
+    for r in adj:
+        d = dec[r["bucket_start"]]
+        assert r["rem_num"] == d["detr_x2p"] * d["seas_den"] - d["seas_num"]
+        assert r["rem_den"] == 48 * d["seas_den"]
+        assert r["trend_x2p"] == d["trend_x2p"]
