@@ -2152,6 +2152,62 @@ def _q_events_seasonal_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_adjust(ev, "value", ["user_id"])
 
 
+def _q_events_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) maximum drawdown of the cent-quantized value
+    series: worst peak-to-trough drop, with the running peak, trough
+    value and the FIRST timestamp attaining it (deterministic
+    (dd DESC, ts, event_id) pick) — all int64."""
+    from smos_spark.operators.stats import max_drawdown
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return max_drawdown(ev, "v", ["user_id", "day"], tie_cols=["event_id"])
+
+
+def _q_events_streaks_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) longest strictly-increasing run of values in
+    (ts, event_id) order — gaps-and-islands on the first difference,
+    exact integer comparisons only."""
+    from smos_spark.operators.stats import longest_streak
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return longest_streak(ev, "v", ["user_id", "day"], tie_cols=["event_id"])
+
+
+def _q_events_gini_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily traffic concentration across users: Gini (exact int64
+    rational) and HHI (ppm, one double chain) of per-user daily
+    positive cent totals — 'is today's volume dominated by a few hot
+    accounts', the capacity-planning skew gauge."""
+    from smos_spark.operators.stats import concentration
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    totals = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("user_id"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("v")
+    )
+    return concentration(totals, "v", ["day"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _with_dist(fn)
@@ -2333,6 +2389,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_coverage_1d": _q_interval_coverage_1d,
         "events_decompose_24h": _q_events_decompose_24h,
         "events_seasonal_adjusted": _q_events_seasonal_adjusted,
+        "events_drawdown_daily": _q_events_drawdown_daily,
+        "events_streaks_daily": _q_events_streaks_daily,
+        "events_gini_daily": _q_events_gini_daily,
     }
 
 
@@ -4975,6 +5034,88 @@ def oracle_sql() -> dict[str, str]:
             CAST(d2p * sden - snum AS BIGINT) AS rem_num,
             CAST(48 * sden AS BIGINT) AS rem_den
           FROM s
+        """,
+        # max drawdown: running-max window, deterministic first-attain
+        # pick (dd DESC, ts, event_id)
+        "events_drawdown_daily": """
+          WITH p AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   ts, event_id,
+                   CAST(floor(value * 100) AS BIGINT) AS v
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          ), c AS (
+            SELECT user_id, day, ts, event_id, v,
+              max(v) OVER (PARTITION BY user_id, day ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+            FROM p
+          ), d AS (
+            SELECT user_id, day, ts, v, peak, peak - v AS dd,
+              row_number() OVER (PARTITION BY user_id, day
+                ORDER BY peak - v DESC, ts, event_id) AS rn
+            FROM c
+          )
+          SELECT user_id, day,
+            CAST(dd AS BIGINT) AS max_drawdown,
+            peak AS peak_at_trough, v AS trough, ts AS trough_ts
+          FROM d WHERE rn = 1
+        """,
+        # longest strictly-increasing run: lag-flag islands
+        "events_streaks_daily": """
+          WITH p AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   ts, event_id,
+                   CAST(floor(value * 100) AS BIGINT) AS v
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          ), f AS (
+            SELECT user_id, day, ts, event_id, v,
+              CASE WHEN lag(v) OVER w IS NULL
+                     OR NOT (v > lag(v) OVER w) THEN 1 ELSE 0 END AS brk
+            FROM p
+            WINDOW w AS (PARTITION BY user_id, day ORDER BY ts, event_id)
+          ), r AS (
+            SELECT user_id, day,
+              sum(brk) OVER (PARTITION BY user_id, day
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+            FROM f
+          ), runs AS (
+            SELECT user_id, day, run, count(*) AS len FROM r GROUP BY 1,2,3
+          )
+          SELECT user_id, day,
+            CAST(sum(len) AS BIGINT) AS n_samples,
+            CAST(max(len) AS BIGINT) AS longest_streak,
+            CAST(count(*) AS BIGINT) AS n_streaks
+          FROM runs GROUP BY 1, 2
+        """,
+        # daily concentration: Gini rational + HHI ppm over per-user
+        # positive cent totals
+        "events_gini_daily": """
+          WITH t AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   user_id,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                     AS v
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1, 2
+          ), k AS (
+            SELECT day, v,
+              row_number() OVER (PARTITION BY day ORDER BY v) AS i
+            FROM t WHERE v >= 0
+          ), a AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(v) AS BIGINT) AS sx,
+              CAST(sum(i * v) AS BIGINT) AS six,
+              CAST(sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS HUGEINT)
+                AS sxx
+            FROM k GROUP BY 1
+          )
+          SELECT day, n, sx AS total,
+            CAST(2 * six - (n + 1) * sx AS BIGINT) AS gini_num,
+            CAST(n * sx AS BIGINT) AS gini_den,
+            CAST(floor(sxx::DOUBLE
+              / (CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT))::DOUBLE
+              * 1000000) AS BIGINT) AS hhi_ppm
+          FROM a WHERE sx > 0
         """,
     }
     # the *_auto dispatcher rows are DEFINED to be row-identical to

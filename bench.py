@@ -484,6 +484,69 @@ def main() -> None:
         )
         _force(interval_concurrency(iv, width_sec=3600.0, closed=True))
 
+    def q_robust_stats():
+        # round-5 second batch: Spearman (1 Exchange, 4 in-partition
+        # sorts), winsorized means (1 Exchange), Mann-Kendall on the
+        # bounded (user, day) pair join
+        from smos_spark.operators.anomaly import mann_kendall
+        from smos_spark.operators.stats import (
+            grouped_spearman,
+            winsorized_stats,
+        )
+
+        evf = spark.read.parquet(f"{sf_dir}/events.parquet")
+        pairs = evf.where(
+            F.col("props").isNotNull() & F.col("value").isNotNull()
+        ).select(
+            F.col("user_id"),
+            F.length("props").cast("long").alias("x"),
+            F.floor(F.col("value") * 100).cast("long").alias("y"),
+        )
+        _force(grouped_spearman(pairs, "x", "y", ["user_id"]))
+        daily = evf.where(
+            F.col("ts").isNotNull() & F.col("value").isNotNull()
+        ).select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("v"),
+        )
+        _force(winsorized_stats(daily, "v", ["user_id", "day"]))
+        _force(
+            mann_kendall(
+                evf.withColumn("day", F.date_trunc("day", F.col("ts"))),
+                "value",
+                ["user_id", "day"],
+                epoch="2024-01-01",
+                x_unit_s=60,
+            )
+        )
+
+    def q_decompose():
+        # classical decomposition + seasonally-adjusted remainder:
+        # dense per-user hourly grid (sequence explode), 2x24 CMA
+        # window, phase-partition seasonal window — 3 Exchanges, the
+        # largest window table in the suite (users x ~700 buckets)
+        from smos_spark.operators.anomaly import seasonal_adjust
+        from smos_spark.operators.interval import interval_coverage
+
+        evf = spark.read.parquet(f"{sf_dir}/events.parquet")
+        _force(seasonal_adjust(evf, "value", ["user_id"]))
+        dur_s = F.pmod(
+            F.floor(F.col("value") * 100).cast("long"), F.lit(3600)
+        ) + F.lit(60)
+        iv = evf.where(
+            F.col("ts").isNotNull() & F.col("value").isNotNull()
+        ).select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("ts").alias("start_ts"),
+            F.timestamp_micros(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                + dur_s * F.lit(1_000_000)
+            ).alias("end_ts"),
+        )
+        _force(interval_coverage(iv, ["user_id", "day"]))
+
     queries = {
         "sessionize": q_sessionize,
         "rollup_cascade": q_rollup_cascade,
@@ -516,6 +579,8 @@ def main() -> None:
         "paa_sax": q_paa_sax,
         "lttb": q_lttb,
         "alerting": q_alerting,
+        "robust_stats": q_robust_stats,
+        "decompose": q_decompose,
     }
 
     # one-time setup for the tiered-read entry: persist the tier

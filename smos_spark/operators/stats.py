@@ -31,11 +31,14 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "autocorrelation",
+    "concentration",
     "grouped_pearson",
     "grouped_spearman",
     "histogram",
     "hourly_profile",
     "lagged_crosscorr",
+    "longest_streak",
+    "max_drawdown",
     "winsorized_stats",
 ]
 
@@ -398,3 +401,169 @@ def winsorized_stats(
         * 1_000_000
     ).cast("long")
     return agg.withColumn("winsor_mean_ppm", mean_ppm)
+
+
+def max_drawdown(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group maximum drawdown: the largest peak-to-trough drop of
+    an INTEGER series in time order — max_t(cummax_{≤t}(v) − v_t), the
+    standard worst-regression statistic for any monitored gauge
+    (success rates, throughput, account balances). Also emits the
+    running peak (max), the trough value at the worst drop, and the
+    drop's timestamp — the first time the maximum drawdown is attained
+    (earliest ts, then tie columns, a deterministic pick in both
+    engines).
+
+    All arithmetic is int64: one cumulative-max window over the
+    (ts, *ties) order, a subtraction, then one ordered pick via
+    row_number over (drawdown DESC, ts ASC, ties ASC). Groups are the
+    usual bounded (key, calendar unit); two window frames and the
+    final filter share ONE Exchange.
+
+    Input must already be integer-quantized (floor(v·cents))."""
+    from pyspark.sql.window import Window
+
+    ties = list(tie_cols or [])
+    v = F.col(value_col).cast("long")
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(*group_cols, F.col(ts_col), *[F.col(t) for t in ties], v.alias("_v"))
+    wo = Window.partitionBy(*group_cols).orderBy(
+        F.col(ts_col), *[F.col(t) for t in ties]
+    )
+    peaked = base.withColumn(
+        "_peak",
+        F.max("_v").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("_dd", F.col("_peak") - F.col("_v"))
+    pick = Window.partitionBy(*group_cols).orderBy(
+        F.col("_dd").desc(),
+        F.col(ts_col),
+        *[F.col(t) for t in ties],
+    )
+    return (
+        peaked.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select(
+            *group_cols,
+            F.col("_dd").alias("max_drawdown"),
+            F.col("_peak").alias("peak_at_trough"),
+            F.col("_v").alias("trough"),
+            F.col(ts_col).alias("trough_ts"),
+        )
+    )
+
+
+def longest_streak(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    tie_cols: list[str] | None = None,
+    direction: str = "up",
+    strict: bool = True,
+) -> DataFrame:
+    """Per-group longest monotonic run: the maximum number of
+    CONSECUTIVE samples (time order) whose integer values keep
+    rising (direction="up") or falling ("down"); strict=False allows
+    plateaus to extend a run. Gaps-and-islands on the sign of the
+    first difference — a lag window flags run breaks, a running sum
+    numbers the runs, and two bounded aggregations count them.
+
+    Output per group: n_samples, longest_streak (run LENGTH in
+    samples; a single sample is a run of 1), n_streaks (number of
+    maximal runs). Everything is int64 comparisons — exact in both
+    engines. One Exchange feeds the lag window, the island window,
+    and both aggregations (bounded-group contract, as everywhere).
+    """
+    from pyspark.sql.window import Window
+
+    if direction not in ("up", "down"):
+        raise ValueError(f"direction must be up|down, got {direction!r}")
+    ties = list(tie_cols or [])
+    v = F.col(value_col).cast("long")
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(*group_cols, F.col(ts_col), *[F.col(t) for t in ties], v.alias("_v"))
+    wo = Window.partitionBy(*group_cols).orderBy(
+        F.col(ts_col), *[F.col(t) for t in ties]
+    )
+    prev = F.lag("_v").over(wo)
+    if direction == "up":
+        keeps = (F.col("_v") > prev) if strict else (F.col("_v") >= prev)
+    else:
+        keeps = (F.col("_v") < prev) if strict else (F.col("_v") <= prev)
+    breaks = F.when(prev.isNull() | ~keeps, F.lit(1)).otherwise(F.lit(0))
+    runs = base.withColumn("_brk", breaks).withColumn(
+        "_run",
+        F.sum("_brk").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_run = runs.groupBy(*group_cols, "_run").agg(
+        F.count(F.lit(1)).alias("_len")
+    )
+    return per_run.groupBy(*group_cols).agg(
+        F.sum("_len").alias("n_samples"),
+        F.max("_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+def concentration(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Concentration of a non-negative INTEGER measure across the rows
+    of each group — two standard inequality indices, both emitted as
+    exact int64 rationals (numerator, denominator) so the contract
+    never touches a float:
+
+    * Gini (population form, ascending sort, ties broken arbitrarily —
+      the index value is tie-invariant because equal values contribute
+      symmetric rank sums):
+          gini = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)
+      emitted as the exact int64 rational (gini_num, gini_den);
+    * Herfindahl–Hirschman index  HHI = Σ x_i² / (Σx)², emitted as
+      floor(HHI·1e6) — no sort needed, pure map-side integer sums
+      (decimal(38,0) for the squares), ONE double division chain
+      (grouped_pearson's documented fixed-point discipline).
+
+    Rows with NULL or negative values are excluded (shares are
+    undefined); groups whose total is 0 are dropped. The Gini rank
+    products i·x stay int64 under the bounded-group contract
+    (i ≤ per-unit n). Plan: one Exchange for the rank window (Gini
+    needs the sorted prefix products), aggregations reuse it.
+    """
+    from pyspark.sql.window import Window
+
+    group_cols = list(group_cols or [])
+    v = F.col(value_col).cast("long")
+    base = df.where(F.col(value_col).isNotNull() & (v >= 0)).select(
+        *group_cols, v.alias("_v")
+    )
+    wo = Window.partitionBy(*group_cols).orderBy("_v")
+    ranked = base.withColumn("_i", F.row_number().over(wo))
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_v").alias("_sx"),
+        F.sum(F.col("_i") * F.col("_v")).alias("_six"),
+        F.sum(F.col("_v").cast(_DEC) * F.col("_v").cast(_DEC)).alias("_sxx"),
+    )
+    gini_num = F.lit(2) * F.col("_six") - (F.col("n") + 1) * F.col("_sx")
+    gini_den = F.col("n") * F.col("_sx")
+    hhi_den = F.col("_sx").cast(_DEC) * F.col("_sx").cast(_DEC)
+    hhi_ppm = F.floor(
+        F.col("_sxx").cast("double") / hhi_den.cast("double") * 1_000_000
+    ).cast("long")
+    return agg.where(F.col("_sx") > 0).select(
+        *group_cols,
+        F.col("n"),
+        F.col("_sx").alias("total"),
+        gini_num.cast("long").alias("gini_num"),
+        gini_den.cast("long").alias("gini_den"),
+        hhi_ppm.alias("hhi_ppm"),
+    )

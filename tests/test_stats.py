@@ -314,3 +314,157 @@ def test_spearman_and_winsorized_plan_single_exchange(spark, pairs):
         plan = df._jdf.queryExecution().executedPlan().toString()
         n_exchange = plan.count("Exchange") - plan.count("ReusedExchange")
         assert n_exchange <= 1, plan
+
+
+# ------------------------------------------------------------- drawdown
+def test_max_drawdown_known_series(spark):
+    import datetime as dt
+
+    from smos_spark.operators.stats import max_drawdown
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [100, 120, 90, 110, 60, 80, 130, 70]
+    # peaks:  100 120 120 120 120 120 130 130
+    # dd:       0   0  30  10  60  40   0  60  → max 60, FIRST at idx 4
+    df = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(minutes=i), i, v) for i, v in enumerate(vals)],
+        "g string, ts timestamp, i long, v long",
+    )
+    r = max_drawdown(df, "v", ["g"], tie_cols=["i"]).collect()[0]
+    assert r["max_drawdown"] == 60
+    assert r["peak_at_trough"] == 120 and r["trough"] == 60
+    assert r["trough_ts"] == t0 + dt.timedelta(minutes=4)
+
+
+def test_max_drawdown_monotone_rise_is_zero(spark):
+    import datetime as dt
+
+    from smos_spark.operators.stats import max_drawdown
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(minutes=i), i, 10 * i) for i in range(6)],
+        "g string, ts timestamp, i long, v long",
+    )
+    r = max_drawdown(df, "v", ["g"], tie_cols=["i"]).collect()[0]
+    # zero drawdown attained first at the very first sample
+    assert r["max_drawdown"] == 0 and r["trough_ts"] == t0
+
+
+def test_max_drawdown_matches_bruteforce(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from smos_spark.operators.stats import max_drawdown
+
+    rng = np.random.default_rng(31)
+    t0 = dt.datetime(2024, 1, 1)
+    rows, expect = [], {}
+    for g in ("a", "b"):
+        vals = rng.integers(-1000, 1000, 150)
+        peaks = np.maximum.accumulate(vals)
+        dd = peaks - vals
+        expect[g] = int(dd.max())
+        rows += [
+            (g, t0 + dt.timedelta(seconds=int(i)), int(i), int(v))
+            for i, v in enumerate(vals)
+        ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, i long, v long")
+    out = {r["g"]: r for r in max_drawdown(df, "v", ["g"], tie_cols=["i"]).collect()}
+    for g, e in expect.items():
+        assert out[g]["max_drawdown"] == e, g
+
+
+# --------------------------------------------------------------- streaks
+def test_longest_streak_directions_and_strictness(spark):
+    import datetime as dt
+
+    from smos_spark.operators.stats import longest_streak
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [1, 2, 3, 3, 4, 2, 5, 6, 7, 8, 1]
+    df = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(minutes=i), i, v) for i, v in enumerate(vals)],
+        "g string, ts timestamp, i long, v long",
+    )
+    up_strict = longest_streak(df, "v", ["g"], tie_cols=["i"]).collect()[0]
+    # strict runs: [1,2,3],[3,4],[2,5,6,7,8],[1] → longest 5
+    assert up_strict["longest_streak"] == 5
+    assert up_strict["n_samples"] == 11 and up_strict["n_streaks"] == 4
+    up_loose = longest_streak(
+        df, "v", ["g"], tie_cols=["i"], strict=False
+    ).collect()[0]
+    # plateaus extend: [1,2,3,3,4] → 5; [2,5,6,7,8] → 5
+    assert up_loose["longest_streak"] == 5 and up_loose["n_streaks"] == 3
+    down = longest_streak(
+        df, "v", ["g"], tie_cols=["i"], direction="down"
+    ).collect()[0]
+    # falls: [4,2],[8,1] → 2
+    assert down["longest_streak"] == 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        longest_streak(df, "v", ["g"], direction="sideways")
+
+
+def test_longest_streak_single_sample(spark):
+    import datetime as dt
+
+    from smos_spark.operators.stats import longest_streak
+
+    df = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1), 0, 5)],
+        "g string, ts timestamp, i long, v long",
+    )
+    r = longest_streak(df, "v", ["g"], tie_cols=["i"]).collect()[0]
+    assert (r["n_samples"], r["longest_streak"], r["n_streaks"]) == (1, 1, 1)
+
+
+# ---------------------------------------------------------- concentration
+def test_concentration_known_answers(spark):
+    from smos_spark.operators.stats import concentration
+
+    # perfectly equal: gini = 0; single owner: gini = (n-1)/n
+    rows = [("eq", 10)] * 4 + [("one", 0), ("one", 0), ("one", 0), ("one", 100)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in concentration(df, "v", ["g"]).collect()}
+    eq = out["eq"]
+    assert eq["gini_num"] == 0
+    # HHI equal over 4: 4·100/1600 = 0.25
+    assert eq["hhi_ppm"] == 250_000
+    one = out["one"]
+    # gini: (2·(1·0+2·0+3·0+4·100) − 5·100) / (4·100) = 300/400
+    assert (one["gini_num"], one["gini_den"]) == (300, 400)
+    assert one["hhi_ppm"] == 1_000_000
+
+
+def test_concentration_matches_bruteforce(spark):
+    import numpy as np
+
+    from smos_spark.operators.stats import concentration
+
+    rng = np.random.default_rng(41)
+    vals = rng.integers(0, 10_000, 200)
+    df = spark.createDataFrame([("g", int(v)) for v in vals], "g string, v long")
+    r = concentration(df, "v", ["g"]).collect()[0]
+    s = np.sort(vals)
+    n = len(s)
+    gini = (2 * np.sum((np.arange(1, n + 1) * s).astype(object))
+            - (n + 1) * int(s.sum())) / (n * int(s.sum()))
+    assert abs(r["gini_num"] / r["gini_den"] - gini) < 1e-12
+    hhi = float(np.sum(s.astype(object) ** 2)) / float(int(s.sum())) ** 2
+    assert r["hhi_ppm"] == int(np.floor(hhi * 1e6))
+    assert r["n"] == n and r["total"] == int(s.sum())
+
+
+def test_concentration_excludes_negative_and_empty_total(spark):
+    from smos_spark.operators.stats import concentration
+
+    df = spark.createDataFrame(
+        [("neg", -5), ("neg", 10), ("zero", 0), ("zero", 0)],
+        "g string, v long",
+    )
+    out = {r["g"]: r for r in concentration(df, "v", ["g"]).collect()}
+    assert out["neg"]["n"] == 1 and out["neg"]["total"] == 10
+    assert "zero" not in out  # total 0 → dropped
