@@ -2208,6 +2208,24 @@ def _q_events_gini_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration(totals, "v", ["day"])
 
 
+def _q_events_drawdown_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-drawdown pages per user: a row whenever the running
+    peak-to-trough drop reaches 10.00 AND strictly exceeds every
+    earlier drop — max_drawdown's paging form (equal-depth re-visits
+    stay silent). One Exchange, two cumulative frames, all int64."""
+    from smos_spark.operators.alerting import drawdown_alerts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return drawdown_alerts(
+        ev, "v", threshold=1000, key_cols=("user_id",), tie_cols=("event_id",)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _with_dist(fn)
@@ -2392,6 +2410,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_drawdown_daily": _q_events_drawdown_daily,
         "events_streaks_daily": _q_events_streaks_daily,
         "events_gini_daily": _q_events_gini_daily,
+        "events_drawdown_alerts": _q_events_drawdown_alerts,
     }
 
 
@@ -5116,6 +5135,29 @@ def oracle_sql() -> dict[str, str]:
               / (CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT))::DOUBLE
               * 1000000) AS BIGINT) AS hhi_ppm
           FROM a WHERE sx > 0
+        """,        # record-drawdown pages: dd >= thr AND dd strictly above every
+        # earlier dd (running-max over the PRECEDING frame, seed -1)
+        "events_drawdown_alerts": """
+          WITH p AS (
+            SELECT user_id, ts, event_id,
+                   CAST(floor(value * 100) AS BIGINT) AS v
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          ), c AS (
+            SELECT user_id, ts, event_id, v,
+              max(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+            FROM p
+          ), d AS (
+            SELECT user_id, ts, v, peak, peak - v AS dd,
+              coalesce(max(peak - v) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                AS prev
+            FROM c
+          )
+          SELECT user_id, ts, v AS value, peak,
+                 CAST(dd AS BIGINT) AS drawdown
+          FROM d WHERE dd >= 1000 AND dd > prev
         """,
     }
     # the *_auto dispatcher rows are DEFINED to be row-identical to

@@ -60,6 +60,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = [
+    "drawdown_alerts",
+    "drawdown_alerts_stream",
     "hysteresis_alerts",
     "hysteresis_stream",
     "threshold_hold_alerts",
@@ -399,6 +401,164 @@ def threshold_hold_stream(
         out["cond"] = cond[mask].astype(np.int32)
         out["firing"] = firing[mask].astype(np.int32)
         out["event"] = np.where(firing[mask] == 1, "fire", "resolve")
+        return iter([out])
+
+    return (
+        src.withWatermark(ts_col, watermark)
+        .withColumn("_ts_us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def drawdown_alerts(
+    df: DataFrame,
+    value_col: str,
+    threshold: int,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    tie_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Record-drawdown alerting per key: emit a row every time the
+    running drawdown (peak-so-far − value, stats.max_drawdown's gauge)
+    reaches at least ``threshold`` AND strictly exceeds every earlier
+    drawdown of the key — "this regression is the worst we have ever
+    seen", the paging form of the batch summary statistic (equal-depth
+    re-visits do NOT re-page; only a NEW record does).
+
+    Input values must already be integer-quantized; ``threshold`` is
+    in the same integer units and must be positive. Output: key cols,
+    ts, value, peak, drawdown — exact int64 throughout. Two cumulative
+    window frames (running max of v; running max of dd over the
+    PRECEDING rows) over one ordered partition: a single Exchange, all
+    codegen.
+    """
+    if threshold <= 0:
+        raise ValueError("threshold must be a positive integer")
+    keys = list(key_cols)
+    ties = list(tie_cols)
+    v = F.col(value_col).cast("long")
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col), *[F.col(t) for t in ties]
+    )
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(*keys, F.col(ts_col), *[F.col(t) for t in ties], v.alias("_v"))
+    peaked = base.withColumn(
+        "_peak", F.max("_v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("_dd", F.col("_peak") - F.col("_v"))
+    prev_record = F.max("_dd").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        peaked.withColumn("_prev", F.coalesce(prev_record, F.lit(-1)))
+        .where(
+            (F.col("_dd") >= F.lit(int(threshold)))
+            & (F.col("_dd") > F.col("_prev"))
+        )
+        .select(
+            *keys,
+            F.col(ts_col),
+            F.col("_v").alias("value"),
+            F.col("_peak").alias("peak"),
+            F.col("_dd").alias("drawdown"),
+        )
+    )
+
+
+def drawdown_alerts_stream(
+    stream: DataFrame,
+    value_col: str,
+    threshold: int,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    tie_cols: Sequence[str] = ("event_id",),
+    watermark: str = "1 hour",
+):
+    """Structured Streaming twin of `drawdown_alerts` (§2.8 parity).
+
+    A record drawdown is knowable AT its own row — running peak and
+    running record are both carryable scalars — so the streamed alerts
+    equal batch row-for-row with zero emission lag (gap_alerts'
+    class). State per key: (peak, record drawdown, last event-time
+    µs) — 24 bytes, O(1).
+
+    Ordering contract (cusum_stream's): each micro-batch's chunks are
+    concatenated and sorted once by (ts, *ties); rows at or earlier
+    than the key's last processed µs are DROPPED — bound disorder with
+    the source watermark. (A dropped late row cannot retroactively
+    deepen an already-published record.)
+    """
+    if threshold <= 0:
+        raise ValueError("threshold must be a positive integer")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keys = list(key_cols)
+    ties = list(tie_cols)
+    src = stream.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(ts_col).cast("timestamp").alias(ts_col),
+        *[F.col(t) for t in ties],
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    key_fields = [f for f in src.schema.fields if f.name in keys]
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in key_fields)
+        + (", " if key_fields else "")
+        + f"{ts_col} timestamp, value long, peak long, drawdown long"
+    )
+    state_schema = "peak long, record long, last_us long"
+    thr = int(threshold)
+
+    def _fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return iter([])
+        peak0, rec0, lus = state.get if state.exists else (None, -1, None)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return iter([])
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(["_ts_us", *ties], kind="mergesort")
+        if lus is not None:
+            pdf = pdf[pdf["_ts_us"] > lus]
+        if not len(pdf):
+            return iter([])
+        vs = pdf["_v"].to_numpy(dtype=np.int64)
+        seed = np.int64(peak0) if peak0 is not None else vs[0]
+        peak = np.maximum.accumulate(np.maximum(vs, seed))
+        dd = peak - vs
+        # running record BEFORE each row: carried record, then dd prefix
+        prev = np.maximum.accumulate(
+            np.concatenate(([np.int64(rec0)], dd[:-1]))
+        )
+        mask = (dd >= thr) & (dd > prev)
+        us = pdf["_ts_us"].to_numpy(dtype=np.int64)
+        state.update((
+            int(peak[-1]),
+            int(max(rec0, int(dd.max()))),
+            int(us[-1]),
+        ))
+        if not mask.any():
+            return iter([])
+        out = pd.DataFrame({
+            ts_col: pd.to_datetime(us[mask], unit="us"),
+            "value": vs[mask],
+            "peak": peak[mask],
+            "drawdown": dd[mask],
+        })
+        for k in keys:
+            out.insert(0, k, pdf[k].iloc[0])
         return iter([out])
 
     return (

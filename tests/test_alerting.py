@@ -314,3 +314,116 @@ class TestThresholdHold:
             ).collect()
         )
         assert got == want and len(want) > 5
+
+
+class TestDrawdownAlerts:
+    def test_known_record_sequence(self, spark):
+        import datetime as dt
+
+        from smos_spark.operators.alerting import drawdown_alerts
+
+        t0 = dt.datetime(2024, 1, 1)
+        vals = [100, 120, 90, 110, 60, 80, 130, 70, 65]
+        # dd:      0    0  30  10  60  40   0  60  65
+        # records ≥ 20: 30 (idx2), 60 (idx4), 65 (idx8) — the second 60
+        # at idx7 equals the record and must NOT re-alert
+        df = spark.createDataFrame(
+            [("k", t0 + dt.timedelta(minutes=i), i, v)
+             for i, v in enumerate(vals)],
+            "g string, ts timestamp, i long, v long",
+        )
+        out = drawdown_alerts(
+            df, "v", threshold=20, key_cols=("g",), tie_cols=("i",)
+        ).orderBy("ts").collect()
+        assert [(r["drawdown"], r["value"]) for r in out] == [
+            (30, 90), (60, 60), (65, 65)
+        ]
+        assert all(r["peak"] in (120, 130) for r in out)
+
+    def test_threshold_validation(self, spark):
+        import pytest as _pt
+
+        from smos_spark.operators.alerting import drawdown_alerts
+
+        df = spark.createDataFrame([("k", 1)], "g string, v long")
+        with _pt.raises(ValueError):
+            drawdown_alerts(df, "v", threshold=0)
+
+    def test_single_exchange_plan(self, spark):
+        import datetime as dt
+
+        from smos_spark.operators.alerting import drawdown_alerts
+
+        df = spark.createDataFrame(
+            [("k", dt.datetime(2024, 1, 1), 0, 5)],
+            "g string, ts timestamp, i long, v long",
+        )
+        plan = (
+            drawdown_alerts(df, "v", threshold=10, key_cols=("g",),
+                            tie_cols=("i",))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_stream_matches_batch(self, spark, tmp_path):
+        """Streaming record-drawdown alerts across 3 micro-batches ==
+        batch row-for-row — a record is knowable at its own row, so
+        zero emission lag (gap_alerts' class)."""
+        from smos_spark.operators.alerting import (
+            drawdown_alerts,
+            drawdown_alerts_stream,
+        )
+        from smos_spark.synth import synth_transcripts
+
+        turns = (
+            synth_transcripts(spark, n_conv=25, seed=43)
+            .where(F.col("ts").isNotNull() & F.col("text").isNotNull())
+            .select(
+                "conv_id", "ts", "turn_idx",
+                F.length("text").cast("long").alias("v"),
+            )
+            .cache()
+        )
+        thr = 40
+        c1, c2 = turns.selectExpr(
+            "percentile_approx(ts, 0.33) as a",
+            "percentile_approx(ts, 0.66) as b",
+        ).collect()[0]
+        src = str(tmp_path / "src_dd")
+        turns.where(F.col("ts") <= F.lit(c1)).coalesce(1).write.mode(
+            "append").parquet(src)
+        turns.where(
+            (F.col("ts") > F.lit(c1)) & (F.col("ts") <= F.lit(c2))
+        ).coalesce(1).write.mode("append").parquet(src)
+        turns.where(F.col("ts") > F.lit(c2)).coalesce(1).write.mode(
+            "append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(turns.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            drawdown_alerts_stream(
+                stream, "v", threshold=thr, key_cols=("conv_id",),
+                tie_cols=("turn_idx",), watermark="0 seconds",
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dd_stream_t")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r["conv_id"], r["ts"], r["value"], r["peak"], r["drawdown"])
+            for r in spark.table("dd_stream_t").collect()
+        )
+        want = sorted(
+            (r["conv_id"], r["ts"], r["value"], r["peak"], r["drawdown"])
+            for r in drawdown_alerts(
+                turns, "v", threshold=thr, key_cols=("conv_id",),
+                tie_cols=("turn_idx",),
+            ).collect()
+        )
+        assert got == want and len(want) > 10
