@@ -2226,6 +2226,31 @@ def _q_events_drawdown_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_apdex_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Apdex of user→assistant response latency (target T=1h,
+    tolerating ≤ 4T): satisfied/tolerating/frustrated counts, the
+    exact ×2-scaled score, and the conventional floor-ppm — one lag
+    window + one bounded counter aggregation."""
+    from smos_spark.operators.slo import apdex
+
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lagged = t.select(
+        "conv_id",
+        "role",
+        "ts",
+        F.lag("role").over(w).alias("_pr"),
+        (us - F.lag(us).over(w)).alias("_lat"),
+    )
+    pairs = lagged.where(
+        (F.col("_pr") == "user") & (F.col("role") == "assistant")
+    ).select("ts", F.col("_lat").alias("lat_us"))
+    return apdex(
+        pairs, "lat_us", t_us=3_600_000_000, group_cols=[], bucket_sec=86400
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _with_dist(fn)
@@ -2411,6 +2436,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_streaks_daily": _q_events_streaks_daily,
         "events_gini_daily": _q_events_gini_daily,
         "events_drawdown_alerts": _q_events_drawdown_alerts,
+        "apdex_daily": _q_apdex_daily,
     }
 
 
@@ -5158,6 +5184,38 @@ def oracle_sql() -> dict[str, str]:
           SELECT user_id, ts, v AS value, peak,
                  CAST(dd AS BIGINT) AS drawdown
           FROM d WHERE dd >= 1000 AND dd > prev
+        """,        # Apdex (T = 1h, tolerating <= 4T) over user->assistant reply
+        # latencies, daily buckets; x2n keeps the half exact
+        "apdex_daily": _T_CTE
+        + """
+          , lagged AS (
+            SELECT conv_id, role, ts, epoch_us(ts) AS us,
+              lag(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                AS prev_role,
+              lag(epoch_us(ts)) OVER (PARTITION BY conv_id
+                ORDER BY ts, turn_idx) AS prev_us
+            FROM t),
+          pairs AS (
+            SELECT ts, us - prev_us AS lat
+            FROM lagged WHERE prev_role = 'user' AND role = 'assistant'),
+          b AS (
+            SELECT make_timestamp((epoch_us(ts) // 86400000000)
+                     * 86400000000) AS bucket_start,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN lat <= 3600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS satisfied,
+              CAST(sum(CASE WHEN lat > 3600000000
+                             AND lat <= 14400000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tolerating,
+              CAST(sum(CASE WHEN lat > 14400000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS frustrated
+            FROM pairs GROUP BY 1)
+          SELECT bucket_start, n, satisfied, tolerating, frustrated,
+            CAST(2 * satisfied + tolerating AS BIGINT) AS apdex_x2n,
+            CAST(floor((2 * satisfied + tolerating)::DOUBLE
+                       / (2 * n)::DOUBLE * 1000000) AS BIGINT)
+              AS apdex_ppm
+          FROM b
         """,
     }
     # the *_auto dispatcher rows are DEFINED to be row-identical to

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["slo_burn_rate", "slo_stream", "error_budget"]
+__all__ = ["apdex", "slo_burn_rate", "slo_stream", "error_budget"]
 
 _DEC = "decimal(38,0)"
 
@@ -470,3 +470,69 @@ def slo_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def apdex(
+    df: DataFrame,
+    latency_col: str,
+    t_us: int,
+    group_cols: list[str] | None = None,
+    bucket_sec: int | None = 3600,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Apdex score per (group, bucket): the Application Performance
+    Index (public Apdex Alliance spec) — with target threshold T,
+    samples are *satisfied* (latency ≤ T), *tolerating*
+    (T < latency ≤ 4T) or *frustrated* (> 4T), and
+
+        apdex = (satisfied + tolerating/2) / n .
+
+    Kept exact by the ×2 trick: apdex_x2n = 2·satisfied + tolerating
+    over a denominator of 2·n, both int64, emitted alongside the
+    conventional floor-ppm score (ONE double division of two exact
+    ints). ``t_us`` is the target in integer microseconds (> 0);
+    latencies must already be integer µs (e.g. flow.response_latency
+    output). NULL latencies are excluded; negative latencies count as
+    satisfied (≤ T), callers should pre-filter if that is wrong.
+
+    Plan: one map-side-combined aggregation — shuffle carries
+    O(groups·buckets) rows of four int64 counters, never O(input).
+    ``bucket_sec=None`` scores each group's lifetime instead of
+    calendar buckets.
+    """
+    if t_us <= 0:
+        raise ValueError("t_us must be a positive integer (microseconds)")
+    groups = list(group_cols or [])
+    lat = F.col(latency_col).cast("long")
+    base = df.where(lat.isNotNull())
+    keys: list = [*groups]
+    if bucket_sec is not None:
+        if bucket_sec <= 0:
+            raise ValueError("bucket_sec must be positive (or None)")
+        width_us = int(bucket_sec) * 1_000_000
+        us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        b = ((us - F.pmod(us, F.lit(width_us))) / F.lit(width_us)).cast("long")
+        base = base.where(F.col(ts_col).isNotNull()).withColumn(
+            "_bkt", F.timestamp_micros(b * F.lit(width_us))
+        )
+        keys.append("_bkt")
+    sat = F.sum(F.when(lat <= t_us, 1).otherwise(0)).alias("satisfied")
+    tol = F.sum(
+        F.when((lat > t_us) & (lat <= 4 * t_us), 1).otherwise(0)
+    ).alias("tolerating")
+    fru = F.sum(F.when(lat > 4 * t_us, 1).otherwise(0)).alias("frustrated")
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"), sat, tol, fru
+    )
+    x2n = (F.lit(2) * F.col("satisfied") + F.col("tolerating")).alias(
+        "apdex_x2n"
+    )
+    ppm = F.floor(
+        (F.lit(2) * F.col("satisfied") + F.col("tolerating")).cast("double")
+        / (F.lit(2) * F.col("n")).cast("double")
+        * 1_000_000
+    ).cast("long").alias("apdex_ppm")
+    out = agg.select(*keys, "n", "satisfied", "tolerating", "frustrated", x2n, ppm)
+    if bucket_sec is not None:
+        out = out.withColumnRenamed("_bkt", "bucket_start")
+    return out

@@ -239,3 +239,60 @@ class TestSloStream:
         # rows did not re-enter bucket 1's long window
         b1 = rows[min(rows) + 1]
         assert (b1.total, b1.long_total, b1.long_errors) == (1, 3, 1)
+
+
+class TestApdex:
+    def test_known_answer_and_exactness(self, spark):
+        import datetime as dt
+
+        from smos_spark.operators.slo import apdex
+
+        t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+        # T = 1s: sat ≤ 1e6, tol ≤ 4e6, fru > 4e6
+        lats = [500_000, 1_000_000, 1_500_000, 4_000_000, 4_000_001, 9_999_999]
+        df = spark.createDataFrame(
+            [("svc", t0, int(v)) for v in lats],
+            "g string, ts timestamp, lat long",
+        )
+        r = apdex(df, "lat", t_us=1_000_000, group_cols=["g"]).collect()[0]
+        assert (r["satisfied"], r["tolerating"], r["frustrated"]) == (2, 2, 2)
+        assert r["apdex_x2n"] == 6 and r["n"] == 6
+        assert r["apdex_ppm"] == 500_000
+        assert r["bucket_start"] == t0
+
+    def test_lifetime_mode_and_validation(self, spark):
+        import pytest as _pt
+
+        from smos_spark.operators.slo import apdex
+
+        df = spark.createDataFrame(
+            [("a", 100), ("a", 100), (None, None)], "g string, lat long"
+        )
+        out = apdex(df, "lat", t_us=200, group_cols=["g"], bucket_sec=None)
+        r = [x for x in out.collect() if x["g"] == "a"][0]
+        assert r["apdex_ppm"] == 1_000_000 and "bucket_start" not in out.columns
+        with _pt.raises(ValueError):
+            apdex(df, "lat", t_us=0)
+        with _pt.raises(ValueError):
+            apdex(df, "lat", t_us=10, bucket_sec=0)
+
+    def test_partition_invariant(self, spark):
+        import datetime as dt
+
+        import numpy as np
+
+        from smos_spark.operators.slo import apdex
+
+        rng = np.random.default_rng(51)
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("s%d" % (i % 3), t0 + dt.timedelta(seconds=int(i * 97)),
+             int(rng.integers(0, 10_000_000)))
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "g string, ts timestamp, lat long")
+        a = apdex(df, "lat", t_us=1_000_000, group_cols=["g"]).orderBy(
+            "g", "bucket_start").collect()
+        b = apdex(df.repartition(13), "lat", t_us=1_000_000,
+                  group_cols=["g"]).orderBy("g", "bucket_start").collect()
+        assert a == b and len(a) > 3
