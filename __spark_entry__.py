@@ -2251,6 +2251,32 @@ def _q_apdex_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score of document length — the feature-scaling
+    transform of a curation pipeline: exact integer moments broadcast
+    back onto the corpus (zero row-shuffles), one fixed-order double
+    chain per row, ppm floor."""
+    from smos_spark.operators.stats import standardize
+
+    docs = _docs(spark, sf_dir).where(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    ).select("doc_id", "lang", "n_chars")
+    return standardize(docs, "n_chars", ["lang"])
+
+
+def _q_events_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily top-5 movers: the users whose day total changed the most
+    vs their previous active day — |Δ| DESC with a deterministic
+    (Δ DESC, user ASC) tiebreak; lag + rank over the bounded
+    (user, day) counter table only."""
+    from smos_spark.operators.stats import top_movers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", F.floor(F.col("value") * 100).cast("long").alias("v")
+    )
+    return top_movers(ev, "v", "user_id", width_sec=86400, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _with_dist(fn)
@@ -2437,6 +2463,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gini_daily": _q_events_gini_daily,
         "events_drawdown_alerts": _q_events_drawdown_alerts,
         "apdex_daily": _q_apdex_daily,
+        "doc_zscore": _q_doc_zscore,
+        "events_top_movers": _q_events_top_movers,
     }
 
 
@@ -5216,6 +5244,55 @@ def oracle_sql() -> dict[str, str]:
                        / (2 * n)::DOUBLE * 1000000) AS BIGINT)
               AS apdex_ppm
           FROM b
+        """,        # per-language length z-score: exact HUGEINT moments, one
+        # fixed-order double chain (num / sqrt(rad)), ppm floor
+        "doc_zscore": """
+          WITH d AS (
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+          ), m AS (
+            SELECT lang,
+              CAST(count(*) AS HUGEINT) AS zn,
+              CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS zs,
+              CAST(sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+                AS HUGEINT) AS zq
+            FROM d GROUP BY 1
+          )
+          SELECT d.doc_id, d.lang, d.n_chars,
+            CASE WHEN (m.zn * m.zq - m.zs * m.zs) > 0
+                 THEN CAST(floor(
+                   (m.zn * CAST(d.n_chars AS HUGEINT) - m.zs)::DOUBLE
+                   / sqrt((m.zn * m.zq - m.zs * m.zs)::DOUBLE)
+                   * 1000000) AS BIGINT)
+            END AS z_ppm
+          FROM d JOIN m USING (lang)
+        """,
+        # daily top-5 movers vs previous ACTIVE day, deterministic
+        # (|d| DESC, d DESC, key ASC) rank
+        "events_top_movers": """
+          WITH t AS (
+            SELECT user_id AS key,
+              epoch_us(ts) // 86400000000 AS b,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS cur
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1, 2
+          ), l AS (
+            SELECT key, b, cur,
+              lag(cur) OVER (PARTITION BY key ORDER BY b) AS prev
+            FROM t
+          ), d AS (
+            SELECT key, b, cur, prev, cur - prev AS delta,
+              row_number() OVER (PARTITION BY b
+                ORDER BY abs(cur - prev) DESC, cur - prev DESC, key)
+                AS rank
+            FROM l WHERE prev IS NOT NULL
+          )
+          SELECT make_timestamp(b * 86400000000) AS bucket_start,
+                 key, cur, prev, CAST(delta AS BIGINT) AS delta,
+                 CAST(rank AS BIGINT) AS rank
+          FROM d WHERE rank <= 5
         """,
     }
     # the *_auto dispatcher rows are DEFINED to be row-identical to

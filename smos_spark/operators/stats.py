@@ -39,6 +39,8 @@ __all__ = [
     "lagged_crosscorr",
     "longest_streak",
     "max_drawdown",
+    "standardize",
+    "top_movers",
     "winsorized_stats",
 ]
 
@@ -566,4 +568,113 @@ def concentration(
         gini_num.cast("long").alias("gini_num"),
         gini_den.cast("long").alias("gini_den"),
         hhi_ppm.alias("hhi_ppm"),
+    )
+
+
+def standardize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    out_col: str = "z_ppm",
+) -> DataFrame:
+    """Per-row z-score against the row's group (population σ), the
+    standard feature-scaling transform of a training-data pipeline,
+    emitted as floor(z·1e6):
+
+        z = (x − μ)/σ_pop = (n·x − S) / √(n·Q − S²)
+
+    — numerator and radicand are EXACT integer/decimal aggregates
+    (S = Σx, Q = Σx² in decimal(38,0)), so the only floats are the
+    final fixed-order chain (cast → sqrt → divide → floor), bit-equal
+    cross-engine. Rows in constant or single-row groups get NULL
+    (σ = 0). Input must be integer-quantized.
+
+    Plan: one map-side-combined aggregation to O(groups) moment rows,
+    broadcast-joined back onto the stream — the raw side is never
+    shuffled (seasonal_anomaly's zero-row-shuffle shape). All input
+    columns pass through with the score appended.
+    """
+    v = F.col(value_col).cast("long")
+    moments = (
+        df.where(v.isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_zn"),
+            F.sum(v.cast(_DEC)).alias("_zs"),
+            F.sum(v.cast(_DEC) * v.cast(_DEC)).alias("_zq"),
+        )
+    )
+    joined = df.join(F.broadcast(moments), group_cols, "left")
+    num = F.col("_zn").cast(_DEC) * v.cast(_DEC) - F.col("_zs")
+    rad = (
+        F.col("_zn").cast(_DEC) * F.col("_zq")
+        - F.col("_zs") * F.col("_zs")
+    )
+    z = F.when(
+        rad > 0,
+        num.cast("double") / F.sqrt(rad.cast("double")),
+    )
+    return joined.withColumn(
+        out_col, F.floor(z * 1_000_000).cast("long")
+    ).drop("_zn", "_zs", "_zq")
+
+
+def top_movers(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    ts_col: str = "ts",
+    width_sec: int = 86400,
+    k: int = 5,
+) -> DataFrame:
+    """Biggest bucket-over-bucket movers: for every time bucket, the
+    k keys whose total changed the most in absolute terms vs their
+    previous ACTIVE bucket — the "what just spiked/crashed" dashboard
+    panel. Deterministic rank: (|Δ| DESC, Δ DESC, key ASC).
+
+    Δ compares a key's consecutive ACTIVE buckets (lag over the key's
+    own bucket series — a silent bucket is skipped, not zero-filled;
+    callers wanting dense deltas should gap-fill first). All sums and
+    deltas are exact int64; the only per-row work after the bucket
+    reduction is a lag and a rank over the O(keys·buckets) counter
+    table — the raw stream is reduced map-side and never
+    window-sorted.
+
+    Output: bucket_start, key, cur (bucket total), prev, delta, rank.
+    """
+    from pyspark.sql.window import Window
+
+    if width_sec <= 0:
+        raise ValueError("width_sec must be positive")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    width_us = int(width_sec) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    b = ((us - F.pmod(us, F.lit(width_us))) / F.lit(width_us)).cast("long")
+    v = F.col(value_col).cast("long")
+    totals = (
+        df.where(F.col(ts_col).isNotNull() & v.isNotNull())
+        .groupBy(F.col(key_col).alias("key"), b.alias("_b"))
+        .agg(F.sum(v).alias("cur"))
+    )
+    wk = Window.partitionBy("key").orderBy("_b")
+    with_prev = totals.withColumn("prev", F.lag("cur").over(wk)).where(
+        F.col("prev").isNotNull()
+    ).withColumn("delta", F.col("cur") - F.col("prev"))
+    wr = Window.partitionBy("_b").orderBy(
+        F.abs(F.col("delta")).desc(), F.col("delta").desc(), F.col("key")
+    )
+    return (
+        with_prev.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select(
+            F.timestamp_micros(F.col("_b") * F.lit(width_us)).alias(
+                "bucket_start"
+            ),
+            "key",
+            "cur",
+            "prev",
+            "delta",
+            "rank",
+        )
     )

@@ -468,3 +468,90 @@ def test_concentration_excludes_negative_and_empty_total(spark):
     out = {r["g"]: r for r in concentration(df, "v", ["g"]).collect()}
     assert out["neg"]["n"] == 1 and out["neg"]["total"] == 10
     assert "zero" not in out  # total 0 → dropped
+
+
+# ------------------------------------------------------------ standardize
+def test_standardize_matches_numpy(spark):
+    from smos_spark.operators.stats import standardize
+
+    rng = np.random.default_rng(61)
+    vals = rng.integers(-500, 500, 120)
+    df = spark.createDataFrame(
+        [("g", int(i), int(v)) for i, v in enumerate(vals)],
+        "g string, i long, v long",
+    )
+    out = {r["i"]: r["z_ppm"] for r in standardize(df, "v", ["g"]).collect()}
+    mu, sd = vals.mean(), vals.std()  # population sigma
+    for i, v in enumerate(vals):
+        expect = (v - mu) / sd
+        assert abs(out[i] / 1e6 - expect) < 2e-6, i
+
+
+def test_standardize_constant_group_null_and_passthrough(spark):
+    from smos_spark.operators.stats import standardize
+
+    df = spark.createDataFrame(
+        [("c", 1, 7, "x"), ("c", 2, 7, "y"), ("s", 3, 9, "z")],
+        "g string, i long, v long, extra string",
+    )
+    out = standardize(df, "v", ["g"])
+    rows = {r["i"]: r for r in out.collect()}
+    assert rows[1]["z_ppm"] is None and rows[2]["z_ppm"] is None
+    assert rows[3]["z_ppm"] is None  # single-row group
+    assert rows[1]["extra"] == "x"  # passthrough preserved
+    assert set(out.columns) == {"g", "i", "v", "extra", "z_ppm"}
+
+
+def test_standardize_zero_row_shuffle_plan(spark):
+    from smos_spark.operators.stats import standardize
+
+    df = spark.createDataFrame([("g", 1, 1)], "g string, i long, v long")
+    plan = standardize(df, "v", ["g"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+# ------------------------------------------------------------- top movers
+def test_top_movers_known_answer(spark):
+    import datetime as dt
+
+    from smos_spark.operators.stats import top_movers
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # day totals: a: 100, 150, 40 → deltas +50, -110
+    #             b: 10,  200, 190 → deltas +190, -10
+    for d, tot in enumerate([100, 150, 40]):
+        rows.append(("a", t0 + dt.timedelta(days=d), tot))
+    for d, tot in enumerate([10, 200, 190]):
+        rows.append(("b", t0 + dt.timedelta(days=d), tot))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+    out = top_movers(df, "v", "k", width_sec=86400, k=1).orderBy(
+        "bucket_start").collect()
+    # day 1: |+190| (b) beats |+50| (a); day 2: |-110| (a) beats |-10|
+    assert [(r["key"], r["delta"]) for r in out] == [("b", 190), ("a", -110)]
+    assert all(r["rank"] == 1 for r in out)
+
+
+def test_top_movers_skips_silent_buckets_and_ties(spark):
+    import datetime as dt
+
+    from smos_spark.operators.stats import top_movers
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0, 100),
+        ("a", t0 + dt.timedelta(days=3), 130),  # prev ACTIVE day is day 0
+        ("b", t0 + dt.timedelta(days=3), 50),   # no prev → excluded
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+    out = top_movers(df, "v", "k", width_sec=86400, k=5).collect()
+    assert len(out) == 1
+    assert (out[0]["key"], out[0]["prev"], out[0]["delta"]) == ("a", 100, 30)
+    # deterministic tie: equal |delta| and delta → key ascending
+    rows2 = [
+        ("x", t0, 10), ("x", t0 + dt.timedelta(days=1), 20),
+        ("y", t0, 10), ("y", t0 + dt.timedelta(days=1), 20),
+    ]
+    df2 = spark.createDataFrame(rows2, "k string, ts timestamp, v long")
+    out2 = top_movers(df2, "v", "k", width_sec=86400, k=1).collect()
+    assert len(out2) == 1 and out2[0]["key"] == "x"
