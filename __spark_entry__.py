@@ -2320,7 +2320,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 5 second-batch additions (stats_spearman,
     # events_winsorized_daily, events_mann_kendall,
     # interval_coverage_1d, events_decompose_24h) likewise at both SFs
-    # on landing, appended at the very end per the same contract.
+    # on landing, appended at the very end per the same contract;
+    # so too the later-session additions (events_seasonal_adjusted,
+    # events_drawdown_daily, events_streaks_daily, events_gini_daily,
+    # events_drawdown_alerts, apdex_daily, doc_zscore,
+    # events_top_movers) — 138 rows total, each cross-checked at both
+    # SFs the session it landed.
     return {
         # -- r3-green rows rotated into the round-5 window (slots 1-42) ----
         "forward_fill_1h": _q_forward_fill_1h,
