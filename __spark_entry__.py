@@ -2277,6 +2277,31 @@ def _q_events_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_movers(ev, "v", "user_id", width_sec=86400, k=5)
 
 
+def _q_events_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily adoption curve: new / active / cumulative distinct users
+    — three bounded reductions (first-seen min, per-bucket counts,
+    O(buckets) running sum), exact at any scale."""
+    from smos_spark.operators.events import user_growth
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts"
+    )
+    return user_growth(ev)
+
+
+def _q_events_wow_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week comparison per user: each day's cent total vs
+    the SAME user's total exactly 7 days earlier (calendar-aligned
+    equi-join on the shifted bucket id, never a sparse lag); exact
+    delta + floor-division ratio ppm."""
+    from smos_spark.operators.events import period_compare
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", F.floor(F.col("value") * 100).cast("long").alias("v")
+    )
+    return period_compare(ev, "v", ["user_id"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _with_dist(fn)
@@ -2470,6 +2495,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apdex_daily": _q_apdex_daily,
         "doc_zscore": _q_doc_zscore,
         "events_top_movers": _q_events_top_movers,
+        "events_user_growth": _q_events_user_growth,
+        "events_wow_daily": _q_events_wow_daily,
     }
 
 
@@ -5298,6 +5325,55 @@ def oracle_sql() -> dict[str, str]:
                  key, cur, prev, CAST(delta AS BIGINT) AS delta,
                  CAST(rank AS BIGINT) AS rank
           FROM d WHERE rank <= 5
+        """,        # adoption curve: first-seen min, per-bucket counts, running
+        # sum over the bucket table
+        "events_user_growth": """
+          WITH b AS (
+            SELECT user_id, epoch_us(ts) // 86400000000 AS b
+            FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          ), fs AS (
+            SELECT user_id, min(b) AS b0 FROM b GROUP BY 1
+          ), np AS (
+            SELECT b0 AS b, CAST(count(*) AS BIGINT) AS new_keys
+            FROM fs GROUP BY 1
+          ), ap AS (
+            SELECT b, CAST(count(DISTINCT user_id) AS BIGINT)
+              AS active_keys
+            FROM b GROUP BY 1
+          ), j AS (
+            SELECT ap.b, coalesce(np.new_keys, 0) AS new_keys,
+                   ap.active_keys
+            FROM ap LEFT JOIN np USING (b)
+          )
+          SELECT make_timestamp(b * 86400000000) AS bucket_start,
+            CAST(new_keys AS BIGINT) AS new_keys, active_keys,
+            CAST(sum(new_keys) OVER (ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_keys
+          FROM j
+        """,
+        # calendar-aligned WoW: equi-join on shifted bucket; ratio is
+        # TRUE floor division (Spark pmod form; DuckDB // truncates,
+        # so spell out (a - ((a % p + p) % p)) / p)
+        "events_wow_daily": """
+          WITH t AS (
+            SELECT user_id, epoch_us(ts) // 86400000000 AS b,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS cur
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1, 2
+          ), j AS (
+            SELECT a.user_id, a.b, a.cur, p.cur AS prev
+            FROM t a JOIN t p
+              ON a.user_id = p.user_id AND a.b = p.b + 7
+          )
+          SELECT user_id,
+            make_timestamp(b * 86400000000) AS bucket_start,
+            cur, prev, CAST(cur - prev AS BIGINT) AS delta,
+            CASE WHEN prev > 0 THEN CAST(
+              (cur * 1000000 - (((cur * 1000000) % prev + prev) % prev))
+              / prev AS BIGINT) END AS ratio_ppm
+          FROM j
         """,
     }
     # the *_auto dispatcher rows are DEFINED to be row-identical to

@@ -36,7 +36,14 @@ from pyspark.sql.window import Window
 from smos_spark.functions.joins import null_safe_join
 from smos_spark.operators.rollup import _width_bucket
 
-__all__ = ["event_funnel", "event_funnel_stepwise", "cohort_retention", "parse_json_fields"]
+__all__ = [
+    "event_funnel",
+    "event_funnel_stepwise",
+    "cohort_retention",
+    "parse_json_fields",
+    "period_compare",
+    "user_growth",
+]
 
 
 def parse_json_fields(
@@ -214,3 +221,128 @@ def event_funnel_stepwise(
         for i in range(len(steps))
     )
     return out.withColumn("steps_completed", n_done.cast("int"))
+
+
+def user_growth(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    width_sec: int = 86400,
+) -> DataFrame:
+    """Growth curve: per time bucket, how many keys were seen for the
+    FIRST time (new), how many were active, and the cumulative
+    distinct-key count — the canonical adoption dashboard, computed
+    exactly (no sketch) in three bounded reductions:
+
+    * first-seen bucket per key: one map-side-combined min()
+      aggregation — shuffle O(keys);
+    * new-per-bucket: count of first-seen rows per bucket —
+      O(buckets) rows;
+    * cumulative: one running sum over the tiny bucket table (single
+      partition of O(buckets) rows — bounded by the calendar, never by
+      data volume);
+    * active-per-bucket: one distinct count per bucket (map-side
+      partial distinct).
+
+    Only buckets with ≥1 active key are emitted; `cum_keys` carries
+    the cumulative first-seen total AS OF each emitted bucket (silent
+    buckets fold into the next active one). Output: bucket_start,
+    new_keys, active_keys, cum_keys — exact int64 at any scale.
+    """
+    from pyspark.sql.window import Window
+
+    if width_sec <= 0:
+        raise ValueError("width_sec must be positive")
+    width_us = int(width_sec) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    b = ((us - F.pmod(us, F.lit(width_us))) / F.lit(width_us)).cast("long")
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(F.col(key_col).alias("_k"), b.alias("_b"))
+    first_seen = base.groupBy("_k").agg(F.min("_b").alias("_b0"))
+    new_per = first_seen.groupBy(F.col("_b0").alias("_b")).agg(
+        F.count(F.lit(1)).alias("new_keys")
+    )
+    active_per = base.distinct().groupBy("_b").agg(
+        F.count(F.lit(1)).alias("active_keys")
+    )
+    joined = active_per.join(new_per, "_b", "left").withColumn(
+        "new_keys", F.coalesce(F.col("new_keys"), F.lit(0))
+    )
+    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.withColumn(
+        "cum_keys", F.sum("new_keys").over(w)
+    ).select(
+        F.timestamp_micros(F.col("_b") * F.lit(width_us)).alias(
+            "bucket_start"
+        ),
+        "new_keys",
+        "active_keys",
+        "cum_keys",
+    )
+
+
+def period_compare(
+    df: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str] | None = None,
+    ts_col: str = "ts",
+    width_sec: int = 86400,
+    lag_buckets: int = 7,
+) -> DataFrame:
+    """Period-over-period comparison: each (key, bucket) integer total
+    against the SAME key's total exactly ``lag_buckets`` buckets
+    earlier (week-over-week for daily buckets with the default 7) —
+    delta and ratio, the standard WoW/MoM dashboard row.
+
+    The comparison is an equi-JOIN on the shifted bucket id, not a
+    window lag: buckets are sparse (silent periods are absent), and a
+    lag would silently compare against whatever bucket happened to
+    precede, not the calendar-aligned one. Buckets with no comparison
+    period are dropped. ratio_ppm = (cur·1e6) div prev via pure
+    integer floor division (pmod-subtract), NULL when prev ≤ 0 (a
+    ratio against a non-positive base is meaningless). delta = cur −
+    prev is always exact.
+
+    Plan: one map-side-combined reduction to O(keys·buckets) counter
+    rows, then a self-equi-join of that bounded table — the raw
+    stream is scanned once, never window-sorted (the
+    lagged_crosscorr shape).
+    """
+    if width_sec <= 0:
+        raise ValueError("width_sec must be positive")
+    if lag_buckets < 1:
+        raise ValueError("lag_buckets must be >= 1")
+    keys = list(key_cols or [])
+    width_us = int(width_sec) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    b = ((us - F.pmod(us, F.lit(width_us))) / F.lit(width_us)).cast("long")
+    v = F.col(value_col).cast("long")
+    totals = (
+        df.where(F.col(ts_col).isNotNull() & v.isNotNull())
+        .groupBy(*keys, b.alias("_b"))
+        .agg(F.sum(v).alias("cur"))
+    )
+    prev = totals.select(
+        *keys,
+        (F.col("_b") + F.lit(int(lag_buckets))).alias("_b"),
+        F.col("cur").alias("prev"),
+    )
+    joined = totals.join(prev, [*keys, "_b"])
+    scaled = F.col("cur") * F.lit(1_000_000)
+    ratio = F.when(
+        F.col("prev") > 0,
+        (
+            (scaled - F.pmod(scaled, F.col("prev"))) / F.col("prev")
+        ).cast("long"),
+    )
+    return joined.select(
+        *keys,
+        F.timestamp_micros(F.col("_b") * F.lit(width_us)).alias(
+            "bucket_start"
+        ),
+        "cur",
+        "prev",
+        (F.col("cur") - F.col("prev")).alias("delta"),
+        ratio.alias("ratio_ppm"),
+    )

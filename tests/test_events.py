@@ -195,3 +195,93 @@ def test_event_funnel_stepwise_null_key(spark):
     null_row = [r for r in event_funnel_stepwise(df).collect()
                 if r["user_id"] is None][0]
     assert null_row["steps_completed"] == 3
+
+
+class TestUserGrowth:
+    def test_known_growth_curve(self, spark):
+        import datetime as dt
+
+        from smos_spark.operators.events import user_growth
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("u1", t0), ("u2", t0),                      # day 0: 2 new
+            ("u1", t0 + dt.timedelta(days=1)),           # day 1: 0 new
+            ("u3", t0 + dt.timedelta(days=2)),           # day 2: 1 new
+            ("u1", t0 + dt.timedelta(days=2)),
+            ("u1", t0 + dt.timedelta(days=2)),           # dup row, same day
+        ]
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+        out = {r["bucket_start"].day: r for r in user_growth(df).collect()}
+        assert (out[1]["new_keys"], out[1]["active_keys"], out[1]["cum_keys"]) == (2, 2, 2)
+        assert (out[2]["new_keys"], out[2]["active_keys"], out[2]["cum_keys"]) == (0, 1, 2)
+        assert (out[3]["new_keys"], out[3]["active_keys"], out[3]["cum_keys"]) == (1, 2, 3)
+
+    def test_partition_invariant(self, spark):
+        import datetime as dt
+
+        import numpy as np
+
+        from smos_spark.operators.events import user_growth
+
+        rng = np.random.default_rng(71)
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("u%d" % rng.integers(0, 40),
+             t0 + dt.timedelta(hours=int(rng.integers(0, 600))))
+            for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+        a = user_growth(df).orderBy("bucket_start").collect()
+        b = user_growth(df.repartition(13)).orderBy("bucket_start").collect()
+        assert a == b and a[-1]["cum_keys"] == 40
+
+
+class TestPeriodCompare:
+    def test_wow_known_answer_and_calendar_alignment(self, spark):
+        import datetime as dt
+
+        from smos_spark.operators.events import period_compare
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("k", t0, 100),
+            ("k", t0 + dt.timedelta(days=7), 150),
+            ("k", t0 + dt.timedelta(days=8), 90),   # no day-1 base → dropped
+            ("k", t0 + dt.timedelta(days=14), 75),
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+        out = {r["bucket_start"].day: r
+               for r in period_compare(df, "v", ["k"]).collect()}
+        assert set(out) == {8, 15}
+        assert (out[8]["cur"], out[8]["prev"], out[8]["delta"]) == (150, 100, 50)
+        assert out[8]["ratio_ppm"] == 1_500_000
+        assert (out[15]["prev"], out[15]["delta"]) == (150, -75)
+        assert out[15]["ratio_ppm"] == 500_000
+
+    def test_negative_and_zero_base(self, spark):
+        import datetime as dt
+
+        from smos_spark.operators.events import period_compare
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("k", t0, -30), ("k", t0 + dt.timedelta(days=7), -45),
+            ("z", t0, 0), ("z", t0 + dt.timedelta(days=7), 10),
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+        out = {r["k"]: r for r in period_compare(df, "v", ["k"]).collect()}
+        assert out["k"]["delta"] == -15 and out["k"]["ratio_ppm"] is None
+        assert out["z"]["ratio_ppm"] is None  # zero base
+
+    def test_floor_division_negative_numerator(self, spark):
+        import datetime as dt
+
+        from smos_spark.operators.events import period_compare
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [("k", t0, 7), ("k", t0 + dt.timedelta(days=7), -7)]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+        r = period_compare(df, "v", ["k"]).collect()[0]
+        # FLOOR(-7e6/7) = -1_000_000 exactly
+        assert r["ratio_ppm"] == -1_000_000
