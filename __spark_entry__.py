@@ -2302,6 +2302,43 @@ def _q_events_wow_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return period_compare(ev, "v", ["user_id"])
 
 
+def _q_events_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: for each purchase, the EARLIEST click
+    in its trailing 2-hour window ((ts, click_id) pick) — the
+    single-touch reduction of `interval_attribution`, same bucketed
+    equi-join underneath plus one per-interval window."""
+    from smos_spark.operators.interval import interval_attribute
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("start_ts"),
+        F.col("ts").alias("end_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    return interval_attribute(
+        clicks,
+        purchases,
+        width_sec=7200.0,
+        on="user_id",
+        interval_id_cols=["purchase_id"],
+        tie_cols=["click_id"],
+    ).select("purchase_id", "click_id")
+
+
+def _q_events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation metric: per user, the exact µs lag from the FIRST
+    view to the FIRST purchase at-or-after it — two O(keys) min
+    reductions and one bounded equi-join; raw rows never shuffle."""
+    from smos_spark.operators.events import conversion_lag
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return conversion_lag(ev, "event_type", "view", "purchase")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _with_dist(fn)
@@ -2497,6 +2534,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_movers": _q_events_top_movers,
         "events_user_growth": _q_events_user_growth,
         "events_wow_daily": _q_events_wow_daily,
+        "events_first_touch": _q_events_first_touch,
+        "events_conversion_lag": _q_events_conversion_lag,
     }
 
 
@@ -5374,6 +5413,44 @@ def oracle_sql() -> dict[str, str]:
               (cur * 1000000 - (((cur * 1000000) % prev + prev) % prev))
               / prev AS BIGINT) END AS ratio_ppm
           FROM j
+        """,        # first-touch: earliest (ts, click_id) click inside each
+        # purchase's trailing window (BETWEEN semantics incl. ends)
+        "events_first_touch": """
+          WITH pairs AS (
+            SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                   c.ts
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND c.ts >= p.ts - INTERVAL 2 HOURS
+             AND c.ts <= p.ts
+          ), r AS (
+            SELECT purchase_id, click_id,
+              row_number() OVER (PARTITION BY purchase_id
+                ORDER BY ts, click_id) AS rn
+            FROM pairs)
+          SELECT purchase_id, click_id FROM r WHERE rn = 1
+        """,
+        # first-view -> first-purchase activation lag
+        "events_conversion_lag": """
+          WITH f AS (
+            SELECT user_id AS key, min(ts) AS first_from_ts
+            FROM events
+            WHERE event_type = 'view' AND ts IS NOT NULL
+              AND user_id IS NOT NULL
+            GROUP BY 1
+          ), t AS (
+            SELECT user_id AS key, min(ts) AS first_to_ts
+            FROM events
+            WHERE event_type = 'purchase' AND ts IS NOT NULL
+              AND user_id IS NOT NULL
+            GROUP BY 1
+          )
+          SELECT key, first_from_ts, first_to_ts,
+            CAST(epoch_us(first_to_ts) - epoch_us(first_from_ts)
+              AS BIGINT) AS lag_us
+          FROM f JOIN t USING (key)
+          WHERE epoch_us(first_to_ts) >= epoch_us(first_from_ts)
         """,
     }
     # the *_auto dispatcher rows are DEFINED to be row-identical to

@@ -40,6 +40,7 @@ __all__ = [
     "event_funnel",
     "event_funnel_stepwise",
     "cohort_retention",
+    "conversion_lag",
     "parse_json_fields",
     "period_compare",
     "user_growth",
@@ -345,4 +346,44 @@ def period_compare(
         "prev",
         (F.col("cur") - F.col("prev")).alias("delta"),
         ratio.alias("ratio_ppm"),
+    )
+
+
+def conversion_lag(
+    df: DataFrame,
+    type_col: str,
+    from_type: str,
+    to_type: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """First-conversion lag per key: the time from a key's FIRST
+    ``from_type`` event to its FIRST ``to_type`` event at or after it
+    — "how long from first view to first purchase", the canonical
+    activation metric. Keys whose first to-event precedes their first
+    from-event (or that never convert) are dropped; lag is exact
+    int64 µs.
+
+    Plan: two map-side-combined min() reductions (one per side,
+    shuffle O(keys) each) and one equi-join of the two bounded key
+    tables — the raw stream is scanned once per side, never shuffled
+    on rows. Output: key, first_from_ts, first_to_ts, lag_us.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
+    )
+    firsts = lambda t, alias: (  # noqa: E731
+        base.where(F.col(type_col) == t)
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.min(F.col(ts_col).cast("timestamp")).alias(alias))
+    )
+    f = firsts(from_type, "first_from_ts")
+    t = firsts(to_type, "first_to_ts")
+    joined = f.join(t, "key")
+    lag = F.unix_micros(F.col("first_to_ts")) - F.unix_micros(
+        F.col("first_from_ts")
+    )
+    return joined.where(lag >= 0).select(
+        "key", "first_from_ts", "first_to_ts", lag.alias("lag_us")
     )

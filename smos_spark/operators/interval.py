@@ -46,6 +46,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "interval_join",
     "interval_join_stream",
+    "interval_attribute",
     "interval_concurrency",
     "interval_coverage",
 ]
@@ -448,4 +449,65 @@ def interval_coverage(
         F.count(F.lit(1)).alias("n_islands"),
         F.sum(F.col("_ie") - F.col("_is")).alias("covered_us"),
         F.max(F.col("_ie") - F.col("_is")).alias("max_island_us"),
+    )
+
+
+def interval_attribute(
+    points: DataFrame,
+    intervals: DataFrame,
+    width_sec: float,
+    mode: str = "first",
+    on: str | Sequence[str] = "conv_id",
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    interval_id_cols: Sequence[str] | None = None,
+    tie_cols: Sequence[str] = (),
+    max_buckets: int = 4096,
+) -> DataFrame:
+    """Single-touch attribution: for every interval, keep exactly ONE
+    matching point — the FIRST (mode="first": earliest (ts, *ties),
+    first-touch attribution) or the LAST (mode="last": latest,
+    last-touch) — instead of `interval_join`'s all-pairs output. The
+    marketing-attribution reduction of the range join, with the same
+    bucketed equi-join underneath (never a nested-loop range join).
+
+    ``interval_id_cols`` names the columns that identify one interval
+    (default: all non-key interval columns); the deterministic pick is
+    row_number over (ts, *ties) per (key, interval id). Intervals with
+    no matching point simply don't appear (inner semantics).
+
+    Plan: the bucketed interval_join plus ONE window on the joined
+    table partitioned by the interval identity — fan-out bounded by
+    interval_join's guard, pick bounded by matches-per-interval.
+    """
+    if mode not in ("first", "last"):
+        raise ValueError(f"mode must be first|last, got {mode!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    ids = list(
+        interval_id_cols
+        if interval_id_cols is not None
+        else [c for c in intervals.columns if c not in keys]
+    )
+    if not ids:
+        raise ValueError("interval_id_cols must identify the interval")
+    joined = interval_join(
+        points,
+        intervals,
+        width_sec,
+        on=on,
+        ts_col=ts_col,
+        start_col=start_col,
+        end_col=end_col,
+        how="inner",
+        max_buckets=max_buckets,
+    )
+    order = [F.col(ts_col), *[F.col(t) for t in tie_cols]]
+    if mode == "last":
+        order = [c.desc() for c in order]
+    w = Window.partitionBy(*keys, *ids).orderBy(*order)
+    return (
+        joined.withColumn("_pick", F.row_number().over(w))
+        .where(F.col("_pick") == 1)
+        .drop("_pick")
     )

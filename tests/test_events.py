@@ -285,3 +285,31 @@ class TestPeriodCompare:
         r = period_compare(df, "v", ["k"]).collect()[0]
         # FLOOR(-7e6/7) = -1_000_000 exactly
         assert r["ratio_ppm"] == -1_000_000
+
+
+class TestConversionLag:
+    def test_known_answers(self, spark):
+        import datetime as dt
+
+        from smos_spark.operators.events import conversion_lag
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            # converts 90 min after first view (later views ignored)
+            ("a", "view", t0), ("a", "view", t0 + dt.timedelta(minutes=5)),
+            ("a", "purchase", t0 + dt.timedelta(minutes=90)),
+            ("a", "purchase", t0 + dt.timedelta(minutes=400)),
+            # purchase BEFORE any view → dropped
+            ("b", "purchase", t0), ("b", "view", t0 + dt.timedelta(hours=1)),
+            # never converts → dropped
+            ("c", "view", t0),
+            # converts at the same instant → lag 0 kept
+            ("d", "view", t0), ("d", "purchase", t0),
+        ]
+        df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+        out = {r["key"]: r for r in conversion_lag(
+            df, "event_type", "view", "purchase").collect()}
+        assert set(out) == {"a", "d"}
+        assert out["a"]["lag_us"] == 90 * 60 * 1_000_000
+        assert out["a"]["first_from_ts"] == t0
+        assert out["d"]["lag_us"] == 0

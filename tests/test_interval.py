@@ -481,3 +481,36 @@ def test_coverage_plan_single_exchange(spark):
     )
     n_exchange = plan.count("Exchange") - plan.count("ReusedExchange")
     assert n_exchange <= 1, plan
+
+
+# --------------------------------------------------------- attribution
+def test_interval_attribute_first_and_last(spark):
+    from smos_spark.operators.interval import interval_attribute
+
+    intervals = spark.createDataFrame(
+        [("u", 1, "2024-01-01 10:00:00", "2024-01-01 12:00:00"),
+         ("u", 2, "2024-01-01 11:00:00", "2024-01-01 13:00:00"),
+         ("u", 3, "2024-01-01 20:00:00", "2024-01-01 21:00:00")],
+        "k string, ivl long, start_ts string, end_ts string",
+    ).select("k", "ivl", F.col("start_ts").cast("timestamp").alias("start_ts"),
+             F.col("end_ts").cast("timestamp").alias("end_ts"))
+    points = spark.createDataFrame(
+        [("u", 10, "2024-01-01 10:30:00"),
+         ("u", 11, "2024-01-01 11:30:00"),
+         ("u", 12, "2024-01-01 12:30:00")],
+        "k string, pid long, ts string",
+    ).select("k", "pid", F.col("ts").cast("timestamp").alias("ts"))
+    first = {(r["ivl"]): r["pid"] for r in interval_attribute(
+        points, intervals, width_sec=7200.0, on="k",
+        interval_id_cols=["ivl"], tie_cols=["pid"]).collect()}
+    # ivl 1 matches pts 10,11 → first 10; ivl 2 matches 11,12 → 11;
+    # ivl 3 matches none → absent
+    assert first == {1: 10, 2: 11}
+    last = {(r["ivl"]): r["pid"] for r in interval_attribute(
+        points, intervals, width_sec=7200.0, on="k", mode="last",
+        interval_id_cols=["ivl"], tie_cols=["pid"]).collect()}
+    assert last == {1: 11, 2: 12}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        interval_attribute(points, intervals, 7200.0, mode="best")
