@@ -547,6 +547,47 @@ def main() -> None:
         )
         _force(interval_coverage(iv, ["user_id", "day"]))
 
+    def q_growth_attrib():
+        # adoption curve (three bounded reductions), calendar-aligned
+        # WoW equi-join, first-touch pick over the bucketed range
+        # join, and the activation-lag join — all counter-table-sized
+        # shuffles
+        from smos_spark.operators.events import (
+            conversion_lag,
+            period_compare,
+            user_growth,
+        )
+        from smos_spark.operators.interval import interval_attribute
+
+        evf = spark.read.parquet(f"{sf_dir}/events.parquet")
+        _force(user_growth(evf.select("user_id", "ts")))
+        _force(
+            period_compare(
+                evf.select(
+                    "user_id", "ts",
+                    F.floor(F.col("value") * 100).cast("long").alias("v"),
+                ),
+                "v",
+                ["user_id"],
+            )
+        )
+        purchases = evf.where(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("start_ts"),
+            F.col("ts").alias("end_ts"),
+        )
+        clicks = evf.where(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), "ts"
+        )
+        _force(
+            interval_attribute(
+                clicks, purchases, width_sec=7200.0, on="user_id",
+                interval_id_cols=["purchase_id"], tie_cols=["click_id"],
+            )
+        )
+        _force(conversion_lag(evf, "event_type", "view", "purchase"))
+
     queries = {
         "sessionize": q_sessionize,
         "rollup_cascade": q_rollup_cascade,
@@ -581,6 +622,7 @@ def main() -> None:
         "alerting": q_alerting,
         "robust_stats": q_robust_stats,
         "decompose": q_decompose,
+        "growth_attrib": q_growth_attrib,
     }
 
     # one-time setup for the tiered-read entry: persist the tier
